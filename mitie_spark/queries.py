@@ -1,0 +1,188 @@
+"""Query registry — every implemented operator exposed as (spark_fn, oracle_sql).
+
+Each entry pairs a PySpark DataFrame program with an equivalent ANSI-SQL
+string runnable by DuckDB over the same parquet tables (views: region nation
+customer supplier part orders lineitem events documents embeddings). The
+driver's correctness gate runs both at sf0.01 and compares row-count, schema,
+and an order-insensitive value hash — so every computed column is aliased
+identically on both sides, every top-k has a deterministic tie-break, and
+floating aggregates are rounded.
+
+Ops are registered here by the modules that implement them plus directly for
+simple relational forms. SURVEY.md §2 operator ids are cited per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mitie_spark.session import load_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+# ---------------------------------------------------------------------------
+# A2 — top-k words (reference: wordrep two-pass CMS+heap,
+# tools/wordrep/src/main.cpp:29-77; Spark replaces the sketch with an exact
+# shuffle-aggregate + TopK sort, SURVEY.md §2.4 A1/A2).
+# ---------------------------------------------------------------------------
+@query(
+    "top_words",
+    """
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+)
+def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T-family — per-doc scalar text stats (projection stays JVM-side: split/size/
+# length, no Python; SURVEY.md §2.2).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           length(text) AS n_chars_calc,
+           lang
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        "lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (exact): hash-groupBy on content (training-data pipeline op).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
+@query(
+    "lang_counts",
+    """
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic relational coverage on the TPC-H-ish tables (Catalyst exercises:
+# hash agg with partial combine, broadcast join, sort+limit).
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "events_by_type_day",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def events_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )

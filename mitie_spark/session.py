@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point (see SURVEY.md §4):
+- AQE on (runtime coalescing + skew-join splitting absorbs domain/language
+  skew in the web corpus without manual tuning);
+- Arrow exec for all pandas UDFs (the model-apply operators are Arrow-batched);
+- shuffle partitions sized to cores locally; on a real cluster this is set to
+  2-3× total executor cores via spark-submit conf, AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Cap rows per Arrow batch so a pathological 100×-median-length document
+    # cannot blow up a single python worker's memory (per-doc compute skew,
+    # SURVEY.md §4(a)).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.shuffle.partitions": "32",
+    # Broadcast up to 64 MB dimension tables (alias dict, vocab) — at cluster
+    # scale the word-vector matrix goes through sc.broadcast, not a join.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "mitie_spark",
+    master: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    b = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if master.startswith("local["):
+        n = master[6:-1]
+        if n.isdigit():
+            conf["spark.sql.shuffle.partitions"] = n
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict:
+    """Register the testdata parquet tables as temp views and return DFs."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(n)
+            out[n] = df
+    return out
