@@ -1,0 +1,217 @@
+"""MurmurHash3 (x64-128) + the reference's feature-hashing helpers.
+
+Port of the canonical Austin Appleby MurmurHash3 as vendored by the reference
+(/root/reference/dlib/dlib/general_hash/murmur_hash3.h:318-429 byte variant,
+:434-478 4×uint32 variant, :483+ 3×uint64 variant) and the NER feature
+helpers built on it (/root/reference/mitielib/include/mitie/
+ner_feature_extraction.h:81-100 — MAX_FEAT=500000, ±1.5 random-sign hashed
+features; /root/reference/mitielib/src/ner_feature_extraction.cpp:27-66 —
+prefix/suffix ≤3-char hashes and indicator features).
+
+Bit-exact with the C++ for byte strings (verified by regression vectors in
+tests); all arithmetic in masked 64-bit Python ints. These run a few hundred
+times per document inside mapInPandas (chunk/pair features), so per-call
+Python cost is acceptable; the per-token hot path uses NumPy gathers instead.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+_M = (1 << 64) - 1
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _fmix64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M
+    h ^= h >> 33
+    return h
+
+
+def murmur_hash3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3 x64-128 of ``data`` → (h1, h2), little-endian semantics
+    (murmur_hash3.h:318-429)."""
+    length = len(data)
+    nblocks = length // 16
+    h1 = h2 = seed & _M
+
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * _C1) & _M
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M
+        h1 = (h1 * 5 + 0x52DCE729) & _M
+        k2 = (k2 * _C2) & _M
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M
+        h2 = (h2 * 5 + 0x38495AB5) & _M
+
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    t = len(tail)
+    for j in range(min(t, 16) - 1, 7, -1):  # bytes 8..15 → k2
+        k2 ^= tail[j] << ((j - 8) * 8)
+    if t > 8:
+        k2 = (k2 * _C2) & _M
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M
+        h2 ^= k2
+    for j in range(min(t, 8) - 1, -1, -1):  # bytes 0..7 → k1
+        k1 ^= tail[j] << (j * 8)
+    if t > 0:
+        k1 = (k1 * _C1) & _M
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return h1, h2
+
+
+def murmur_hash3_128_u32x4(v1: int, v2: int, v3: int, v4: int) -> tuple[int, int]:
+    """The 4×uint32 variant (murmur_hash3.h:434-478) used by prefix/suffix."""
+    k1 = ((v2 & 0xFFFFFFFF) << 32) | (v1 & 0xFFFFFFFF)
+    k2 = ((v4 & 0xFFFFFFFF) << 32) | (v3 & 0xFFFFFFFF)
+    k1 = (k1 * _C1) & _M
+    k1 = _rotl64(k1, 31)
+    k1 = (k1 * _C2) & _M
+    h1 = _rotl64(k1, 27)
+    h1 = (h1 * 5 + 0x52DCE729) & _M
+    k2 = (k2 * _C2) & _M
+    k2 = _rotl64(k2, 33)
+    k2 = (k2 * _C1) & _M
+    h2 = _rotl64(k2, 31)
+    h2 = (h2 + h1) & _M
+    h2 = (h2 * 5 + 0x38495AB5) & _M
+    h1 ^= 16
+    h2 ^= 16
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return h1, h2
+
+
+def murmur_hash3_128_u64x3(k1: int, k2: int, k3: int) -> tuple[int, int]:
+    """The 3×uint64 variant (murmur_hash3.h:483-527) used by ifeat."""
+    h1 = h2 = k3 & _M
+    k1 = (k1 * _C1) & _M
+    k1 = _rotl64(k1, 31)
+    k1 = (k1 * _C2) & _M
+    h1 ^= k1
+    h1 = _rotl64(h1, 27)
+    h1 = (h1 + h2) & _M
+    h1 = (h1 * 5 + 0x52DCE729) & _M
+    k2 = (k2 * _C2) & _M
+    k2 = _rotl64(k2, 33)
+    k2 = (k2 * _C1) & _M
+    h2 ^= k2
+    h2 = _rotl64(h2, 31)
+    h2 = (h2 + h1) & _M
+    h2 = (h2 * 5 + 0x38495AB5) & _M
+    h1 ^= 16
+    h2 ^= 16
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return h1, h2
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (ner_feature_extraction.h:81-100, .cpp:27-66)
+# ---------------------------------------------------------------------------
+
+MAX_FEAT = 500000  # ner_feature_extraction.h:81
+
+
+def make_feat(hash_pair: tuple[int, int]) -> tuple[int, float]:
+    """(index, ±1.5) with sign from bit 0 of h1 (ner_feature_extraction.h:84-91)."""
+    h1, h2 = hash_pair
+    sign = 1.0 if (h1 & 1) else -1.0
+    return int(h2 % MAX_FEAT), sign * 1.5
+
+
+@lru_cache(maxsize=200_000)
+def shash(word: str, seed: int) -> tuple[int, int]:
+    """murmur-128 of the word bytes (ner_feature_extraction.h:92-100)."""
+    if not word:
+        return (0, 0)
+    return murmur_hash3_128(word.encode("utf-8"), seed)
+
+
+@lru_cache(maxsize=200_000)
+def prefix(word: str, seed: int) -> tuple[int, int]:
+    """hash of the first ≤3 bytes (ner_feature_extraction.cpp:27-43)."""
+    if not word:
+        return (0, 0)
+    b = word.encode("utf-8")
+    l1 = b[0]
+    l2 = b[1] if len(b) > 1 else 0
+    l3 = b[2] if len(b) > 2 else 0
+    return murmur_hash3_128_u32x4(l1, l2, l3, seed)
+
+
+@lru_cache(maxsize=200_000)
+def suffix(word: str, seed: int) -> tuple[int, int]:
+    """hash of the last ≤3 bytes, reversed (ner_feature_extraction.cpp:45-61)."""
+    if not word:
+        return (0, 0)
+    b = word.encode("utf-8")
+    l1 = b[-1]
+    l2 = b[-2] if len(b) > 1 else 0
+    l3 = b[-3] if len(b) > 2 else 0
+    return murmur_hash3_128_u32x4(l1, l2, l3, seed)
+
+
+def ifeat(seed: int) -> tuple[int, int]:
+    """indicator feature (ner_feature_extraction.cpp:63-66)."""
+    return murmur_hash3_128_u64x3(seed, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hashed word embeddings — stand-in for the wordrep CCA vectors
+# (total_word_feature_extractor dims; SURVEY.md §1). Each word deterministically
+# maps to a unit-norm vector derived from murmur streams, so executors need no
+# dictionary broadcast for OOV handling and the whole pipeline stays seedless.
+# ---------------------------------------------------------------------------
+
+
+def hashed_embedding(word: str, dim: int = 32):
+    import numpy as np
+
+    out = np.empty(dim, dtype=np.float64)
+    for i in range(0, dim, 2):
+        h1, h2 = murmur_hash3_128(word.encode("utf-8"), 7000 + i)
+        # map to (-1, 1)
+        out[i] = (h1 / _M) * 2.0 - 1.0
+        if i + 1 < dim:
+            out[i + 1] = (h2 / _M) * 2.0 - 1.0
+    n = float((out @ out) ** 0.5)
+    return (out / n if n > 0 else out).astype(np.float32)

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Iterator, List, Tuple
 
+import pandas as pd
+
 # single-char punctuation set (conll_tokenizer.h:162-172)
 _PUNCT = frozenset(b"[].()!,\":|?")
 _WS = frozenset(b" \t\n\r")
@@ -200,7 +202,6 @@ TOKENS_SCHEMA = "array<struct<token:string,offset:bigint>>"
 def register_udfs():
     """Build Arrow-vectorized tokenizer UDFs (lazy import keeps this module
     usable without a SparkSession, e.g. in pure-python unit tests)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(TOKENS_SCHEMA)

@@ -1,0 +1,171 @@
+"""Binary relation detectors — port of the reference's pairwise scoring.
+
+Reference: /root/reference/mitielib/src/binary_relation_detector.cpp:29-187
+(feature extraction: mean word vector of each argument + hashed n-gram bags
+over 5 context windows with ±1 signs and an arg-order seed offset) and
+binary_relation_detector.h:55-78 (sparse linear SVM, score > 0 ⇒ relation).
+
+Candidate semantics are the C++ example's (EP3, SURVEY.md §3): every pair of
+*adjacent* detected mentions, in both argument orders, no window crop
+(/root/reference/examples/cpp/relation_extraction/
+relation_extraction_example.cpp:107-121).
+
+One detector per predicate; weights trained by averaged perceptron on the
+planted synthetic corpus (the reference's .svm artifacts are not vendored).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mitie_spark.functions.hashing import make_feat, shash
+from mitie_spark.models.ner_model import D, sentence_matrix
+
+HR = 1 << 16  # hashed n-gram space (reference: num_hash_dims=100000,
+# binary_relation_detector.cpp:54)
+WIN_SMALL = 2  # cpp:47 win=2
+WIN_BIG = 5  # cpp:48 win2=5
+ORDER_SEED_OFFSET = 100_000  # cpp:118-121: seed offset when arg1 after arg2
+DENSE_DIM = 2 * D
+
+
+def _window_ngrams(tokens, lo, hi, seed, sparse):
+    """hashed 1/2/3-grams of tokens[lo:hi) (cpp:56-86)."""
+    lo = max(lo, 0)
+    hi = min(hi, len(tokens))
+    grams = []
+    for i in range(lo, hi):
+        grams.append(tokens[i])
+        if i + 1 < hi:
+            grams.append(tokens[i] + " " + tokens[i + 1])
+        if i + 2 < hi:
+            grams.append(tokens[i] + " " + tokens[i + 1] + " " + tokens[i + 2])
+    for g in grams:
+        idx, val = make_feat(shash(g, seed))
+        sparse.append((idx % HR, val))
+
+
+def relation_features(
+    tokens: list[str],
+    X: np.ndarray | None,
+    arg1: tuple[int, int],
+    arg2: tuple[int, int],
+):
+    """→ (sparse [(idx,val)], dense (2D,)) for an ordered (arg1, arg2) pair."""
+    if X is None:
+        X = sentence_matrix(tokens)
+    s1, e1 = arg1
+    s2, e2 = arg2
+    dense = np.concatenate(
+        [X[s1:e1].mean(axis=0), X[s2:e2].mean(axis=0)]
+    ).astype(np.float64)
+
+    # arg order encoded by seed offset (cpp:111-121)
+    off = ORDER_SEED_OFFSET if s1 > s2 else 0
+    lo, hi = (min(s1, s2), max(s1, s2)), (min(e1, e2), max(e1, e2))
+    first_start, second_start = lo
+    first_end, second_end = hi[0], hi[1]
+
+    sparse: list[tuple[int, float]] = []
+    # 5 windows (cpp:123-187): before-first ×2 widths, between, after-second ×2
+    _window_ngrams(tokens, first_start - WIN_SMALL, first_start, off + 1, sparse)
+    _window_ngrams(tokens, first_start - WIN_BIG, first_start, off + 2, sparse)
+    _window_ngrams(tokens, first_end, second_start, off + 3, sparse)
+    _window_ngrams(tokens, second_end, second_end + WIN_SMALL, off + 4, sparse)
+    _window_ngrams(tokens, second_end, second_end + WIN_BIG, off + 5, sparse)
+    # the argument surfaces themselves (cpp: arg word indicator features)
+    for i in range(s1, e1):
+        idx, val = make_feat(shash(tokens[i], off + 6))
+        sparse.append((idx % HR, val))
+    for i in range(s2, e2):
+        idx, val = make_feat(shash(tokens[i], off + 7))
+        sparse.append((idx % HR, val))
+    return sparse, dense
+
+
+class RelationModel:
+    """Named binary detectors over the shared feature space."""
+
+    def __init__(self, preds: list[str], W_sparse=None, W_dense=None, b=None):
+        self.preds = list(preds)
+        k = len(self.preds)
+        self.W_sparse = W_sparse if W_sparse is not None else np.zeros((k, HR))
+        self.W_dense = W_dense if W_dense is not None else np.zeros((k, DENSE_DIM))
+        self.b = b if b is not None else np.zeros(k)
+
+    def scores(self, tokens, X, arg1, arg2) -> np.ndarray:
+        sparse, dense = relation_features(tokens, X, arg1, arg2)
+        s = self.b.copy()
+        for idx, val in sparse:
+            s += self.W_sparse[:, idx] * val
+        s += self.W_dense @ dense
+        return s
+
+    def detect(self, tokens, X, arg1, arg2):
+        """→ [(pred, score)] for detectors with score > 0
+        (binary_relation_detector.h:70-77)."""
+        s = self.scores(tokens, X, arg1, arg2)
+        return [(self.preds[i], float(s[i])) for i in np.nonzero(s > 0)[0]]
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            preds=np.array(self.preds),
+            W_sparse=self.W_sparse,
+            W_dense=self.W_dense,
+            b=self.b,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "RelationModel":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            preds=[str(p) for p in z["preds"]],
+            W_sparse=z["W_sparse"],
+            W_dense=z["W_dense"],
+            b=z["b"],
+        )
+
+
+def train_relation_model(
+    preds: list[str], examples, epochs: int = 10, seed: int = 77, margin: float = 1.0
+) -> RelationModel:
+    """examples: [(tokens, arg1, arg2, pos_pred | None)]; every candidate is a
+    negative for all detectors except its positive predicate (if any).
+    Margin perceptron with lazy averaging."""
+    rng = np.random.default_rng(seed)
+    k = len(preds)
+    pid = {p: i for i, p in enumerate(preds)}
+    Ws = np.zeros((k, HR))
+    Wd = np.zeros((k, DENSE_DIM))
+    b = np.zeros(k)
+    Us, Ud, ub = np.zeros_like(Ws), np.zeros_like(Wd), np.zeros_like(b)
+    cache = []
+    for tokens, a1, a2, pos in examples:
+        sparse, dense = relation_features(tokens, None, a1, a2)
+        y = np.full(k, -1.0)
+        if pos is not None:
+            y[pid[pos]] = 1.0
+        cache.append((sparse, dense, y))
+    steps = 0
+    for _ in range(epochs):
+        for i in rng.permutation(len(cache)):
+            sparse, dense, y = cache[i]
+            s = b.copy()
+            for idx, val in sparse:
+                s += Ws[:, idx] * val
+            s += Wd @ dense
+            steps += 1
+            wrong = (y * s) < margin  # update detectors violating the margin
+            if wrong.any():
+                for d in np.nonzero(wrong)[0]:
+                    yy = y[d]
+                    for idx, val in sparse:
+                        Ws[d, idx] += yy * val
+                        Us[d, idx] += steps * yy * val
+                    Wd[d] += yy * dense
+                    Ud[d] += steps * yy * dense
+                    b[d] += yy
+                    ub[d] += steps * yy
+    n = max(steps, 1)
+    return RelationModel(preds, Ws - Us / n, Wd - Ud / n, b - ub / n)

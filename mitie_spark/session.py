@@ -38,6 +38,16 @@ def get_spark(
     master: str | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Make this package importable in python workers regardless of the
+    # caller's cwd. Local mode: workers inherit the env of the JVM we are
+    # about to launch. Real cluster: ship the package with spark-submit
+    # --py-files (see plans/pipeline.py docstring).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     b = SparkSession.builder.appName(app_name).master(master)

@@ -1,0 +1,59 @@
+"""Unit tests for the NER/relation model cores (no Spark)."""
+
+import numpy as np
+
+from mitie_spark.models.ner_model import (
+    B, I, L, O, U,
+    NerModel,
+    chunks_to_labels,
+    labels_to_chunks,
+    viterbi,
+)
+
+
+def test_viterbi_respects_bilou_constraints():
+    # emissions that would prefer an illegal path (I without B)
+    em = np.array([[0.0, 0.0, 10.0, 0.0, 0.0]] * 3)
+    path = viterbi(em, np.zeros((5, 5)))
+    # never starts with I; every I is preceded by B or I
+    assert path[0] in (O, B, U)
+    for t in range(1, len(path)):
+        if path[t] == I:
+            assert path[t - 1] in (B, I)
+    # must end in O, L, or U
+    assert path[-1] in (O, L, U)
+
+
+def test_chunk_label_roundtrip():
+    chunks = [(0, 2), (3, 4), (5, 8)]
+    labels = chunks_to_labels(9, chunks)
+    assert labels_to_chunks(labels) == chunks
+    assert list(labels) == [B, L, O, U, O, B, I, L, O]
+
+
+def test_model_save_load_roundtrip(tmp_path):
+    m = NerModel()
+    m.W_seg[:] = np.arange(m.W_seg.size).reshape(m.W_seg.shape)
+    p = str(tmp_path / "m.npz")
+    m.save(p)
+    m2 = NerModel.load(p)
+    assert np.array_equal(m.W_seg, m2.W_seg)
+    assert m2.tags == m.tags
+
+
+def test_trained_models_meet_parity_target():
+    """Holdout P/R ≥ 0.95 — the BASELINE.json triple-parity criterion,
+    evaluated against planted truth (reference models are not vendored)."""
+    import os
+
+    from mitie_spark.models.ner_model import NerModel
+    from mitie_spark.models.relation_model import RelationModel
+    from mitie_spark.models.train import ARTIFACT_DIR, evaluate
+
+    ner = NerModel.load(os.path.join(ARTIFACT_DIR, "ner_model.npz"))
+    rel = RelationModel.load(os.path.join(ARTIFACT_DIR, "relation_model.npz"))
+    m = evaluate(ner, rel, n_docs=120, seed=31337)
+    assert m["mention_precision"] >= 0.95, m
+    assert m["mention_recall"] >= 0.95, m
+    assert m["triple_precision"] >= 0.95, m
+    assert m["triple_recall"] >= 0.95, m
