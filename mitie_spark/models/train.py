@@ -145,9 +145,9 @@ def train_all(out_dir: str = ARTIFACT_DIR, n_train_docs: int = 1500, seed: int =
     os.makedirs(out_dir, exist_ok=True)
     seg_sents, cls_examples, rel_examples = build_training_data(n_train_docs, seed)
     W_seg, T_seg = train_segmenter(seg_sents)
-    Ws, Wd, b = train_chunk_classifier(cls_examples)
+    Ws, Wd, b = train_chunk_classifier(cls_examples, epochs=12)
     ner = NerModel(W_seg, T_seg, Ws, Wd, b, TAGS)
-    rel = train_relation_model(list(PREDS), rel_examples)
+    rel = train_relation_model(list(PREDS), rel_examples, epochs=14, margin=2.0)
     ner.save(os.path.join(out_dir, "ner_model.npz"))
     rel.save(os.path.join(out_dir, "relation_model.npz"))
     metrics = evaluate(ner, rel, n_docs=300, seed=999)

@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators over document tables, all expressed as
+DataFrame programs with Arrow-vectorized UDFs for the signature math.
+Reference precedent for the LSH blocking pattern: the wordrep k-NN tool
+(/root/reference/tools/wordrep/src/main.cpp:197-256) builds an approximate
+neighbor graph the same way (hash → bucket → verify within bucket).
+
+Scale notes (the part that matters at 100 TB):
+- signatures are computed in one narrow pass (no shuffle);
+- LSH candidate generation shuffles only (id, band, bucket) triples — tiny
+  rows — and self-joins per bucket; AQE's skew-join splitting handles hot
+  buckets (boilerplate/empty docs), plus an explicit cap drops degenerate
+  buckets larger than `max_bucket` (they are near-certain duplicates of a
+  single template — handled by exact dedup instead);
+- verification is signature-based (estimated Jaccard), avoiding a second
+  pass over the corpus.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P = (1 << 61) - 1  # Mersenne prime for the universal hash family
+
+
+def _hash_params(num_hashes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    # multiply-add-shift family over uint64 (odd multipliers) — wraparound
+    # arithmetic stays fully vectorized in NumPy (no object math)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _char_shingles(text: str, k: int) -> np.ndarray:
+    """crc32 hashes of lowercase char k-grams (deterministic, C-speed)."""
+    t = " " + text.lower() + " "
+    if len(t) < k:
+        return np.array([zlib.crc32(t.encode("utf-8"))], dtype=np.int64)
+    enc = t.encode("utf-8", errors="replace")
+    # shingle over bytes of the utf-8 encoding
+    out = {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
+def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if shingles.size == 0:
+        return np.zeros(a.shape[0], dtype=np.int64)
+    s = shingles.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        v = a[:, None] * s[None, :] + b[:, None]  # uint64 wraparound
+    # top 61 bits → fits signed int64 for the Spark column
+    return (np.min(v, axis=1) >> np.uint64(3)).astype(np.int64)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """→ (id, sig: array<bigint>) — one narrow Arrow pass."""
+    a, b = _hash_params(num_hashes, seed)
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _char_shingles(t or "", shingle_size)
+            out.append(_minhash(sh, a, b).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 16, max_bucket: int = 500
+) -> DataFrame:
+    """(id, sig) → candidate (id_a, id_b) pairs sharing ≥1 LSH band bucket."""
+    return _lsh_pairs_impl(_band_buckets(sig_df, bands), max_bucket)
+
+
+def _lsh_pairs_impl(b: DataFrame, max_bucket: int) -> DataFrame:
+    counts = b.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    small = b.join(
+        counts.filter(F.col("bsz") <= max_bucket), ["band", "bucket"]
+    ).select("band", "bucket", "id")
+    l = small.withColumnRenamed("id", "id_a")
+    r = small.withColumnRenamed("id", "id_b")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def estimated_jaccard(pairs: DataFrame, sig_df: DataFrame) -> DataFrame:
+    """pairs(id_a, id_b) × signatures → (id_a, id_b, est_jaccard)."""
+    withs = (
+        pairs.join(sig_df.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sig_df.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    )
+    return withs.select(
+        "id_a",
+        "id_b",
+        (agree / F.size("sig_a")).cast("double").alias("est_jaccard"),
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 4,
+    threshold: float = 0.7,
+    seed: int = 1,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with est_jaccard ≥ threshold."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size, seed)
+    sig = sig.persist()
+    pairs = _lsh_pairs_impl(_band_buckets(sig, bands), max_bucket=500)
+    return estimated_jaccard(pairs, sig).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def _band_buckets(sig_df: DataFrame, bands: int) -> DataFrame:
+    @F.pandas_udf("array<struct<band:int,bucket:bigint>>")
+    def buckets_udf(sigs: pd.Series) -> pd.Series:
+        out = []
+        for sig in sigs:
+            arr = np.asarray(sig, dtype=np.int64)
+            r = max(len(arr) // bands, 1)
+            row = []
+            for bi in range(bands):
+                chunk = arr[bi * r : (bi + 1) * r]
+                if chunk.size == 0:
+                    break
+                row.append(
+                    {
+                        "band": bi,
+                        "bucket": int(zlib.crc32(chunk.tobytes())) | (bi << 32),
+                    }
+                )
+            out.append(row)
+        return pd.Series(out)
+
+    return sig_df.select("id", F.explode(buckets_udf("sig")).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (unweighted, blake2b token
+    hashes; bit accumulation vectorized with unpackbits)."""
+    import hashlib
+
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    digest = b"".join(
+        hashlib.blake2b(t.encode("utf-8", errors="replace"), digest_size=8).digest()
+        for t in toks
+    )
+    bytes_arr = np.frombuffer(digest, dtype=np.uint8).reshape(-1, 8)
+    bits = np.unpackbits(bytes_arr, axis=1)  # (n_tokens, 64)
+    acc = bits.astype(np.int32).sum(axis=0) * 2 - len(toks)
+    out_bytes = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+    return int.from_bytes(out_bytes, "big", signed=True)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    @F.pandas_udf("bigint")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([simhash64(t) for t in texts])
+
+    return df.select(F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("simhash"))
+
+
+def near_duplicates_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pigeonhole blocking: 4 × 16-bit chunks — hamming ≤ 3 guarantees an
+    equal chunk; verify with popcount on candidate pairs."""
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    l = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
+    )
+    r = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv"
+    )
+    pairs = (
+        l.join(r, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate pairs or small corpora)
+# ---------------------------------------------------------------------------
+
+
+def token_ngram_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over token n-gram sets, via explode + pair-count — a
+    pure DataFrame program (no UDF): tokens → n-grams → inverted index →
+    pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(
+            "toks"
+        ),
+    )
+    grams = toks.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    sizes = grams.select("id", F.size("grams").alias("sz"))
+    inv = grams.select("id", F.explode("grams").alias("g"))
+    pair_inter = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pair_inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)

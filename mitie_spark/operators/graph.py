@@ -1,0 +1,84 @@
+"""Distributed graph primitives — connected components on DataFrames.
+
+Used for entity canonicalization (north rule: "connected-components
+canonicalization"; reference precedent: the wordrep side-tool clusters word
+vectors with a neighbor-graph + chinese-whispers pass,
+/root/reference/tools/wordrep/src/main.cpp:197-256 — same shape: build
+similarity edges, then find components).
+
+Algorithm: iterative minimum-label propagation with pointer-jumping
+("HashToMin"-style): each round every vertex takes the min component id over
+itself and its neighbors, then labels are path-compressed by joining labels
+onto themselves. Rounds needed: O(log(diameter)). Each round is two
+shuffle-joins on the edge list — AQE handles skewed high-degree vertices
+(celebrity aliases) by splitting skewed partitions. For 10^12-scale graphs
+the same loop applies with edges bucketed by src; no driver-side state except
+the convergence counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src, dst) undirected → (id, component) with component = min
+    vertex id in the component. Vertex ids must be orderable (long/string)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    vertices = und.select(F.col("a").alias("id")).distinct()
+    labels = vertices.withColumn("comp", F.col("id"))
+
+    for _ in range(max_iter):
+        # candidate: min over neighbors' current labels
+        nbr_min = (
+            und.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp := comp(comp)
+        jumped = (
+            new_labels.alias("x")
+            .join(
+                new_labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce(F.col("y.comp2"), F.col("x.comp")).alias("comp"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = (
+            labels.withColumnRenamed("comp", "old")
+            .join(jumped, "id")
+            .filter(F.col("old") != F.col("comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", "comp")

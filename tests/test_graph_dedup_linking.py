@@ -1,0 +1,136 @@
+"""Tests for connected components, dedup family, and entity linking."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _union_find_components(edges, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in vertices}
+
+
+def test_connected_components_random_graph(spark):
+    from mitie_spark.operators.graph import connected_components
+
+    rng = random.Random(5)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    vertices = sorted({v for e in edges for v in e})
+    truth = _union_find_components(edges, vertices)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    assert set(got) == set(truth)
+    # same partition structure and same (min-id) representative
+    assert got == truth
+
+
+def test_minhash_near_duplicates(spark):
+    from mitie_spark.operators.dedup import near_duplicates_minhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet meadow beside the old stone bridge"
+    )
+    rows = [
+        (0, base),
+        (1, base.replace("quiet", "silent")),  # near-dup of 0
+        (2, base),  # exact dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning entity linking and lsh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in near_duplicates_minhash(df, threshold=0.6).collect()
+    }
+    assert (0, 2) in pairs
+    assert (0, 1) in pairs and (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    from mitie_spark.operators.dedup import near_duplicates_simhash
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (0, base),
+        (1, base + " extra"),  # tiny perturbation
+        (2, " ".join(f"other{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.id_a, r.id_b): r.hamming for r in near_duplicates_simhash(df).collect()}
+    assert (0, 1) in got
+    assert all(2 not in k for k in got)
+
+
+def test_token_ngram_jaccard(spark):
+    from mitie_spark.operators.dedup import token_ngram_jaccard
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g x"),
+        (2, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r.id_a, r.id_b): r.jaccard for r in token_ngram_jaccard(df, n=2, threshold=0.3).collect()}
+    assert (0, 1) in out and 0.4 < out[(0, 1)] < 0.9
+    assert all(2 not in k for k in out)
+
+
+def test_link_exact_and_fuzzy(spark):
+    from mitie_spark.operators.linking import link_mentions
+
+    alias = spark.createDataFrame(
+        [
+            ("Maria Okafor", "Q_1", "Maria Okafor", "PERSON"),
+            ("M. Okafor", "Q_1", "Maria Okafor", "PERSON"),
+            ("Boston", "Q_2", "Boston", "LOCATION"),
+            ("Acme Systems", "Q_3", "Acme Systems", "ORGANIZATION"),
+        ],
+        "alias string, canonical_id string, canonical_name string, tag string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("u1", "Maria Okafor", "PERSON"),
+            ("u1", "Boston", "LOCATION"),
+            ("u2", "Acme Systemz", "ORGANIZATION"),  # typo → fuzzy
+            ("u2", "Zzz Qqq", "PERSON"),  # no plausible match
+        ],
+        "url string, surface string, tag string",
+    )
+    out = {r.surface: (r.canonical_id, r.match_kind) for r in link_mentions(mentions, alias).collect()}
+    assert out["Maria Okafor"] == ("Q_1", "exact")
+    assert out["Boston"] == ("Q_2", "exact")
+    assert out["Acme Systemz"][0] == "Q_3" and out["Acme Systemz"][1] == "fuzzy"
+    assert out["Zzz Qqq"][0] is None
+
+
+def test_canonical_components(spark):
+    from mitie_spark.operators.linking import canonical_components
+
+    alias = spark.createDataFrame(
+        [
+            ("Ben Franklin", "Q_a", "Benjamin Franklin", "PERSON"),
+            ("Benjamin Franklin", "Q_a", "Benjamin Franklin", "PERSON"),
+            # shared alias bridges Q_a and Q_b into one component
+            ("Ben Franklin", "Q_b", "B. Franklin", "PERSON"),
+            ("Boston", "Q_c", "Boston", "LOCATION"),
+        ],
+        "alias string, canonical_id string, canonical_name string, tag string",
+    )
+    comp = {r.canonical_id: r.component for r in canonical_components(alias).collect()}
+    assert comp["Q_a"] == comp["Q_b"]
+    assert comp["Q_c"] != comp["Q_a"]
