@@ -262,7 +262,10 @@ def generate(out_dir: str, n_pages: int, seed: int = 42) -> dict:
     pages_df = pd.DataFrame(pages)
     # Spark's parquet reader rejects TIMESTAMP(NANOS) — write microseconds
     pages_df["warc_ts"] = pages_df["warc_ts"].astype("datetime64[us]")
-    pages_df.to_parquet(f"{out_dir}/pages.parquet", index=False)
+    # small row groups → Spark can split the file for parallel scans
+    # (at web scale the input is naturally many files; this keeps the
+    # sandbox corpus splittable the same way)
+    pages_df.to_parquet(f"{out_dir}/pages.parquet", index=False, row_group_size=500)
     pd.DataFrame(
         ment_rows, columns=["url", "token_start", "token_end", "tag", "surface"]
     ).to_parquet(f"{out_dir}/mentions_true.parquet", index=False)

@@ -173,28 +173,37 @@ def _norm_block(v: np.ndarray) -> np.ndarray:
     return v / (0.5 * float(np.linalg.norm(v)) + 1e-10)
 
 
+@lru_cache(maxsize=2_000_000)
+def _featC(word: str, seed: int) -> tuple[int, float]:
+    idx, val = make_feat(shash(word, seed))
+    return idx % HC, val
+
+
 def chunk_features(
     tokens: list[str], X: np.ndarray, start: int, end: int
-) -> tuple[list[tuple[int, float]], np.ndarray]:
-    """→ (sparse [(idx, val)] over HC, dense (CLS_DENSE,) vector)."""
-    sparse: list[tuple[int, float]] = []
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (sparse idx array over HC, sparse val array, dense (CLS_DENSE,))."""
+    idxs: list[int] = []
+    vals: list[float] = []
 
     def add(h):
         idx, val = make_feat(h)
-        sparse.append((idx % HC, val))
+        idxs.append(idx % HC)
+        vals.append(val)
 
     for pos in range(start, end):
         w = tokens[pos]
-        add(shash(w, 0))
+        f = _featC(w, 0); idxs.append(f[0]); vals.append(f[1])
         add(prefix(w, 10))
         add(suffix(w, 11))
-    add(shash(tokens[start], 1))  # first word of chunk
-    add(shash(tokens[end - 1], 2))  # last word of chunk
+    f = _featC(tokens[start], 1); idxs.append(f[0]); vals.append(f[1])
+    f = _featC(tokens[end - 1], 2); idxs.append(f[0]); vals.append(f[1])
     for off, seed in ((-2, 20), (-1, 21), (0, 22), (1, 23)):
         p = start + off if off < 0 else end - 1 + off
         if 0 <= p < len(tokens):
-            add(shash(tokens[p], seed))
-    add(shash(str(end - start if end - start < 5 else 5), 30))  # length bucket
+            f = _featC(tokens[p], seed); idxs.append(f[0]); vals.append(f[1])
+    f = _featC(str(end - start if end - start < 5 else 5), 30)
+    idxs.append(f[0]); vals.append(f[1])  # length bucket
 
     first = X[start]
     last = X[end - 1]
@@ -204,7 +213,7 @@ def chunk_features(
     dense = np.concatenate(
         [_norm_block(b) for b in (first, last, mean, before, after)]
     ).astype(np.float32)
-    return sparse, dense
+    return np.asarray(idxs, dtype=np.int64), np.asarray(vals), dense
 
 
 class NerModel:
@@ -240,10 +249,8 @@ class NerModel:
         return labels_to_chunks(path), X
 
     def classify_chunk(self, tokens, X, start, end):
-        sparse, dense = chunk_features(tokens, X, start, end)
-        scores = self.b_cls.copy()
-        for idx, val in sparse:
-            scores += self.W_cls_sparse[:, idx] * val
+        idxs, vals, dense = chunk_features(tokens, X, start, end)
+        scores = self.b_cls + (self.W_cls_sparse[:, idxs] * vals).sum(axis=1)
         scores += self.W_cls_dense @ dense.astype(np.float64)
         k = int(np.argmax(scores))
         srt = np.sort(scores)
@@ -342,25 +349,22 @@ def train_chunk_classifier(examples, epochs: int = 6, seed: int = 1235):
     cache = []
     for tokens, s, e, y in examples:
         X = sentence_matrix(tokens)
-        sparse, dense = chunk_features(tokens, X, s, e)
-        cache.append((sparse, dense.astype(np.float64), y))
+        idxs, vals, dense = chunk_features(tokens, X, s, e)
+        cache.append((idxs, vals, dense.astype(np.float64), y))
     steps = 0
     for _ in range(epochs):
         order = rng.permutation(len(cache))
         for i in order:
-            sparse, dense, y = cache[i]
-            scores = b.copy()
-            for idx, val in sparse:
-                scores += Ws[:, idx] * val
+            idxs, vals, dense, y = cache[i]
+            scores = b + (Ws[:, idxs] * vals).sum(axis=1)
             scores += Wd @ dense
             p = int(np.argmax(scores))
             steps += 1
             if p != y:
-                for idx, val in sparse:
-                    Ws[y, idx] += val
-                    Ws[p, idx] -= val
-                    Us[y, idx] += steps * val
-                    Us[p, idx] -= steps * val
+                np.add.at(Ws[y], idxs, vals)
+                np.add.at(Ws[p], idxs, -vals)
+                np.add.at(Us[y], idxs, steps * vals)
+                np.add.at(Us[p], idxs, -steps * vals)
                 Wd[y] += dense
                 Wd[p] -= dense
                 Ud[y] += steps * dense

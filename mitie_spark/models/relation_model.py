@@ -29,20 +29,30 @@ ORDER_SEED_OFFSET = 100_000  # cpp:118-121: seed offset when arg1 after arg2
 DENSE_DIM = 2 * D
 
 
-def _window_ngrams(tokens, lo, hi, seed, sparse):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2_000_000)
+def _feat(gram: str, seed: int) -> tuple[int, float]:
+    """murmur → (index % HR, ±1.5), cached (templated web text repeats
+    n-grams heavily; one dict hit replaces a murmur + mod per occurrence)."""
+    idx, val = make_feat(shash(gram, seed))
+    return idx % HR, val
+
+
+def _window_ngrams(tokens, lo, hi, seed, idxs, vals):
     """hashed 1/2/3-grams of tokens[lo:hi) (cpp:56-86)."""
     lo = max(lo, 0)
     hi = min(hi, len(tokens))
-    grams = []
     for i in range(lo, hi):
-        grams.append(tokens[i])
+        f = _feat(tokens[i], seed)
+        idxs.append(f[0]); vals.append(f[1])
         if i + 1 < hi:
-            grams.append(tokens[i] + " " + tokens[i + 1])
+            f = _feat(tokens[i] + " " + tokens[i + 1], seed)
+            idxs.append(f[0]); vals.append(f[1])
         if i + 2 < hi:
-            grams.append(tokens[i] + " " + tokens[i + 1] + " " + tokens[i + 2])
-    for g in grams:
-        idx, val = make_feat(shash(g, seed))
-        sparse.append((idx % HR, val))
+            f = _feat(tokens[i] + " " + tokens[i + 1] + " " + tokens[i + 2], seed)
+            idxs.append(f[0]); vals.append(f[1])
 
 
 def relation_features(
@@ -66,21 +76,22 @@ def relation_features(
     first_start, second_start = lo
     first_end, second_end = hi[0], hi[1]
 
-    sparse: list[tuple[int, float]] = []
+    idxs: list[int] = []
+    vals: list[float] = []
     # 5 windows (cpp:123-187): before-first ×2 widths, between, after-second ×2
-    _window_ngrams(tokens, first_start - WIN_SMALL, first_start, off + 1, sparse)
-    _window_ngrams(tokens, first_start - WIN_BIG, first_start, off + 2, sparse)
-    _window_ngrams(tokens, first_end, second_start, off + 3, sparse)
-    _window_ngrams(tokens, second_end, second_end + WIN_SMALL, off + 4, sparse)
-    _window_ngrams(tokens, second_end, second_end + WIN_BIG, off + 5, sparse)
+    _window_ngrams(tokens, first_start - WIN_SMALL, first_start, off + 1, idxs, vals)
+    _window_ngrams(tokens, first_start - WIN_BIG, first_start, off + 2, idxs, vals)
+    _window_ngrams(tokens, first_end, second_start, off + 3, idxs, vals)
+    _window_ngrams(tokens, second_end, second_end + WIN_SMALL, off + 4, idxs, vals)
+    _window_ngrams(tokens, second_end, second_end + WIN_BIG, off + 5, idxs, vals)
     # the argument surfaces themselves (cpp: arg word indicator features)
     for i in range(s1, e1):
-        idx, val = make_feat(shash(tokens[i], off + 6))
-        sparse.append((idx % HR, val))
+        f = _feat(tokens[i], off + 6)
+        idxs.append(f[0]); vals.append(f[1])
     for i in range(s2, e2):
-        idx, val = make_feat(shash(tokens[i], off + 7))
-        sparse.append((idx % HR, val))
-    return sparse, dense
+        f = _feat(tokens[i], off + 7)
+        idxs.append(f[0]); vals.append(f[1])
+    return np.asarray(idxs, dtype=np.int64), np.asarray(vals), dense
 
 
 class RelationModel:
@@ -94,10 +105,9 @@ class RelationModel:
         self.b = b if b is not None else np.zeros(k)
 
     def scores(self, tokens, X, arg1, arg2) -> np.ndarray:
-        sparse, dense = relation_features(tokens, X, arg1, arg2)
-        s = self.b.copy()
-        for idx, val in sparse:
-            s += self.W_sparse[:, idx] * val
+        idxs, vals, dense = relation_features(tokens, X, arg1, arg2)
+        # one vectorized gather per pair instead of a python loop per feature
+        s = self.b + (self.W_sparse[:, idxs] * vals).sum(axis=1)
         s += self.W_dense @ dense
         return s
 
@@ -142,27 +152,24 @@ def train_relation_model(
     Us, Ud, ub = np.zeros_like(Ws), np.zeros_like(Wd), np.zeros_like(b)
     cache = []
     for tokens, a1, a2, pos in examples:
-        sparse, dense = relation_features(tokens, None, a1, a2)
+        idxs, vals, dense = relation_features(tokens, None, a1, a2)
         y = np.full(k, -1.0)
         if pos is not None:
             y[pid[pos]] = 1.0
-        cache.append((sparse, dense, y))
+        cache.append((idxs, vals, dense, y))
     steps = 0
     for _ in range(epochs):
         for i in rng.permutation(len(cache)):
-            sparse, dense, y = cache[i]
-            s = b.copy()
-            for idx, val in sparse:
-                s += Ws[:, idx] * val
+            idxs, vals, dense, y = cache[i]
+            s = b + (Ws[:, idxs] * vals).sum(axis=1)
             s += Wd @ dense
             steps += 1
             wrong = (y * s) < margin  # update detectors violating the margin
             if wrong.any():
                 for d in np.nonzero(wrong)[0]:
                     yy = y[d]
-                    for idx, val in sparse:
-                        Ws[d, idx] += yy * val
-                        Us[d, idx] += steps * yy * val
+                    np.add.at(Ws[d], idxs, yy * vals)
+                    np.add.at(Us[d], idxs, steps * yy * vals)
                     Wd[d] += yy * dense
                     Ud[d] += steps * yy * dense
                     b[d] += yy

@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k — the baseline. Query set is
+  broadcast; candidates are scored in one narrow pass (JVM-side
+  zip_with/aggregate expressions, no Python) and ranked per query.
+- ``ivf_topk``: IVF-style ANN — k-means-lite centroids (deterministic
+  seeding, Lloyd iterations as DataFrame aggregations), candidates searched
+  only within the ``nprobe`` closest cells. At 100 TB the cell assignment is
+  the partition key: cells are written bucketed-by-cell so a query touches
+  nprobe buckets instead of the full corpus.
+- ``cosine_near_duplicates``: random-hyperplane LSH blocking + exact cosine
+  verify — the embedding-space near-dup detector.
+
+Reference precedent for LSH-bucketed neighbor search: the wordrep k-NN tool
+(/root/reference/tools/wordrep/src/main.cpp:197-256).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cos(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+    )
+    return dot / (n1 * n2)
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (qid, cid, cos, rk) — exact top-k by cosine, vec_id tie-break."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    c = candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    scored = c.join(F.broadcast(q)).select(
+        "qid", "cid", _cos("qe", "ce").alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+
+
+def train_centroids(
+    df: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
+    iters: int = 2, seed: int = 7,
+) -> np.ndarray:
+    """k-means-lite: deterministic sample init + `iters` Lloyd rounds, each a
+    single groupBy aggregation over the assignment (scales: only centroids
+    come back to the driver)."""
+    dim = len(df.select(vec_col).first()[0])
+    init = (
+        df.select(vec_col)
+        .orderBy(F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>"))))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r[0] for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = assign_cells(df, cents, vec_col=vec_col)
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(vec_col).alias("i", "v")
+            )
+            .groupBy("cell", "i")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = np.array(cents)
+        bucket = {}
+        for r in sums:
+            bucket.setdefault(r["cell"], {})[r["i"]] = (r["s"], r["n"])
+        for cell, comps in bucket.items():
+            vec = np.array([comps[i][0] / comps[i][1] for i in range(dim)])
+            new[cell] = vec
+        cents = new
+    return cents
+
+
+def assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a `cell` column: index of the nearest centroid (batched NumPy)."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
+        # nearest by euclidean distance: argmin ||x||² - 2x·c + ||c||²
+        d = (M * M).sum(1)[:, None] - 2 * M @ cents.T + (cents * cents).sum(1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: search only the nprobe nearest cells per query."""
+    cents = train_centroids(candidates, n_cells=n_cells, vec_col=vec_col)
+    c = assign_cells(candidates, cents, vec_col=vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), "cell"
+    )
+
+    cents_local = cents
+
+    @F.pandas_udf("array<int>")
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
+        d = (
+            (M * M).sum(1)[:, None]
+            - 2 * M @ cents_local.T
+            + (cents_local * cents_local).sum(1)[None, :]
+        )
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "qid", "cid", _cos("qe", "ce").alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign-bit signatures → banded bucket join →
+    exact cosine verify ≥ threshold."""
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf("array<int>")
+    def band_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
+        bits = (M @ planes.T) > 0  # (n, n_planes)
+        r = n_planes // bands
+        out = []
+        for row in bits:
+            sig = []
+            for b in range(bands):
+                chunk = row[b * r : (b + 1) * r]
+                v = 0
+                for bit in chunk:
+                    v = (v << 1) | int(bit)
+                sig.append((b << 16) | v)
+            out.append(sig)
+        return pd.Series(out)
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(band_udf(F.col(vec_col))).alias("bucket"),
+    )
+    l = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
+    r = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    pairs = (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a", "id_b", _cos("va", "vb").alias("cos")
+    ).filter(F.col("cos") >= threshold)

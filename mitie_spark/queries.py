@@ -186,3 +186,7 @@ def events_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# populate the registry with the KG / dedup / similarity / analysis queries
+from mitie_spark import queries_kg as _queries_kg  # noqa: E402,F401

@@ -1,0 +1,513 @@
+"""KG-pipeline, dedup, similarity, and text-analysis queries (oracle-backed).
+
+The KG queries run the *actual model pipeline* (extract_kg) on the committed
+deterministic corpus and are gated against the planted-truth tables — the
+extracted mentions/triples are exactly equal to truth at these scales, so the
+value-hash comparison is a full end-to-end correctness check of tokenizer +
+NER + relation scoring. sf_dir → corpus mapping: /root/testdata/sfX →
+/root/repo/data/kg_sfX (generated deterministically, seed 42; sf0.001 and
+sf0.01 are committed, larger scales generate on first use).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mitie_spark.queries import query
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+KG_PAGES = {"0.001": 500, "0.01": 2000, "0.1": 20000, "1": 200000}
+
+
+def kg_dir_for(sf_dir: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.01"
+    out = os.path.join(REPO, "data", f"kg_sf{sf}")
+    if not os.path.exists(os.path.join(out, "pages.parquet")):
+        from mitie_spark.corpus import generate
+
+        generate(out, KG_PAGES.get(sf, 2000), seed=42)
+    return out
+
+
+_KG_CACHE: dict[str, DataFrame] = {}
+
+
+def _kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused extraction over the corpus for this scale (cached + persisted —
+    several queries share one extraction pass)."""
+    from mitie_spark.models.train import ARTIFACT_DIR
+    from mitie_spark.operators.extraction import extract_kg
+
+    d = kg_dir_for(sf_dir)
+    key = f"{id(spark)}:{d}"
+    if key not in _KG_CACHE:
+        pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+        _KG_CACHE[key] = extract_kg(
+            pages,
+            os.path.join(ARTIFACT_DIR, "ner_model.npz"),
+            os.path.join(ARTIFACT_DIR, "relation_model.npz"),
+            lang_filter=None,
+        ).persist()
+    return _KG_CACHE[key]
+
+
+ORACLE_KG = os.path.join(REPO, "data", "kg_sf0.01")
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (model-driven, truth-table oracles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kg_mentions_by_tag",
+    f"""
+    SELECT tag, COUNT(*) AS n_mentions,
+           COUNT(DISTINCT surface) AS n_surfaces
+    FROM read_parquet('{ORACLE_KG}/mentions_true.parquet')
+    GROUP BY tag ORDER BY tag
+    """,
+)
+def kg_mentions_by_tag(spark, sf_dir):
+    from mitie_spark.operators.extraction import mentions_table
+
+    m = mentions_table(_kg(spark, sf_dir))
+    return (
+        m.groupBy("tag")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("surface").alias("n_surfaces"),
+        )
+        .orderBy("tag")
+    )
+
+
+@query(
+    "kg_triples_distinct",
+    f"""
+    SELECT DISTINCT url, subj, pred, obj
+    FROM read_parquet('{ORACLE_KG}/triples_true.parquet')
+    """,
+)
+def kg_triples_distinct(spark, sf_dir):
+    from mitie_spark.operators.extraction import triples_table
+
+    return triples_table(_kg(spark, sf_dir)).select(
+        "url", "subj", "pred", "obj"
+    ).distinct()
+
+
+@query(
+    "kg_triple_pairs_ranked",
+    f"""
+    SELECT subj, pred, obj, COUNT(DISTINCT url) AS n_docs
+    FROM read_parquet('{ORACLE_KG}/triples_true.parquet')
+    GROUP BY subj, pred, obj
+    ORDER BY n_docs DESC, subj, pred, obj
+    LIMIT 50
+    """,
+)
+def kg_triple_pairs_ranked(spark, sf_dir):
+    """The canonical triple aggregation (A8 — examples/python/ner.py:93-107:
+    GROUP BY entity pair, COUNT, ORDER BY count DESC)."""
+    from mitie_spark.operators.extraction import triples_table
+
+    t = triples_table(_kg(spark, sf_dir))
+    return (
+        t.groupBy("subj", "pred", "obj")
+        .agg(F.countDistinct("url").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "subj", "pred", "obj")
+        .limit(50)
+    )
+
+
+@query(
+    "alias_link_coverage",
+    f"""
+    SELECT m.tag, COUNT(*) AS n_mentions,
+           SUM(CASE WHEN a.canonical_id IS NULL THEN 0 ELSE 1 END) AS n_linked,
+           COUNT(DISTINCT a.canonical_id) AS n_entities
+    FROM read_parquet('{ORACLE_KG}/mentions_true.parquet') m
+    LEFT JOIN read_parquet('{ORACLE_KG}/alias_dict.parquet') a
+      ON m.surface = a.alias AND m.tag = a.tag
+    GROUP BY m.tag ORDER BY m.tag
+    """,
+)
+def alias_link_coverage(spark, sf_dir):
+    """J1/J4: broadcast dimension join of mentions against the alias dict."""
+    d = kg_dir_for(sf_dir)
+    m = spark.read.parquet(os.path.join(d, "mentions_true.parquet"))
+    a = spark.read.parquet(os.path.join(d, "alias_dict.parquet"))
+    j = m.join(
+        F.broadcast(a.withColumnRenamed("alias", "surface")),
+        ["surface", "tag"],
+        "left",
+    )
+    return (
+        j.groupBy("tag")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.sum(
+                F.when(F.col("canonical_id").isNull(), 0).otherwise(1)
+            ).alias("n_linked"),
+            F.countDistinct("canonical_id").alias("n_entities"),
+        )
+        .orderBy("tag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational skeletons over the driver's documents table (oracle-exact)
+# ---------------------------------------------------------------------------
+
+_GAZ = ("spark", "customer", "table", "vector")
+_GAZ_SQL = ", ".join(f"'{g}'" for g in _GAZ)
+
+
+@query(
+    "gazetteer_mentions",
+    f"""
+    SELECT doc_id, pos, token
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    )
+    WHERE token IN ({_GAZ_SQL})
+    ORDER BY doc_id, pos
+    """,
+)
+def gazetteer_mentions(spark, sf_dir):
+    """Dictionary mention detection skeleton: positional token explode +
+    broadcast set membership (the relational shape of mention detection)."""
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    return t.filter(F.col("token").isin(*_GAZ)).orderBy("doc_id", "pos")
+
+
+@query(
+    "adjacent_pair_candidates",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, pos, token FROM toks WHERE token IN ({_GAZ_SQL})
+    ), ordered AS (
+      SELECT doc_id, pos, token,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token,
+             LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next_pos
+      FROM hits
+    )
+    SELECT token AS arg1, next_token AS arg2, COUNT(*) AS n_pairs
+    FROM ordered WHERE next_token IS NOT NULL
+    GROUP BY arg1, arg2
+    ORDER BY n_pairs DESC, arg1, arg2
+    """,
+)
+def adjacent_pair_candidates(spark, sf_dir):
+    """J3 skeleton: adjacent detected mentions via a lead() window — the
+    scalable form of the reference's adjacent-entity-pair candidate join
+    (examples/python/ner.py:60-64)."""
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    t = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token").isin(*_GAZ))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    o = t.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.lead("token").over(w).alias("next_token"),
+    )
+    return (
+        o.filter(F.col("next_token").isNotNull())
+        .groupBy(F.col("token").alias("arg1"), F.col("next_token").alias("arg2"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "arg1", "arg2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / fingerprint / quality (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(l[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(l) - 1, 1))]) AS gs
+      FROM toks WHERE len(l) >= 3
+    ), sizes AS (
+      SELECT doc_id, len(gs) AS sz FROM grams
+    ), inv AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+      FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.18
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    from mitie_spark.operators.dedup import token_ngram_jaccard
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = token_ngram_jaccard(docs, n=3, threshold=0.18)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "doc_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+      FROM documents
+    ), gramlists AS (
+      SELECT doc_id,
+             [array_to_string(l[i:i+4], ' ') FOR i IN range(1, greatest(len(l) - 3, 1))] AS gs
+      FROM toks WHERE len(l) >= 5
+    ), grams AS (
+      SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1 AS pos
+      FROM gramlists
+    )
+    SELECT doc_id, pos, md5(g) AS fingerprint
+    FROM grams
+    WHERE substr(md5(g), 1, 1) IN ('0', '1')
+    ORDER BY doc_id, pos
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing-style document fingerprints: 5-gram hashes, deterministic
+    1/8 selection by hash prefix (rolling-hash fingerprinting analog —
+    reference precedent: substring hashing in approximate_substring_set)."""
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("l"),
+    )
+    grams = toks.filter(F.size("l") >= 5).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 4),
+                lambda i: F.concat_ws(" ", F.slice("l", i, 5)),
+            )
+        ).alias("pos", "g"),
+    )
+    return (
+        grams.withColumn("fingerprint", F.md5("g"))
+        .filter(F.substring("fingerprint", 1, 1).isin("0", "1"))
+        .select("doc_id", "pos", "fingerprint")
+        .orderBy("doc_id", "pos")
+    )
+
+
+_STOP = ("the", "a", "is", "in", "for", "was", "on", "of")
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOP)
+
+
+@query(
+    "doc_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+      FROM documents
+    )
+    SELECT doc_id, lang, len(l) AS n_tokens,
+           ROUND(len(list_filter(l, t -> t IN ({_STOP_SQL}))) * 1.0
+                 / greatest(len(l), 1), 4) AS stop_ratio,
+           ROUND(list_sum(list_transform(l, t -> length(t))) * 1.0
+                 / greatest(len(l), 1), 4) AS mean_tok_len,
+           len(list_distinct(l)) AS n_unique
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def doc_quality(spark, sf_dir):
+    """Quality-scoring skeleton: stopword ratio, mean token length, lexical
+    diversity — all JVM-side built-ins (no Python in the hot path)."""
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("l"),
+    )
+    n = F.greatest(F.size("l"), F.lit(1))
+    return toks.select(
+        "doc_id",
+        "lang",
+        F.size("l").alias("n_tokens"),
+        F.round(
+            F.size(F.filter("l", lambda t: t.isin(*_STOP))) / n, 4
+        ).alias("stop_ratio"),
+        F.round(
+            F.aggregate(
+                "l", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / n,
+            4,
+        ).alias("mean_tok_len"),
+        F.size(F.array_distinct("l")).alias("n_unique"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_counts_regex",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_counts_regex(spark, sf_dir):
+    """BPE-ish regex token counting, JVM-side regexp_extract_all."""
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("n_bpe_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias(
+            "n_numbers"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over the embeddings table
+# ---------------------------------------------------------------------------
+
+_COS_Q = 5  # vec_id < 5 are the query vectors
+_TOP_K = 10
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (n1 * n2)
+
+
+@query(
+    "embedding_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {_COS_Q}),
+         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id >= {_COS_Q}),
+         scored AS (
+           SELECT qid, cid,
+                  ROUND(list_dot_product(qe, ce) /
+                        (sqrt(list_dot_product(qe, qe)) *
+                         sqrt(list_dot_product(ce, ce))), 4) AS cos
+           FROM q, c
+         ),
+         ranked AS (
+           SELECT qid, cid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, cid) AS rk
+           FROM scored
+         )
+    SELECT qid, cid, cos, rk FROM ranked WHERE rk <= {_TOP_K}
+    ORDER BY qid, rk
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline): broadcast the query set,
+    score all candidates in one narrow pass, rank per query."""
+    from mitie_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = emb.filter(F.col("vec_id") < _COS_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= _COS_Q).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "qid", "cid", F.round(_cosine_expr("qe", "ce"), 4).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .orderBy("qid", "rk")
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS avg_sq_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    from mitie_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("sq"), 4).alias("avg_sq_norm"))
+        .orderBy("label")
+    )

@@ -7,7 +7,8 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.001"
+# the driver gate runs at sf0.01 — test at the same scale
+SF_DIR = "/root/testdata/sf0.01"
 
 
 def _names():

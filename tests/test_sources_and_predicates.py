@@ -1,0 +1,161 @@
+"""Tests: string predicates (T5), CoNLL source (S3), gigaword source (S2),
+and the ner_stream bracket printer (EP1 golden round-trip)."""
+
+import re
+
+import pytest
+
+from mitie_spark.functions.predicates import (
+    alternating_caps_in_middle,
+    caps_pattern,
+    contains_hyphen,
+    contains_letters,
+    contains_letters_and_numbers,
+    contains_numbers,
+    is_all_caps,
+    is_all_numbers,
+    is_caps,
+)
+from mitie_spark.sources.conll import (
+    bilou_to_chunks,
+    bio_to_bilou,
+    parse_conll_sentences,
+    parse_conll_text,
+)
+from mitie_spark.sources.gigaword import parse_gigaword
+from mitie_spark.streaming.ner_stream import format_markup
+
+
+def test_predicates():  # ner_feature_extraction.cpp:70-145
+    assert is_caps("Boston") and not is_caps("boston") and not is_caps("")
+    assert is_all_caps("NBC") and not is_all_caps("NBc")
+    assert is_all_caps("")  # reference quirk: vacuous loop
+    assert contains_numbers("a1") and not contains_numbers("abc")
+    assert contains_letters("a1") and not contains_letters("123")
+    assert contains_letters_and_numbers("a1")
+    assert is_all_numbers("123") and not is_all_numbers("12a")
+    assert is_all_numbers("")  # reference quirk
+    assert contains_hyphen("e-mail")
+    assert alternating_caps_in_middle("McDonald")
+    assert not alternating_caps_in_middle("NBC")  # all caps: no low→high flip
+    # caps_pattern ORs everything into bit 0 (cpp:148-163): hash has exactly
+    # two possible values
+    words = ["the", "Boston", "area", "Is", "nice"]
+    h_caps = caps_pattern(words, 1, 2)
+    h_none = caps_pattern(["a", "b", "c"], 1, 2)
+    assert h_caps != h_none
+    assert caps_pattern(words, 3, 4) == h_caps  # any-caps collapses
+
+
+CONLL_SAMPLE = """EU NNP I-NP I-ORG
+rejects VBZ I-VP O
+German JJ I-NP I-MISC
+call NN I-NP O
+
+Peter NNP I-NP I-PER
+Blackburn NNP I-NP I-PER
+
+"""
+
+
+def test_parse_conll():
+    sents = parse_conll_text(CONLL_SAMPLE)
+    assert len(sents) >= 2
+    assert sents[0][0] == ("EU", "I-ORG")
+    parsed = parse_conll_sentences(CONLL_SAMPLE)
+    toks0, chunks0 = parsed[0]
+    assert toks0 == ["EU", "rejects", "German", "call"]
+    assert chunks0 == [(0, 1, "ORGANIZATION"), (2, 3, "MISC")]
+    toks1, chunks1 = parsed[1]
+    assert chunks1 == [(0, 2, "PERSON")]
+
+
+def test_parse_conll_errors():
+    with pytest.raises(ValueError, match="wrong number of tokens"):
+        parse_conll_text("EU NNP I-NP\n")
+    with pytest.raises(ValueError, match="INVALID CONLL LABEL"):
+        parse_conll_text("EU NNP I-NP I-BAD\n")
+
+
+def test_bio_to_bilou():  # conll_parser.cpp:319-380
+    assert bio_to_bilou(["I-PER", "I-PER", "O"]) == ["B-PER", "L-PER", "O"]
+    assert bio_to_bilou(["I-PER", "O"]) == ["U-PER", "O"]
+    assert bio_to_bilou(["B-ORG", "I-ORG", "I-ORG"]) == ["B-ORG", "I-ORG", "L-ORG"]
+    assert bio_to_bilou(["B-LOC"]) == ["U-LOC"]
+    # adjacent same-type entities: B restarts the chunk
+    assert bio_to_bilou(["I-PER", "B-PER"]) == ["U-PER", "U-PER"]
+    assert bilou_to_chunks(["B-PER", "L-PER", "O", "U-LOC"]) == [
+        (0, 2, "PERSON"),
+        (3, 4, "LOCATION"),
+    ]
+
+
+GIGA_SAMPLE = """<DOC id="AFP_ENG_19940512.0001" type="story">
+<HEADLINE>
+Something happened
+</HEADLINE>
+<DATELINE>
+PARIS, May 12
+</DATELINE>
+<TEXT>
+<P>
+First paragraph &amp; more.
+</P>
+<P>
+Second one.
+</P>
+</TEXT>
+</DOC>
+<DOC id="d2" type="other">
+<TEXT>
+<P>only text</P>
+</TEXT>
+</DOC>
+"""
+
+
+def test_parse_gigaword():  # gigaword_reader.h:18-250
+    docs = parse_gigaword(GIGA_SAMPLE)
+    assert len(docs) == 2
+    assert docs[0]["doc_id"] == "AFP_ENG_19940512.0001"
+    assert docs[0]["doc_type"] == "story"
+    assert docs[0]["headline"] == "Something happened"
+    assert docs[0]["dateline"] == "PARIS, May 12"
+    assert "First paragraph & more." in docs[0]["text"]
+    assert "Second one." in docs[0]["text"]
+    assert docs[1]["doc_id"] == "d2" and docs[1]["headline"] == ""
+
+
+MARKUP = re.compile(r"\[([A-Z]+) ")
+
+
+def test_format_markup_golden_roundtrip():
+    """Parse the reference's own ner_stream output lines into (tokens,
+    entities), re-print with our port of the printer, compare byte-exact."""
+    with open("/root/reference/sample_text.reference-output", encoding="utf-8") as f:
+        golden = f.read().split("\n")
+    checked = 0
+    for line in golden:
+        if not line:
+            continue
+        # parse "[TAG tok tok] " markup into tokens + spans
+        tokens, ents = [], []
+        i = 0
+        parts = line.split(" ")
+        open_tag, start = None, None
+        for p in parts:
+            if p.startswith("[") and p[1:].isupper():
+                open_tag, start = p[1:], len(tokens)
+                continue
+            if p.endswith("]") and open_tag is not None:
+                tokens.append(p[:-1])
+                ents.append((start, len(tokens), open_tag))
+                open_tag = None
+                continue
+            if p == "":
+                continue
+            tokens.append(p)
+        ours = format_markup(tokens, ents)
+        assert ours == line, f"{ours!r} != {line!r}"
+        checked += 1
+    assert checked >= 3  # the golden file has 3 content lines

@@ -1,0 +1,63 @@
+"""Porter stemmer port tests.
+
+Expected values derive from the reference implementation's own documented
+examples (/root/reference/mitielib/src/stem.c:206-226 comments) plus the two
+DEPARTURE rules (stem.c:274, 297, 372)."""
+
+from mitie_spark.functions.stemmer import stem_word
+
+
+def test_stem_c_comment_examples():  # stem.c:206-226
+    # NOTE: the stem.c comment shows step1ab intermediates; "agreed"/"disabled"
+    # additionally lose their final e in step5 (the canonical full-pipeline
+    # outputs are agre/disabl).
+    pairs = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "ties": "ti",
+        "caress": "caress",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "disabled": "disabl",
+        "matting": "mat",
+        "mating": "mate",
+        "meeting": "meet",
+        "milling": "mill",
+        "messing": "mess",
+        "meetings": "meet",
+    }
+    for w, expected in pairs.items():
+        assert stem_word(w) == expected, (w, stem_word(w))
+
+
+def test_e_restoration():  # cvc examples, stem.c:162-169
+    assert stem_word("loving") == "love"
+    assert stem_word("hoping") == "hope"
+    assert stem_word("snowing") == "snow"  # w blocks the e-restore
+
+
+def test_departures():
+    # bli → ble instead of abli → able (stem.c:274)
+    assert stem_word("possibly") == "possibl"
+    # logi → log rule exists (stem.c:297)
+    assert stem_word("archaeology") == "archaeolog"
+    # k <= 1 early-out: 1- and 2-letter words untouched (stem.c:372)
+    assert stem_word("as") == "as"
+    assert stem_word("is") == "is"
+    assert stem_word("a") == "a"
+
+
+def test_classic_chains():
+    assert stem_word("relational") == "relat"
+    assert stem_word("rational") == "ration"
+    assert stem_word("characterization") == "character"
+    assert stem_word("happy") == "happi"
+    assert stem_word("sky") == "sky"
+    assert stem_word("controlled") == "control"
+    assert stem_word("generalization") == "gener"
+
+
+def test_lowercasing():  # stemmer.cpp:23-35 lowercases first
+    assert stem_word("Meetings") == "meet"
+    assert stem_word("CATS") == "cat"
