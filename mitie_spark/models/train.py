@@ -27,6 +27,7 @@ from mitie_spark.models.ner_model import (
     train_segmenter,
 )
 from mitie_spark.models.relation_model import RelationModel, train_relation_model
+from mitie_spark.models.text_categorizer import train_text_categorizer
 
 TAG_ID = {t: i for i, t in enumerate(TAGS)}
 
@@ -53,6 +54,33 @@ def make_doc(rng: random.Random, n_sent_lo=2, n_sent_hi=6):
         ments.extend((base + s, base + e, tag, surf) for s, e, tag, surf in m)
         rels.extend((mbase + si, p, mbase + oi) for si, p, oi in r)
     return toks, ments, rels
+
+
+def make_categorizer_doc(rng: random.Random):
+    """Labeled doc for the text categorizer (M5): 70% of sentences share a
+    dominant template kind; the label is that kind."""
+    kinds = ["born", "contains", "works", "salad"]
+    label = rng.choice(kinds)
+    toks = []
+    for _ in range(rng.randint(5, 9)):
+        want = label if rng.random() < 0.7 else rng.choice(kinds)
+        for _ in range(20):  # rejection-sample the wanted template
+            t, m, r = make_sentence(rng)
+            kind = (
+                "salad" if not m else
+                "born" if any(p == "born_in" for _, p, _ in r) else
+                "contains" if any(p == "contains" for _, p, _ in r) else
+                "works" if any(p == "works_for" for _, p, _ in r) else None
+            )
+            if kind == want:
+                toks.extend(t)
+                break
+    return toks, label
+
+
+def build_categorizer_data(n_docs: int, seed: int):
+    rng = random.Random(f"cat:{seed}")
+    return [make_categorizer_doc(rng) for _ in range(n_docs)]
 
 
 def build_training_data(n_docs: int, seed: int):
@@ -150,7 +178,12 @@ def train_all(out_dir: str = ARTIFACT_DIR, n_train_docs: int = 1500, seed: int =
     rel = train_relation_model(list(PREDS), rel_examples, epochs=14, margin=2.0)
     ner.save(os.path.join(out_dir, "ner_model.npz"))
     rel.save(os.path.join(out_dir, "relation_model.npz"))
+    cat = train_text_categorizer(build_categorizer_data(800, seed))
+    cat.save(os.path.join(out_dir, "text_categorizer.npz"))
+    cat_eval = build_categorizer_data(200, seed + 1)
+    cat_acc = sum(1 for toks, y in cat_eval if cat(toks)[0] == y) / len(cat_eval)
     metrics = evaluate(ner, rel, n_docs=300, seed=999)
+    metrics["categorizer_accuracy"] = round(cat_acc, 4)
     metrics["n_train_docs"] = n_train_docs
     metrics["n_rel_examples"] = len(rel_examples)
     return ner, rel, metrics

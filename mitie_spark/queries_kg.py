@@ -46,11 +46,13 @@ def _kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{id(spark)}:{d}"
     if key not in _KG_CACHE:
         pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
+        cores = spark.sparkContext.defaultParallelism
         _KG_CACHE[key] = extract_kg(
             pages,
             os.path.join(ARTIFACT_DIR, "ner_model.npz"),
             os.path.join(ARTIFACT_DIR, "relation_model.npz"),
             lang_filter=None,
+            parallelism=cores * 4,  # CPU-bound stage: tasks per core, not per byte
         ).persist()
     return _KG_CACHE[key]
 
@@ -510,4 +512,46 @@ def embedding_label_centroids(spark, sf_dir):
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.round(F.avg("sq"), 4).alias("avg_sq_norm"))
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-driven queries without a SQL-expressible oracle (driver records the
+# weaker rows-only check): text categorization (M5) and language ID.
+# ---------------------------------------------------------------------------
+
+
+@query("text_categories")
+def text_categories(spark, sf_dir):
+    from mitie_spark.models.text_categorizer import categorize_documents
+    from mitie_spark.models.train import ARTIFACT_DIR
+
+    d = kg_dir_for(sf_dir)
+    pages = spark.read.parquet(os.path.join(d, "pages.parquet")).withColumn(
+        "pid", F.abs(F.hash("url")).cast("bigint")
+    )
+    cats = categorize_documents(
+        pages, os.path.join(ARTIFACT_DIR, "text_categorizer.npz"),
+        id_col="pid", text_col="text",
+    )
+    return (
+        cats.groupBy("label")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("score"), 2).alias("avg_score"))
+        .orderBy("label")
+    )
+
+
+@query("lang_id_distribution")
+def lang_id_distribution(spark, sf_dir):
+    from mitie_spark.functions.text_quality import register_udfs
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    lang_udf, _ = register_udfs()
+    out = docs.select(lang_udf(F.col("text")).alias("lid"))
+    return (
+        out.select(F.col("lid.lang").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
     )

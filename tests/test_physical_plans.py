@@ -1,0 +1,83 @@
+"""Physical-plan audits: the plans we designed for are the plans Catalyst
+actually picks (SURVEY.md §4). These assertions keep scale properties from
+silently regressing: broadcast joins stay broadcast, aggregates keep their
+map-side partial phase, scans prune columns."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_alias_join_is_broadcast(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["alias_link_coverage"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dimension join must never SMJ
+
+
+def test_top_words_has_partial_aggregation(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["top_words"](spark, SF)
+    plan = _plan(df)
+    # two HashAggregate phases (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan  # sort+limit fuses into TopK
+
+
+def test_doc_stats_prunes_columns(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["doc_token_stats"](spark, SF)
+    plan = _plan(df)
+    # the scan must not read source/n_chars (pruned projection)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "source" not in read_schema
+    assert "text" in read_schema
+
+
+def test_extraction_stage_is_narrow(spark):
+    """pages → kg has no shuffle when parallelism is not forced: one
+    mapInPandas over the scan."""
+    from mitie_spark.models.train import ARTIFACT_DIR
+    from mitie_spark.operators.extraction import extract_kg
+
+    pages = spark.read.parquet("data/kg_sf0.001/pages.parquet")
+    kg = extract_kg(
+        pages,
+        f"{ARTIFACT_DIR}/ner_model.npz",
+        f"{ARTIFACT_DIR}/relation_model.npz",
+        lang_filter=None,
+    )
+    plan = _plan(kg)
+    assert "Exchange" not in plan  # narrow: no shuffle in the extraction path
+    assert "MapInPandas" in plan
+    # the scan reads only url+text, never html/warc_ts
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in read_schema
+
+
+def test_lang_filter_pushed_to_scan(spark):
+    from mitie_spark.models.train import ARTIFACT_DIR
+    from mitie_spark.operators.extraction import extract_kg
+
+    pages = spark.read.parquet("data/kg_sf0.001/pages.parquet")
+    kg = extract_kg(
+        pages,
+        f"{ARTIFACT_DIR}/ner_model.npz",
+        f"{ARTIFACT_DIR}/relation_model.npz",
+        lang_filter="en",
+    )
+    plan = _plan(kg)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "lang" in pushed  # EqualTo(lang,en) reaches the parquet scan
