@@ -215,3 +215,46 @@ def hashed_embedding(word: str, dim: int = 32):
             out[i + 1] = (h2 / _M) * 2.0 - 1.0
     n = float((out @ out) ** 0.5)
     return (out / n if n > 0 else out).astype(np.float32)
+
+
+def murmur_hash3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86-32 (murmur_hash3.h:236-314) — used by dlib::hash
+    (general_hash/hash.h:18-28, empty string → 0) and therefore by the
+    reference's count-min sketch (count_min_sketch.h:152-159)."""
+    m32 = 0xFFFFFFFF
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & m32
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k1 = (k1 * c1) & m32
+        k1 = ((k1 << 15) | (k1 >> 17)) & m32
+        k1 = (k1 * c2) & m32
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & m32
+        h1 = (h1 * 5 + 0xE6546B64) & m32
+    tail = data[nblocks * 4 :]
+    k1 = 0
+    for j in range(len(tail) - 1, -1, -1):
+        k1 ^= tail[j] << (j * 8)
+    if tail:
+        k1 = (k1 * c1) & m32
+        k1 = ((k1 << 15) | (k1 >> 17)) & m32
+        k1 = (k1 * c2) & m32
+        h1 ^= k1
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def dlib_string_hash(s: str, seed: int = 0) -> int:
+    """dlib::hash(std::string, seed) — murmur x86-32; empty string → 0
+    (general_hash/hash.h:18-28)."""
+    b = s.encode("utf-8")
+    if not b:
+        return 0
+    return murmur_hash3_32(b, seed)

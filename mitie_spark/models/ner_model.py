@@ -64,6 +64,15 @@ WINDOW = 3  # sequence_segmenter window_size (ner_feature_extraction.h:39)
 SEG_DIM = WINDOW * D + 1  # + bias
 
 HC = 1 << 16  # hashed feature space of the chunk classifier
+
+# feature-space fingerprint (S5 parity: the reference chains a murmur
+# fingerprint of the word-feature extractor through every model and verifies
+# it before predicting — named_entity_extractor.h:223-245,
+# binary_relation_detector.h:70-77). Ours fingerprints the deterministic
+# hashed-embedding feature space; bump the version when D/EMB_DIM change.
+import zlib as _zlib
+
+FEATURE_FINGERPRINT = _zlib.crc32(f"hashed-emb-v1:{EMB_DIM}:{SHAPE_DIM}".encode())
 TAGS = ["PERSON", "LOCATION", "ORGANIZATION"]
 NOT_ENTITY = len(TAGS)  # drop rule: predicted class ≥ len(TAGS)
 
@@ -280,11 +289,18 @@ class NerModel:
             W_cls_dense=self.W_cls_dense,
             b_cls=self.b_cls,
             tags=np.array(self.tags),
+            fingerprint=np.array([FEATURE_FINGERPRINT], dtype=np.int64),
         )
 
     @classmethod
     def load(cls, path: str) -> "NerModel":
         z = np.load(path, allow_pickle=False)
+        if "fingerprint" in z and int(z["fingerprint"][0]) != FEATURE_FINGERPRINT:
+            raise ValueError(
+                "NER model was trained against a different word-feature "
+                "space (fingerprint mismatch) — retrain or ship the matching "
+                "feature code (reference: named_entity_extractor.h:223-245)"
+            )
         return cls(
             W_seg=z["W_seg"],
             T_seg=z["T_seg"],

@@ -118,17 +118,28 @@ class RelationModel:
         return [(self.preds[i], float(s[i])) for i in np.nonzero(s > 0)[0]]
 
     def save(self, path: str) -> None:
+        from mitie_spark.models.ner_model import FEATURE_FINGERPRINT
+
         np.savez_compressed(
             path,
             preds=np.array(self.preds),
             W_sparse=self.W_sparse,
             W_dense=self.W_dense,
             b=self.b,
+            fingerprint=np.array([FEATURE_FINGERPRINT], dtype=np.int64),
         )
 
     @classmethod
     def load(cls, path: str) -> "RelationModel":
+        from mitie_spark.models.ner_model import FEATURE_FINGERPRINT
+
         z = np.load(path, allow_pickle=False)
+        if "fingerprint" in z and int(z["fingerprint"][0]) != FEATURE_FINGERPRINT:
+            raise ValueError(
+                "relation detector was trained against a different word-"
+                "feature space (fingerprint mismatch; reference guard: "
+                "binary_relation_detector.h:70-77)"
+            )
         return cls(
             preds=[str(p) for p in z["preds"]],
             W_sparse=z["W_sparse"],

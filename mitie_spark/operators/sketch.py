@@ -1,0 +1,87 @@
+"""Count-min sketch (A1) — distributed port of the reference's approximate
+counter.
+
+Reference: /root/reference/mitielib/include/mitie/count_min_sketch.h:16-355 —
+8 hash rows × W buckets, increment/get_count = min over rows, hashes =
+dlib::hash(item, seed r) for r in 0..7 (murmur x86-32). The reference uses
+it to bound RAM for corpus-scale GROUP BY on one machine (SURVEY.md §2.4);
+Spark normally makes it unnecessary (exact shuffle aggregation), but the
+sketch is still the right tool when the *result* must stay tiny — e.g. a
+driver-side frequency oracle over 10^12 tokens. Here it is a distributed
+aggregator: each partition folds its tokens into a local NumPy sketch and
+the (num_hashes × W) arrays are added together in a treeReduce — sketches
+are linear, so the merge is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+from mitie_spark.functions.hashing import dlib_string_hash
+
+
+class CountMinSketch:
+    """Same defaults as the reference (8 hashes; reference default W=1e6,
+    wordrep uses 5e6 — count_min_sketch.h:35-36, main.cpp:40)."""
+
+    def __init__(self, hash_table_size: int = 1_000_000, num_hashes: int = 8):
+        self.counts = np.zeros((num_hashes, hash_table_size), dtype=np.int64)
+        self.total = 0
+
+    def increment(self, item: str, amount: int = 1) -> None:
+        w = self.counts.shape[1]
+        for r in range(self.counts.shape[0]):
+            self.counts[r, dlib_string_hash(item, r) % w] += amount
+        self.total += amount
+
+    def get_count(self, item: str) -> int:
+        w = self.counts.shape[1]
+        return int(
+            min(
+                self.counts[r, dlib_string_hash(item, r) % w]
+                for r in range(self.counts.shape[0])
+            )
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counts += other.counts
+        self.total += other.total
+        return self
+
+
+def sketch_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    hash_table_size: int = 100_000,
+    num_hashes: int = 8,
+) -> CountMinSketch:
+    """Distributed sketch over whitespace tokens of ``text_col``: one local
+    sketch per partition, exact linear merge via treeReduce. The driver
+    receives a fixed-size array regardless of corpus size."""
+    shape = (num_hashes, hash_table_size)
+
+    def build(rows):
+        local = CountMinSketch(hash_table_size, num_hashes)
+        # cache token hashes within the partition (heavy reuse in web text)
+        from functools import lru_cache
+
+        w = hash_table_size
+
+        @lru_cache(maxsize=500_000)
+        def idxs(tok):
+            return tuple(dlib_string_hash(tok, r) % w for r in range(num_hashes))
+
+        rs = np.arange(num_hashes)
+        for row in rows:
+            text = row[0] or ""
+            for tok in text.split():
+                local.counts[rs, idxs(tok)] += 1
+                local.total += 1
+        yield local
+
+    def merge(a: CountMinSketch, b: CountMinSketch) -> CountMinSketch:
+        return a.merge(b)
+
+    return df.select(text_col).rdd.mapPartitions(build).treeReduce(merge)
