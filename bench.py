@@ -48,6 +48,7 @@ def main() -> None:
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

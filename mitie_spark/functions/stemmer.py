@@ -297,6 +297,9 @@ def stem_word(word: str) -> str:
 
 
 def register_udf():
+    # module-level alias so the string type hints ('pd.Series') resolve in
+    # this module's globals when pyspark inspects the UDF signature
+    global pd
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 

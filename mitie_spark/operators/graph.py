@@ -35,7 +35,12 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list once — every iteration joins against it, and
+    # without this the full upstream DAG (e.g. an LSH blocking + verify
+    # pipeline) would re-execute per round
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     vertices = und.select(F.col("a").alias("id")).distinct()
     labels = vertices.withColumn("comp", F.col("id"))
 

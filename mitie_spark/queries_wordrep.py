@@ -1,0 +1,197 @@
+"""wordrep-family aggregation queries (SURVEY.md §2.4 A1/A3/A4) —
+oracle-backed registry entries for the count-min sketch, top-k substring,
+and context-window operators.
+
+Reference analogs:
+- A1 count-min sketch word counts: count_min_sketch.h:141-185 (8 murmur
+  rows, min-over-rows estimate) — here the sketch is a distributed linear
+  aggregator and the oracle is the exact GROUP BY it approximates; CMS
+  never undercounts, so value-hash equality against exact counts is the
+  no-collision certificate at gate scale.
+- A3 top-k substrings: basic_morph.cpp:47-124 — substrings (≤5 chars,
+  '*' = word boundary) of corpus tokens, counted and ranked.
+- A4 context-window vectors: word_vects.cpp:36-62 — positional
+  (center, offset, context) co-occurrence, the input to the CCA stage;
+  here ranked pair counts via lag/lead windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mitie_spark.queries import query
+from mitie_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# A1 — count-min sketch vs exact counts
+# ---------------------------------------------------------------------------
+
+_CMS_TOP = 50
+
+
+@query(
+    "cms_token_counts",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS cms_count
+    FROM toks GROUP BY token
+    ORDER BY cms_count DESC, token LIMIT {_CMS_TOP}
+    """,
+)
+def cms_token_counts(spark, sf_dir):
+    """Count-min sketch end-to-end: per-partition NumPy sketches, exact
+    linear treeReduce merge, driver-side point queries for the top tokens.
+    The oracle is the exact aggregate — CMS estimates can only be ≥ exact,
+    so equality certifies zero collisions at this width (8 rows × 100k).
+    At 10^12 tokens the sketch is the tool Spark's exact agg isn't: the
+    driver holds a fixed 6.4 MB array no matter the corpus size."""
+    from mitie_spark.operators.sketch import sketch_token_counts
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    cms = sketch_token_counts(docs, text_col="text", hash_table_size=100_000)
+    rows = [(r["token"], cms.get_count(r["token"])) for r in top]
+    out = spark.createDataFrame(rows, "token string, cms_count bigint")
+    return out.orderBy(F.desc("cms_count"), "token")
+
+
+# ---------------------------------------------------------------------------
+# A3 — top-k substrings with boundary markers
+# ---------------------------------------------------------------------------
+
+_SUB_TOP = 100
+
+
+@query(
+    "top_substrings",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+      FROM documents
+    ), marked AS (
+      SELECT '*' || w || '*' AS m FROM toks
+    ), subs AS (
+      SELECT unnest(flatten(
+        [[substr(m, i, l) FOR i IN range(1, len(m) - l + 2)]
+         FOR l IN range(2, 6)]
+      )) AS sub
+      FROM marked
+    )
+    SELECT sub, COUNT(*) AS cnt
+    FROM subs GROUP BY sub
+    ORDER BY cnt DESC, sub LIMIT {_SUB_TOP}
+    """,
+)
+def top_substrings(spark, sf_dir):
+    """A3: explode all 2..5-char substrings of '*'-delimited tokens and
+    rank — the Spark replacement for the reference's CMS+heap two-pass
+    (explode → partial-agg shuffle → TopK sort, all JVM-side)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    m = F.concat(F.lit("*"), F.col("w"), F.lit("*"))
+    subs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(5)),
+                    # guard: Spark sequence(1, n) DESCENDS for n < 1 (unlike
+                    # SQL range, which is empty) — emit no substrings when
+                    # the marked token is shorter than l
+                    lambda l: F.when(
+                        F.length(m) >= l,
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(m) - l + 1),
+                            lambda i: F.substr(m, i, l),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        ).alias("sub")
+    )
+    return (
+        subs.groupBy("sub")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "sub")
+        .limit(_SUB_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — positional context-window co-occurrence
+# ---------------------------------------------------------------------------
+
+_CTX_TOP = 100
+
+
+@query(
+    "context_window_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(l) AS token,
+             generate_subscripts(l, 1) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+            FROM documents)
+    ), pairs AS (
+      SELECT token AS center, -2 AS off,
+             LAG(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS ctx FROM toks
+      UNION ALL
+      SELECT token, -1,
+             LAG(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) FROM toks
+      UNION ALL
+      SELECT token, 1,
+             LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) FROM toks
+      UNION ALL
+      SELECT token, 2,
+             LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) FROM toks
+    )
+    SELECT center, off, ctx, COUNT(*) AS cnt
+    FROM pairs WHERE ctx IS NOT NULL
+    GROUP BY center, off, ctx
+    ORDER BY cnt DESC, center, off, ctx LIMIT {_CTX_TOP}
+    """,
+)
+def context_window_pairs(spark, sf_dir):
+    """A4: (center, offset, context) counts via lag/lead windows — the
+    relational form of wordrep's sliding context window; at scale this is
+    the shuffle that feeds the CCA covariance blocks (word_vectors.py)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = []
+    for off in (-2, -1, 1, 2):
+        shift = F.lag("token", -off).over(w) if off < 0 else F.lead("token", off).over(w)
+        parts.append(
+            toks.select(
+                F.col("token").alias("center"),
+                F.lit(off).alias("off"),
+                shift.alias("ctx"),
+            )
+        )
+    pairs = parts[0].unionAll(parts[1]).unionAll(parts[2]).unionAll(parts[3])
+    return (
+        pairs.filter(F.col("ctx").isNotNull())
+        .groupBy("center", "off", "ctx")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "center", "off", "ctx")
+        .limit(_CTX_TOP)
+    )

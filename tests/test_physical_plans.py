@@ -81,3 +81,32 @@ def test_lang_filter_pushed_to_scan(spark):
     assert "PushedFilters" in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "lang" in pushed  # EqualTo(lang,en) reaches the parquet scan
+
+
+def test_regional_revenue_dims_broadcast(spark):
+    """Q5-shaped multi-join: all dimension joins broadcast; no cartesian."""
+    import __spark_entry__ as e
+
+    df = e.queries()["regional_revenue"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_minhash_no_cartesian(spark):
+    """LSH blocking must keep the pair join bucketed — never all-pairs."""
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_minhash"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_substrings_topk_fuses(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["top_substrings"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in plan
