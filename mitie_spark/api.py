@@ -35,15 +35,20 @@ def load_entire_file(filename: str) -> str:
 class named_entity_extractor:
     """mitie.py:250-358 — extract_entities over token lists."""
 
-    def __init__(self, filename: str | None = None):
+    def __init__(self, filename: str | None = None, _model=None):
         from mitie_spark.models.ner_model import NerModel
 
-        self._model = NerModel.load(
+        self._model = _model or NerModel.load(
             filename or os.path.join(ARTIFACT_DIR, "ner_model.npz")
         )
 
     def get_possible_ner_tags(self) -> list[str]:
         return list(self._model.tags)
+
+    def save_to_disk(self, filename: str, pure_model: bool = False) -> None:
+        """mitie.py:282-297 — .npz artifacts are always 'pure models' (the
+        word-feature space is code + fingerprint, not a bundled blob)."""
+        self._model.save(filename)
 
     def extract_entities(self, tokens: list[str]):
         """→ [(range, tag, score)] with range = python range object, exactly
@@ -75,14 +80,24 @@ class binary_relation:
 class binary_relation_detector:
     """mitie.py:374-420 — score > 0 ⇒ relation holds."""
 
-    def __init__(self, filename: str | None = None, name: str | None = None):
+    def __init__(
+        self, filename: str | None = None, name: str | None = None, _model=None
+    ):
         from mitie_spark.models.relation_model import RelationModel
 
-        self._model = RelationModel.load(
+        self._model = _model or RelationModel.load(
             filename or os.path.join(ARTIFACT_DIR, "relation_model.npz")
         )
         self.name = name or self._model.preds[0]
         self._idx = self._model.preds.index(self.name)
+
+    @property
+    def name_string(self) -> str:
+        """mitie.py:408-409."""
+        return self.name
+
+    def save_to_disk(self, filename: str) -> None:
+        self._model.save(filename)
 
     def __call__(self, relation: binary_relation) -> float:
         s = self._model.scores(
@@ -94,12 +109,15 @@ class binary_relation_detector:
 class text_categorizer:
     """mitie.py:723-779 — __call__(tokens) -> (label, score)."""
 
-    def __init__(self, filename: str | None = None):
+    def __init__(self, filename: str | None = None, _model=None):
         from mitie_spark.models.text_categorizer import TextCategorizer
 
-        self._model = TextCategorizer.load(
+        self._model = _model or TextCategorizer.load(
             filename or os.path.join(ARTIFACT_DIR, "text_categorizer.npz")
         )
+
+    def save_to_disk(self, filename: str, pure_model: bool = False) -> None:
+        self._model.save(filename)
 
     def __call__(self, tokens: list[str]):
         return self._model(list(tokens))
@@ -128,3 +146,171 @@ class total_word_feature_extractor:
 
     def get_words_in_dictionary(self) -> list[str]:
         return list(self._wv.words)
+
+
+# ---------------------------------------------------------------------------
+# Trainer surface (mitie.py:466-721,782-827) — reference call shapes over
+# this repo's NumPy trainers. `beta` and `num_threads` are accepted for
+# drop-in compatibility (the reference's BOBYQA C-search and thread pool
+# don't apply to the perceptron trainers here).
+# ---------------------------------------------------------------------------
+
+
+class ner_training_instance:
+    """mitie.py:466-503 — one sentence plus its labeled entity ranges."""
+
+    def __init__(self, tokens: list[str]):
+        self.tokens = [str(t) for t in tokens]
+        self.entities: list[tuple[int, int, str]] = []
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.tokens)
+
+    @property
+    def num_entities(self) -> int:
+        return len(self.entities)
+
+    def overlaps_any_entity(self, r: range) -> bool:
+        span = set(r)
+        return any(span & set(range(s, e)) for s, e, _ in self.entities)
+
+    def add_entity(self, r: range, label: str) -> None:
+        if not len(r) or r.start < 0 or r.stop > len(self.tokens):
+            raise ValueError("entity range out of bounds")
+        if self.overlaps_any_entity(r):
+            raise ValueError("entity overlaps an existing entity")
+        self.entities.append((r.start, r.stop, str(label)))
+
+
+class ner_trainer:
+    """mitie.py:505-585 — collect instances, train() → named_entity_extractor.
+
+    The reference signature takes the total_word_feature_extractor filename;
+    here the word-feature space is code (fingerprint-chained), so the
+    argument is accepted and ignored."""
+
+    def __init__(self, filename: str | None = None):
+        self._instances: list[ner_training_instance] = []
+        self.beta = 0.5
+        self.num_threads = 4
+
+    @property
+    def size(self) -> int:
+        return len(self._instances)
+
+    def add(self, instance: ner_training_instance) -> None:
+        self._instances.append(instance)
+
+    def train(self) -> named_entity_extractor:
+        import random
+
+        from mitie_spark.models.ner_model import (
+            NerModel,
+            train_chunk_classifier,
+            train_segmenter,
+        )
+
+        if not self._instances:
+            raise ValueError("ner_trainer.train() with no training instances")
+        # tag vocabulary in first-seen order (ner_trainer.cpp:576-593)
+        tags: list[str] = []
+        for inst in self._instances:
+            for _, _, label in inst.entities:
+                if label not in tags:
+                    tags.append(label)
+        tag_id = {t: i for i, t in enumerate(tags)}
+        not_entity = len(tags)
+
+        rng = random.Random(1234)
+        seg_sents, cls_examples = [], []
+        for inst in self._instances:
+            chunks = [(s, e) for s, e, _ in inst.entities]
+            seg_sents.append((inst.tokens, chunks))
+            occupied = set()
+            for s, e in chunks:
+                occupied.update(range(s, e))
+            for s, e, label in inst.entities:
+                cls_examples.append((inst.tokens, s, e, tag_id[label]))
+            # negative segments: random non-overlapping spans (Part II of the
+            # reference trains on segmenter false positives; random spans are
+            # the model-free analog)
+            for _ in range(3):
+                if len(inst.tokens) < 2:
+                    break
+                s = rng.randrange(0, len(inst.tokens) - 1)
+                e = min(s + rng.randint(1, 2), len(inst.tokens))
+                if not (set(range(s, e)) & occupied):
+                    cls_examples.append((inst.tokens, s, e, not_entity))
+        W_seg, T_seg = train_segmenter(seg_sents)
+        Ws, Wd, b = train_chunk_classifier(
+            cls_examples, epochs=12, n_classes=not_entity + 1
+        )
+        model = NerModel(W_seg, T_seg, Ws, Wd, b, tags)
+        return named_entity_extractor(_model=model)
+
+
+class binary_relation_detector_trainer:
+    """mitie.py:587-721 — positive/negative pairs, train() → detector."""
+
+    def __init__(self, relation_name: str, ner: named_entity_extractor):
+        self.relation_name = str(relation_name)
+        self._ner = ner
+        self._pos: list[tuple[list[str], tuple[int, int], tuple[int, int]]] = []
+        self._neg: list[tuple[list[str], tuple[int, int], tuple[int, int]]] = []
+        self.beta = 0.1
+        self.num_threads = 4
+
+    @property
+    def num_positive_examples(self) -> int:
+        return len(self._pos)
+
+    @property
+    def num_negative_examples(self) -> int:
+        return len(self._neg)
+
+    def add_positive_binary_relation(self, tokens, arg1: range, arg2: range):
+        self._pos.append(
+            (list(tokens), (arg1.start, arg1.stop), (arg2.start, arg2.stop))
+        )
+
+    def add_negative_binary_relation(self, tokens, arg1: range, arg2: range):
+        self._neg.append(
+            (list(tokens), (arg1.start, arg1.stop), (arg2.start, arg2.stop))
+        )
+
+    def train(self) -> binary_relation_detector:
+        from mitie_spark.models.relation_model import train_relation_model
+
+        if not self._pos:
+            raise ValueError("no positive examples")
+        examples = [
+            (toks, a1, a2, self.relation_name) for toks, a1, a2 in self._pos
+        ] + [(toks, a1, a2, None) for toks, a1, a2 in self._neg]
+        model = train_relation_model(
+            [self.relation_name], examples, epochs=14, margin=2.0
+        )
+        return binary_relation_detector(_model=model, name=self.relation_name)
+
+
+class text_categorizer_trainer:
+    """mitie.py:782-827 — labeled token lists, train() → text_categorizer."""
+
+    def __init__(self, filename: str | None = None):
+        self._data: list[tuple[list[str], str]] = []
+        self.beta = 0.5
+        self.num_threads = 4
+
+    @property
+    def size(self) -> int:
+        return len(self._data)
+
+    def add_labeled_text(self, tokens: list[str], label: str) -> None:
+        self._data.append((list(tokens), str(label)))
+
+    def train(self) -> text_categorizer:
+        from mitie_spark.models.text_categorizer import train_text_categorizer
+
+        if not self._data:
+            raise ValueError("no labeled examples")
+        return text_categorizer(_model=train_text_categorizer(self._data))

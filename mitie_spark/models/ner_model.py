@@ -351,11 +351,15 @@ def train_segmenter(sentences, epochs: int = 8, seed: int = 1234):
     return Wa / max(t_step, 1), Ta / max(t_step, 1)
 
 
-def train_chunk_classifier(examples, epochs: int = 6, seed: int = 1235):
-    """examples: [(tokens, start, end, class_id)] with class_id == NOT_ENTITY
-    for non-entity segments. Returns (W_sparse, W_dense, b)."""
+def train_chunk_classifier(
+    examples, epochs: int = 6, seed: int = 1235, n_classes: int | None = None
+):
+    """examples: [(tokens, start, end, class_id)] with class_id == the
+    not-entity id (== number of real tags) for non-entity segments. Returns
+    (W_sparse, W_dense, b). ``n_classes`` = real tags + 1; defaults to the
+    built-in TAGS vocabulary."""
     rng = np.random.default_rng(seed)
-    k = NOT_ENTITY + 1
+    k = n_classes if n_classes is not None else NOT_ENTITY + 1
     Ws = np.zeros((k, HC))
     Wd = np.zeros((k, CLS_DENSE))
     b = np.zeros(k)

@@ -1,0 +1,121 @@
+"""Reference-shaped trainer surface (mitie.py:466-827 call shapes): build
+training instances, train, predict, save/load round-trip."""
+
+import random
+
+import pytest
+
+
+def _sentences(n, seed=5):
+    from mitie_spark.corpus import make_sentence
+
+    rng = random.Random(f"trainer-api:{seed}")
+    return [make_sentence(rng) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def trained_ner():
+    from mitie_spark.api import ner_trainer, ner_training_instance
+
+    trainer = ner_trainer("ignored_feature_extractor_path")
+    for toks, ments, _ in _sentences(250):
+        inst = ner_training_instance(toks)
+        for s, e, tag, _surf in ments:
+            assert not inst.overlaps_any_entity(range(s, e))
+            inst.add_entity(range(s, e), tag)
+        trainer.add(inst)
+    assert trainer.size == 250
+    return trainer.train()
+
+
+def test_ner_trainer_learns_planted_entities(trained_ner):
+    hits = total = 0
+    for toks, ments, _ in _sentences(40, seed=99):
+        pred = {
+            (r.start, r.stop, tag) for r, tag, _ in trained_ner.extract_entities(toks)
+        }
+        truth = {(s, e, tag) for s, e, tag, _ in ments}
+        hits += len(pred & truth)
+        total += len(truth)
+    assert total > 0
+    assert hits / total >= 0.9  # planted templates are learnable
+
+
+def test_ner_trainer_save_load_round_trip(trained_ner, tmp_path):
+    from mitie_spark.api import named_entity_extractor
+
+    p = str(tmp_path / "custom_ner.npz")
+    trained_ner.save_to_disk(p)
+    again = named_entity_extractor(p)
+    assert again.get_possible_ner_tags() == trained_ner.get_possible_ner_tags()
+    toks = _sentences(1, seed=7)[0][0]
+    assert [
+        (r.start, r.stop, t) for r, t, _ in again.extract_entities(toks)
+    ] == [(r.start, r.stop, t) for r, t, _ in trained_ner.extract_entities(toks)]
+
+
+def test_relation_detector_trainer(trained_ner):
+    from mitie_spark.api import binary_relation_detector_trainer
+
+    trainer = binary_relation_detector_trainer("test.born_in", trained_ner)
+    n_pos = 0
+    for toks, ments, rels in _sentences(300, seed=11):
+        by_idx = {i: (s, e) for i, (s, e, _, _) in enumerate(ments)}
+        pos_pairs = {(si, oi) for si, p, oi in rels if p == "born_in"}
+        for si, p, oi in rels:
+            if p == "born_in":
+                trainer.add_positive_binary_relation(
+                    toks, range(*by_idx[si]), range(*by_idx[oi])
+                )
+                n_pos += 1
+                # reversed order is a negative (directionality)
+                trainer.add_negative_binary_relation(
+                    toks, range(*by_idx[oi]), range(*by_idx[si])
+                )
+        for i in range(len(ments) - 1):
+            if (i, i + 1) not in pos_pairs and (i + 1, i) not in pos_pairs:
+                trainer.add_negative_binary_relation(
+                    toks, range(*by_idx[i]), range(*by_idx[i + 1])
+                )
+    assert trainer.num_positive_examples == n_pos > 10
+    det = trainer.train()
+    assert det.name_string == "test.born_in"
+
+    tp = fp = fn = 0
+    for toks, ments, rels in _sentences(60, seed=12):
+        by_idx = {i: (s, e) for i, (s, e, _, _) in enumerate(ments)}
+        truth = {(si, oi) for si, p, oi in rels if p == "born_in"}
+        for i in range(len(ments)):
+            for j in range(len(ments)):
+                if i == j or abs(i - j) > 1:
+                    continue
+                rel = trained_ner.extract_binary_relation(
+                    toks, range(*by_idx[i]), range(*by_idx[j])
+                )
+                hit = det(rel) > 0
+                if (i, j) in truth:
+                    tp += hit
+                    fn += not hit
+                else:
+                    fp += hit
+    assert tp / max(tp + fn, 1) >= 0.85
+    assert tp / max(tp + fp, 1) >= 0.85
+
+
+def test_text_categorizer_trainer(tmp_path):
+    from mitie_spark.api import text_categorizer, text_categorizer_trainer
+    from mitie_spark.models.train import build_categorizer_data
+
+    trainer = text_categorizer_trainer()
+    for toks, label in build_categorizer_data(300, seed=21):
+        trainer.add_labeled_text(toks, label)
+    assert trainer.size == 300
+    cat = trainer.train()
+    held = build_categorizer_data(80, seed=22)
+    acc = sum(1 for toks, y in held if cat(toks)[0] == y) / len(held)
+    assert acc >= 0.8
+    p = str(tmp_path / "cat.npz")
+    cat.save_to_disk(p)
+    again = text_categorizer(p)
+    toks0 = held[0][0]
+    assert again(toks0)[0] == cat(toks0)[0]
