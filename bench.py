@@ -36,6 +36,17 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
+    # warm-up: spawn the python-UDF workers and exercise JVM codegen once so
+    # per-query timings reflect steady state (on a real cluster the workers
+    # are long-lived; in this one-process harness the first pandas-UDF query
+    # would otherwise absorb the whole fork+import cost)
+    from pyspark.sql import functions as F
+
+    _wu = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 10_000, 1, int(cpus)).select(
+        _wu("id").alias("x")
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         fn = qs[name]

@@ -87,3 +87,70 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", "comp")
+
+
+def chinese_whispers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed chinese-whispers clustering: each round every vertex
+    adopts the label with the greatest total edge weight among its
+    neighbors (deterministic tie-break: min label). Synchronous variant of
+    the reference's word-cluster pass (dlib chinese_whispers over the kNN
+    graph, /root/reference/tools/wordrep/src/main.cpp:197-256 — there
+    sequential with random visit order; here one shuffle-join + windowed
+    argmax per round, so it runs at any graph size).
+
+    edges(src, dst[, weight]) undirected → (id, cluster). Unlike
+    ``connected_components`` this cuts weakly-connected regions into
+    densely-connected clusters."""
+    from pyspark.sql.window import Window
+
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
+    ).localCheckpoint(eager=True)
+    vertices = und.select(F.col("a").alias("id")).distinct()
+    labels = vertices.withColumn("lbl", F.col("id"))
+
+    for _ in range(max_iter):
+        scored = (
+            und.join(
+                labels.select(F.col("id").alias("b"), "lbl"), "b"
+            )
+            .groupBy("a", "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        win = Window.partitionBy("a").orderBy(F.desc("wsum"), F.asc("lbl"))
+        best = (
+            scored.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select(F.col("a").alias("id"), F.col("lbl").alias("new_lbl"))
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("lbl", "old")
+            .join(new_labels, "id")
+            .filter(F.col("old") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster"))

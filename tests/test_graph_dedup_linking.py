@@ -134,3 +134,24 @@ def test_canonical_components(spark):
     comp = {r.canonical_id: r.component for r in canonical_components(alias).collect()}
     assert comp["Q_a"] == comp["Q_b"]
     assert comp["Q_c"] != comp["Q_a"]
+
+
+def test_chinese_whispers_splits_dense_clusters(spark):
+    """Two internally-dense cliques joined by one weak edge: connected
+    components merges them, chinese whispers keeps them apart."""
+    from mitie_spark.operators.graph import chinese_whispers, connected_components
+
+    clique_a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    clique_b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + bridge, "src long, dst long"
+    )
+    cc = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert len(set(cc.values())) == 1  # one weak component
+
+    cw = {r["id"]: r["cluster"] for r in chinese_whispers(edges).collect()}
+    assert len(set(cw.values())) == 2
+    assert len({cw[i] for i in range(4)}) == 1
+    assert len({cw[i] for i in range(10, 14)}) == 1
+    assert cw[0] != cw[10]
