@@ -195,3 +195,29 @@ def context_window_pairs(spark, sf_dir):
         .orderBy(F.desc("cnt"), "center", "off", "ctx")
         .limit(_CTX_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant aggregation (north rule: salted shuffles for hot keys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "salted_source_counts",
+    """
+    SELECT source, COUNT(*) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def salted_source_counts(spark, sf_dir):
+    """Two-phase salted aggregation over the (skewed) source column —
+    equivalent to a plain groupBy().count() but with the hot key spread
+    across salt buckets first (operators/agg.salted_count; the explicit
+    form of the map-side combine Spark's hash aggregate does implicitly)."""
+    from mitie_spark.operators.agg import salted_count
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = salted_count(docs, ["source"], salt_buckets=16)
+    return out.select(
+        "source", F.col("count").alias("n_docs")
+    ).orderBy("source")

@@ -155,3 +155,21 @@ def test_chinese_whispers_splits_dense_clusters(spark):
     assert len({cw[i] for i in range(4)}) == 1
     assert len({cw[i] for i in range(10, 14)}) == 1
     assert cw[0] != cw[10]
+
+
+def test_salted_count_matches_plain_groupby(spark):
+    """Skew-resistant two-phase aggregate == plain groupBy().count() on data
+    with one pathologically hot key."""
+    from pyspark.sql import functions as F
+
+    from mitie_spark.operators.agg import salted_count
+
+    df = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("key")
+    )
+    expect = {r["key"]: r["count"] for r in df.groupBy("key").count().collect()}
+    got = {r["key"]: r["count"] for r in salted_count(df, ["key"]).collect()}
+    assert got == expect
+    assert got["hot"] == 18_000
