@@ -803,3 +803,56 @@ def repeat_status_customers(spark, sf_dir):
         .distinct()
     )
     return f_side.intersect(o_side).orderBy("c_custkey")
+
+
+@query(
+    "asof_purchase_before_click",
+    """
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def asof_purchase_before_click(spark, sf_dir):
+    """As-of join (absent from both the reference and Spark's built-ins;
+    SURVEY.md §2.5): for each click, the most recent same-user purchase at
+    or before it. Composed as union + running last_value(ignorenulls) over
+    a per-user event-time window — one shuffle on user_id, no range
+    self-join blowup. The oracle uses DuckDB's native ASOF JOIN, so the
+    composition's semantics are checked against a first-class
+    implementation."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    # purchases sort before clicks at equal ts so an equal-time purchase is
+    # visible to the click (ASOF's c.ts >= p.ts includes equality)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", (F.col("event_type") == "click").cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = both.withColumn(
+        "last_purchase_value", F.last("purchase_value", ignorenulls=True).over(w)
+    )
+    return (
+        run.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "last_purchase_value",
+        )
+        .orderBy("event_id")
+    )
