@@ -259,7 +259,12 @@ def token_ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over token n-gram sets, via explode + pair-count — a
     pure DataFrame program (no UDF): tokens → n-grams → inverted index →
-    pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|)."""
+    pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
+
+    The input is repartitioned by compute: the gram explode multiplies rows
+    ~30× before the first exchange, so an unsplittable single-row-group
+    scan would otherwise run the whole map side on one core."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(

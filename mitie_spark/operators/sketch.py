@@ -84,4 +84,9 @@ def sketch_token_counts(
     def merge(a: CountMinSketch, b: CountMinSketch) -> CountMinSketch:
         return a.merge(b)
 
-    return df.select(text_col).rdd.mapPartitions(build).treeReduce(merge)
+    # tasks sized by compute (hashing), not bytes: a single-row-group scan
+    # would otherwise build the whole sketch on one core
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(text_col).repartition(par).rdd.mapPartitions(build).treeReduce(merge)
+    )

@@ -222,6 +222,9 @@ def adjacent_pair_candidates(spark, sf_dir):
     from mitie_spark.session import load_tables
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # compute-sized tasks: the explode multiplies rows before the first
+    # exchange and the test parquet is a single row group
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     t = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token").isin(*_GAZ))

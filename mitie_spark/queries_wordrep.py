@@ -99,6 +99,9 @@ def top_substrings(spark, sf_dir):
     rank — the Spark replacement for the reference's CMS+heap two-pass
     (explode → partial-agg shuffle → TopK sort, all JVM-side)."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # compute-sized tasks for the ~30× substring explode (single-row-group
+    # test parquet would otherwise run the whole map side on one core)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).filter(F.col("w") != "")
