@@ -224,3 +224,34 @@ def salted_source_counts(spark, sf_dir):
     return out.select(
         "source", F.col("count").alias("n_docs")
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling windows (streaming/windowed.py code path, batch mode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "windowed_event_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def windowed_event_counts(spark, sf_dir):
+    """Tumbling event-time window counts — the EXACT code path the
+    Structured Streaming job runs (streaming/windowed.windowed_counts works
+    on batch and streaming frames alike; the watermark is a no-op in
+    batch). Oracle: SQL time_bucket."""
+    from mitie_spark.streaming.windowed import windowed_counts
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = windowed_counts(
+        ev, ts_col="ts", key_col="event_type", window_len="1 hour",
+        watermark="30 minutes",
+    )
+    return out.orderBy("window_start", "event_type")
