@@ -226,6 +226,9 @@ def _char_shingle_sets(docs: DataFrame) -> DataFrame:
     ).withColumn("sz", F.size("gs"))
 
 
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
 def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash band blocking → exact char-4-shingle Jaccard verify ≥ 0.8.
 
@@ -239,7 +242,14 @@ def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs back to shingle sets (array_intersect, JVM-side), so the
     quadratic step never happens: at 100 TB the shuffle carries (id, band,
     bucket) triples and candidate ids only, never documents.
+
+    The result is persisted and cached per (session, sf_dir): the minhash
+    and components queries share one blocking+verify pass, exactly as the
+    KG queries share one extraction pass.
     """
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     cand = _minhash_band_candidates(docs).persist()
     cand_ids = (
@@ -272,7 +282,9 @@ def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
-    return j.select("id_a", "id_b", "jaccard")
+    out = j.select("id_a", "id_b", "jaccard").persist()
+    _PAIRS_CACHE[key] = out
+    return out
 
 
 @query(

@@ -35,6 +35,13 @@ def test_connected_components_random_graph(spark):
     assert set(got) == set(truth)
     # same partition structure and same (min-id) representative
     assert got == truth
+    # distributed min-label-propagation path must agree with the driver
+    # union-find path (driver_threshold=0 forces the shuffle-join loop)
+    got_dist = {
+        r.id: r.comp
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got_dist == truth
 
 
 def test_minhash_near_duplicates(spark):
