@@ -35,7 +35,13 @@ def load_entire_file(filename: str) -> str:
 class named_entity_extractor:
     """mitie.py:250-358 — extract_entities over token lists."""
 
-    def __init__(self, filename: str | None = None, _model=None):
+    def __init__(
+        self, filename: str | None = None, fe_filename: str | None = None, _model=None
+    ):
+        """``fe_filename`` (the separate word-feature-extractor blob of the
+        reference's pure-model path, mitie.py:251-269) is accepted for
+        drop-in compatibility; here the feature space is code chained by
+        fingerprint, so it is ignored."""
         from mitie_spark.models.ner_model import NerModel
 
         self._model = _model or NerModel.load(
