@@ -255,3 +255,28 @@ def windowed_event_counts(spark, sf_dir):
         watermark="30 minutes",
     )
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "events_cube",
+    """
+    SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow, COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, dow)
+    ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+    """,
+)
+def events_cube(spark, sf_dir):
+    """CUBE grouping-sets coverage (SURVEY.md §2.5 absent-from-reference
+    list): event counts by (type × day-of-week) with all subtotal planes.
+    Spark dayofweek is 1=Sunday..7, SQL dow is 0=Sunday..6 — shifted to
+    match."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.select("event_type", (F.dayofweek("ts") - 1).alias("dow"))
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.asc_nulls_first("event_type"), F.asc_nulls_first("dow")
+        )
+    )
