@@ -110,3 +110,33 @@ def test_top_substrings_topk_fuses(spark):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle_no_cartesian(spark):
+    """The as-of composition must stay a window over one user_id shuffle,
+    never a range self-join."""
+    import __spark_entry__ as e
+
+    df = e.queries()["asof_purchase_before_click"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_salted_count_two_phase(spark):
+    """Salted aggregation keeps both aggregate phases (salted partial +
+    final merge)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["salted_source_counts"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4  # 2 phases × (partial+final)
+
+
+def test_windowed_counts_partial_agg(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["windowed_event_counts"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
