@@ -180,3 +180,70 @@ def test_salted_count_matches_plain_groupby(spark):
     got = {r["key"]: r["count"] for r in salted_count(df, ["key"]).collect()}
     assert got == expect
     assert got["hot"] == 18_000
+
+
+def test_word_knn_chinese_whispers_clusters(spark):
+    """A9 end-to-end (the wordrep side-tool's full shape,
+    tools/wordrep/src/main.cpp:197-256): word vectors → cosine kNN edge
+    graph → chinese-whispers clusters. Deterministic and structure-checked:
+    interchangeable-slot words (city names) must land in one cluster."""
+    import numpy as np
+
+    from mitie_spark.corpus import make_page
+    from mitie_spark.models.word_vectors import train_word_vectors
+    from mitie_spark.operators.graph import chinese_whispers
+
+    rows = []
+    for i in range(150):
+        page, _, _ = make_page(7, i)
+        rows.append((i, page["text"]))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wv = train_word_vectors(
+        docs, vocab_size=300, cca_dim=8, morph_dim=4, n_substrings=500
+    )
+
+    # cosine kNN over the trained core vectors (k=4, driver-side numpy —
+    # the vocab IS driver-sized by construction; distributed form is
+    # brute_force_topk/ivf_topk over an embeddings table)
+    M = wv.core.astype(np.float64)
+    keep = np.linalg.norm(M, axis=1) > 1e-9
+    idx = np.nonzero(keep)[0]
+    Mn = M[idx] / np.linalg.norm(M[idx], axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    np.fill_diagonal(C, -np.inf)
+    k = 4
+    edges = []
+    for r in range(len(idx)):
+        for c in np.argsort(C[r])[-k:]:
+            a, b = wv.words[idx[r]], wv.words[idx[int(c)]]
+            if a != b:
+                edges.append((a, b, float(C[r, int(c)])))
+    edf = spark.createDataFrame(edges, "src string, dst string, w double")
+
+    out1 = {
+        r["id"]: r["cluster"]
+        for r in chinese_whispers(edf, weight="w", max_iter=10).collect()
+    }
+    out2 = {
+        r["id"]: r["cluster"]
+        for r in chinese_whispers(edf, weight="w", max_iter=10).collect()
+    }
+    assert out1 == out2  # deterministic
+    assert len(set(out1.values())) > 1  # not one giant blob
+    from mitie_spark.corpus import CITY
+
+    cities = [c for c in CITY if c in out1]
+    assert len(cities) >= 10
+    # interchangeable template slots share contexts → cities cluster with
+    # cities: for the large majority of cities, at least one OTHER city
+    # shares the same cluster, and the cities condense into far fewer
+    # clusters than members
+    from collections import Counter
+
+    cluster_city_counts = Counter(out1[c] for c in cities)
+    with_company = sum(
+        1 for c in cities if cluster_city_counts[out1[c]] >= 2
+    )
+    assert with_company >= 0.8 * len(cities)
+    # the dominant city cluster captures a large share of all cities
+    assert max(cluster_city_counts.values()) >= 0.4 * len(cities)
