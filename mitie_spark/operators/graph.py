@@ -38,21 +38,17 @@ def connected_components(
     distributed loop costs O(log diameter) scheduled rounds, which dominates
     wall time for dedup-group-sized graphs — while anything above
     ``driver_threshold`` edges runs the shuffle-join min-label loop. The
-    edge count is already known here because the edge list is materialized
-    (checkpointed) either way."""
+    size probe is a single ``limit(threshold+1).collect()`` job: if it comes
+    back under the limit it IS the edge list, so the small path costs one
+    job total."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
-    # materialize the edge list once — every iteration joins against it, and
-    # without this the full upstream DAG (e.g. an LSH blocking + verify
-    # pipeline) would re-execute per round
-    und = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    probe = e.limit(driver_threshold + 1).collect()
 
-    if und.count() <= driver_threshold:
+    if len(probe) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -61,7 +57,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for row in und.collect():
+        for row in probe:
             a, b = row["a"], row["b"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -69,13 +65,26 @@ def connected_components(
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+        import pandas as pd
+
         rows = [(v, find(v)) for v in parent]
-        id_type = und.schema["a"].dataType
+        id_type = e.schema["a"].dataType
         schema = StructType(
             [StructField("id", id_type), StructField("comp", id_type)]
         )
-        return edges.sparkSession.createDataFrame(rows, schema)
+        # hand the local result back through the Arrow path: a plain list
+        # goes through the pickle serializer, whose worker pool is separate
+        # from the (already warm) Arrow one — first use pays a full
+        # 32-worker spawn
+        pdf = pd.DataFrame(rows, columns=["id", "comp"])
+        return edges.sparkSession.createDataFrame(pdf, schema)
 
+    # materialize the edge list once — every iteration joins against it, and
+    # without this the full upstream DAG (e.g. an LSH blocking + verify
+    # pipeline) would re-execute per round
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     vertices = und.select(F.col("a").alias("id")).distinct()
     labels = vertices.withColumn("comp", F.col("id"))
 

@@ -56,13 +56,21 @@ def sketch_token_counts(
     text_col: str = "text",
     hash_table_size: int = 100_000,
     num_hashes: int = 8,
+    merge_fanin: int = 8,
 ) -> CountMinSketch:
     """Distributed sketch over whitespace tokens of ``text_col``: one local
-    sketch per partition, exact linear merge via treeReduce. The driver
-    receives a fixed-size array regardless of corpus size."""
+    sketch per partition, exact linear tree merge. The merge is expressed as
+    DataFrame stages (mapInPandas builds a sketch blob per partition,
+    groupBy+applyInPandas sums blobs executor-side in groups of
+    ``merge_fanin``) so the whole job rides the Arrow worker pool — the RDD
+    treeReduce equivalent moves the same bytes but pays a separate pickle
+    worker-pool spawn. The driver receives ≤ ``merge_fanin`` fixed-size
+    arrays regardless of corpus size."""
+    import pandas as pd
+
     shape = (num_hashes, hash_table_size)
 
-    def build(rows):
+    def build(batches):
         local = CountMinSketch(hash_table_size, num_hashes)
         # cache token hashes within the partition (heavy reuse in web text)
         from functools import lru_cache
@@ -74,19 +82,40 @@ def sketch_token_counts(
             return tuple(dlib_string_hash(tok, r) % w for r in range(num_hashes))
 
         rs = np.arange(num_hashes)
-        for row in rows:
-            text = row[0] or ""
-            for tok in text.split():
-                local.counts[rs, idxs(tok)] += 1
-                local.total += 1
-        yield local
+        for pdf in batches:
+            for text in pdf[text_col]:
+                for tok in (text or "").split():
+                    local.counts[rs, idxs(tok)] += 1
+                    local.total += 1
+        yield pd.DataFrame(
+            {
+                "k": [local.total % merge_fanin],
+                "sketch": [local.counts.tobytes()],
+                "total": [local.total],
+            }
+        )
 
-    def merge(a: CountMinSketch, b: CountMinSketch) -> CountMinSketch:
-        return a.merge(b)
+    def merge_group(pdf):
+        acc = np.zeros(shape, dtype=np.int64)
+        for blob in pdf["sketch"]:
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(shape)
+        return pd.DataFrame(
+            {"sketch": [acc.tobytes()], "total": [int(pdf["total"].sum())]}
+        )
 
     # tasks sized by compute (hashing), not bytes: a single-row-group scan
     # would otherwise build the whole sketch on one core
     par = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(text_col).repartition(par).rdd.mapPartitions(build).treeReduce(merge)
+    rows = (
+        df.select(text_col)
+        .repartition(par)
+        .mapInPandas(build, "k int, sketch binary, total long")
+        .groupBy("k")
+        .applyInPandas(merge_group, "sketch binary, total long")
+        .collect()
     )
+    out = CountMinSketch(hash_table_size, num_hashes)
+    for r in rows:
+        out.counts += np.frombuffer(r["sketch"], dtype=np.int64).reshape(shape)
+        out.total += int(r["total"])
+    return out

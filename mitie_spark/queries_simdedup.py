@@ -134,68 +134,64 @@ _MH_BANDS_SQL = f"""
 
 def _minhash_band_candidates(docs) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing ≥1 md5-minhash band — the exact
-    JVM twin of _MH_BANDS_SQL (one md5 per 3-gram + affine rehash family).
+    twin of _MH_BANDS_SQL (one md5 per 3-gram + affine rehash family),
+    computed in one Arrow-batched mapInPandas stage: hashlib md5 per gram +
+    a vectorized NumPy (16, n_grams) affine-min. A pure-expression version
+    of the same arithmetic (nested transform/array_min lambdas) runs
+    INTERPRETED in Spark — higher-order functions don't codegen — and was
+    ~5× slower; the values are bit-identical (products stay < 2^62, int64).
 
     The input is repartitioned by compute (the test parquet is one
     unsplittable row group — any narrow pipeline over it would otherwise run
     on a single core; on a real cluster the scan splits naturally and this
     repartition coalesces into AQE)."""
+    import hashlib
+
+    import numpy as np
+
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
-    l = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-    toks = docs.select(F.col("doc_id").alias("id"), l.alias("l")).filter(
-        F.size("l") >= 1
-    )
-    grams = toks.select(
-        "id",
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("l") - 2, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice("l", i, 3)),
-        ).alias("mgs"),
-    )
-    x = F.transform(
-        "mgs",
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
-        % _MH_P,
-    )
-    xs = grams.select("id", x.alias("x"))
-    a_arr = F.array(*[F.lit(a) for a in _MH_A])
-    b_arr = F.array(*[F.lit(b) for b in _MH_B])
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_MH_K - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                "x",
-                lambda v: (
-                    F.element_at(a_arr, (i + 1).cast("int")) * v
-                    + F.element_at(b_arr, (i + 1).cast("int"))
-                )
-                % _MH_P,
-            )
-        ),
-    )
-    sigs = xs.select("id", sig.alias("sig"))
-    def _band_str(b):
-        parts = []
-        for r in range(_MH_ROWS):
-            if r:
-                parts.append(F.lit(","))
-            parts.append(
-                F.element_at("sig", (b * _MH_ROWS + r + 1).cast("int")).cast(
-                    "string"
-                )
-            )
-        return F.md5(F.concat(*parts))
+    A = np.array(_MH_A, dtype=np.int64)[:, None]
+    B = np.array(_MH_B, dtype=np.int64)[:, None]
 
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_MH_BANDS - 1)),
-                lambda b: F.struct(b.alias("b"), _band_str(b).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.b").alias("b"), F.col("bb.bucket").alias("bucket"))
+    def bands_iter(batches):
+        for pdf in batches:
+            ids: list = []
+            bs: list = []
+            buckets: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                l = [t for t in (text or "").lower().split(" ") if t]
+                if not l:
+                    continue
+                ng = max(len(l) - 2, 1)
+                x = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                " ".join(l[i : i + 3]).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % _MH_P
+                        for i in range(ng)
+                    ),
+                    dtype=np.int64,
+                    count=ng,
+                )
+                sig = ((A * x + B) % _MH_P).min(axis=1)
+                for b in range(_MH_BANDS):
+                    s = ",".join(
+                        str(int(v))
+                        for v in sig[b * _MH_ROWS : (b + 1) * _MH_ROWS]
+                    )
+                    ids.append(doc_id)
+                    bs.append(b)
+                    buckets.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"id": ids, "b": bs, "bucket": buckets})
+
+    bands = docs.select("doc_id", "text").mapInPandas(
+        bands_iter, "id bigint, b int, bucket string"
+    )
     return (
         bands.alias("x")
         .join(bands.alias("y"), ["b", "bucket"])
@@ -212,18 +208,27 @@ _VERIFIED_PAIRS_SQL = _VERIFIED_PAIRS_SQL_TMPL.format(
 )
 
 
-def _char_shingle_sets(docs: DataFrame) -> DataFrame:
-    """(id, gs: array<string>, sz) — distinct char-4-grams, JVM-side only."""
-    t = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-    gs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - 3, F.lit(1))),
-            lambda i: F.substr(t, i, F.lit(4)),
-        )
-    )
-    return docs.select(
-        F.col("doc_id").alias("id"), gs.alias("gs")
-    ).withColumn("sz", F.size("gs"))
+def _char_shingle_jaccard_udf():
+    """Scalar pandas UDF: exact char-4-shingle Jaccard of two texts —
+    the same set arithmetic as the oracle's list_intersect form (distinct
+    4-grams of ' '+lower(text)+' '). Python set ops over Arrow batches; the
+    per-position substr expression form runs interpreted in Spark (HOFs
+    don't codegen) and dominated the verify stage's wall time."""
+
+    def shingles(t: str) -> set:
+        t = " " + (t or "").lower() + " "
+        return {t[i : i + 4] for i in range(max(len(t) - 3, 1))}
+
+    @F.pandas_udf("double")
+    def jacc(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ta, tb):
+            sa, sb = shingles(a), shingles(b)
+            inter = len(sa & sb)
+            out.append(inter / (len(sa) + len(sb) - inter))
+        return pd.Series(out)
+
+    return jacc
 
 
 _PAIRS_CACHE: dict[str, DataFrame] = {}
@@ -239,9 +244,11 @@ def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhashes with 32 bands of 2 — on a templated corpus, where unrelated
     documents share ~0.4 char-shingle Jaccard, that collided into a
     near-all-pairs join at sf0.1.) Verification joins only the candidate
-    pairs back to shingle sets (array_intersect, JVM-side), so the
-    quadratic step never happens: at 100 TB the shuffle carries (id, band,
-    bucket) triples and candidate ids only, never documents.
+    pairs back to their texts, so the quadratic step never happens: at
+    100 TB the blocking shuffle carries (id, band, bucket) triples, and
+    document bytes move only for the rare candidate pairs (the Jaccard
+    itself is an Arrow-batched pandas UDF — set intersection in C-speed
+    Python, not interpreted array expressions).
 
     The result is persisted and cached per (session, sf_dir): the minhash
     and components queries share one blocking+verify pass, exactly as the
@@ -252,34 +259,22 @@ def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _PAIRS_CACHE[key]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     cand = _minhash_band_candidates(docs).persist()
-    cand_ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .union(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    grams = _char_shingle_sets(docs.join(cand_ids, "doc_id", "left_semi"))
+    texts = docs.select("doc_id", "text")
+    jacc = _char_shingle_jaccard_udf()
     j = (
         cand.join(
-            grams.select(
-                F.col("id").alias("id_a"),
-                F.col("gs").alias("gs_a"),
-                F.col("sz").alias("sz_a"),
+            texts.select(
+                F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
             ),
             "id_a",
         )
         .join(
-            grams.select(
-                F.col("id").alias("id_b"),
-                F.col("gs").alias("gs_b"),
-                F.col("sz").alias("sz_b"),
+            texts.select(
+                F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
             ),
             "id_b",
         )
-        .withColumn("inter", F.size(F.array_intersect("gs_a", "gs_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
+        .withColumn("jaccard", jacc("text_a", "text_b"))
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
     out = j.select("id_a", "id_b", "jaccard").persist()

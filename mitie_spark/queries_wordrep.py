@@ -62,8 +62,15 @@ def cms_token_counts(spark, sf_dir):
         .collect()
     )
     cms = sketch_token_counts(docs, text_col="text", hash_table_size=100_000)
+    import pandas as pd
+
     rows = [(r["token"], cms.get_count(r["token"])) for r in top]
-    out = spark.createDataFrame(rows, "token string, cms_count bigint")
+    # Arrow-path local-result handoff (the pickle serializer has its own
+    # worker pool; see operators/graph.py)
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["token", "cms_count"]),
+        "token string, cms_count bigint",
+    )
     return out.orderBy(F.desc("cms_count"), "token")
 
 
@@ -179,18 +186,28 @@ def context_window_pairs(spark, sf_dir):
             F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
         ).alias("pos", "token"),
     )
+    # one window pass computes all four shifts (a union of four windowed
+    # selects would shuffle+sort the token table four times); the unpivot
+    # into (off, ctx) rows is a narrow explode after the single sort
     w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = []
-    for off in (-2, -1, 1, 2):
-        shift = F.lag("token", -off).over(w) if off < 0 else F.lead("token", off).over(w)
-        parts.append(
-            toks.select(
-                F.col("token").alias("center"),
-                F.lit(off).alias("off"),
-                shift.alias("ctx"),
+    shifted = toks.select(
+        "token",
+        F.lag("token", 2).over(w).alias("m2"),
+        F.lag("token", 1).over(w).alias("m1"),
+        F.lead("token", 1).over(w).alias("p1"),
+        F.lead("token", 2).over(w).alias("p2"),
+    )
+    pairs = shifted.select(
+        F.col("token").alias("center"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(-2).alias("off"), F.col("m2").alias("ctx")),
+                F.struct(F.lit(-1).alias("off"), F.col("m1").alias("ctx")),
+                F.struct(F.lit(1).alias("off"), F.col("p1").alias("ctx")),
+                F.struct(F.lit(2).alias("off"), F.col("p2").alias("ctx")),
             )
-        )
-    pairs = parts[0].unionAll(parts[1]).unionAll(parts[2]).unionAll(parts[3])
+        ).alias("p"),
+    ).select("center", F.col("p.off").alias("off"), F.col("p.ctx").alias("ctx"))
     return (
         pairs.filter(F.col("ctx").isNotNull())
         .groupBy("center", "off", "ctx")
