@@ -312,9 +312,9 @@ def doc_fingerprints(spark, sf_dir):
     """Winnowing-style document fingerprints: 5-gram hashes, deterministic
     1/8 selection by hash prefix (rolling-hash fingerprinting analog —
     reference precedent: substring hashing in approximate_substring_set)."""
-    from mitie_spark.session import load_tables
+    from mitie_spark.session import by_compute, load_tables
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("l"),
@@ -361,9 +361,9 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in _STOP)
 def doc_quality(spark, sf_dir):
     """Quality-scoring skeleton: stopword ratio, mean token length, lexical
     diversity — all JVM-side built-ins (no Python in the hot path)."""
-    from mitie_spark.session import load_tables
+    from mitie_spark.session import by_compute, load_tables
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks = docs.select(
         "doc_id",
         "lang",
@@ -399,9 +399,9 @@ def doc_quality(spark, sf_dir):
 )
 def token_counts_regex(spark, sf_dir):
     """BPE-ish regex token counting, JVM-side regexp_extract_all."""
-    from mitie_spark.session import load_tables
+    from mitie_spark.session import by_compute, load_tables
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
     return docs.select(
         "doc_id",
         F.size(
@@ -529,10 +529,14 @@ def text_categories(spark, sf_dir):
     from mitie_spark.models.text_categorizer import categorize_documents
     from mitie_spark.models.train import ARTIFACT_DIR
 
+    from mitie_spark.session import by_compute
+
     d = kg_dir_for(sf_dir)
-    pages = spark.read.parquet(os.path.join(d, "pages.parquet")).withColumn(
-        "pid", F.abs(F.hash("url")).cast("bigint")
-    )
+    # model scoring is CPU-per-doc; the compressed pages scan yields ~2
+    # byte-sized splits at sf0.1, which would run the categorizer on 2 cores
+    pages = by_compute(
+        spark.read.parquet(os.path.join(d, "pages.parquet"))
+    ).withColumn("pid", F.abs(F.hash("url")).cast("bigint"))
     cats = categorize_documents(
         pages, os.path.join(ARTIFACT_DIR, "text_categorizer.npz"),
         id_col="pid", text_col="text",
@@ -547,9 +551,9 @@ def text_categories(spark, sf_dir):
 @query("lang_id_distribution")
 def lang_id_distribution(spark, sf_dir):
     from mitie_spark.functions.text_quality import register_udfs
-    from mitie_spark.session import load_tables
+    from mitie_spark.session import by_compute, load_tables
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
     lang_udf, _ = register_udfs()
     out = docs.select(lang_udf(F.col("text")).alias("lid"))
     return (

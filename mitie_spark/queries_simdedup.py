@@ -494,19 +494,35 @@ _DOCVEC_SQL = f"""
 
 
 def _doc_count_vectors(docs: DataFrame) -> DataFrame:
-    """(vec_id=doc_id, embedding: array<double>) — hashed token counts,
-    JVM-side (the doc-level 'embedding' used by the near-dup detector)."""
-    bk = F.transform(
-        F.filter(F.split(F.lower("text"), " "), lambda t: t != ""),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int")
-        % _VDIM,
-    )
-    v = F.transform(
-        F.sequence(F.lit(0), F.lit(_VDIM - 1)),
-        lambda b: F.size(F.filter("bk", lambda x: x == b)).cast("double"),
-    )
-    return docs.select(F.col("doc_id").alias("vec_id"), bk.alias("bk")).select(
-        "vec_id", v.alias("embedding")
+    """(vec_id=doc_id, embedding: array<double>) — hashed token counts
+    (the doc-level 'embedding' used by the near-dup detector). Arrow-batched
+    mapInPandas: hashlib md5 bucket per token + np.bincount; the expression
+    form (transform over sequence × filter) is O(VDIM·tokens) interpreted
+    lambda evals per doc. Values identical to _DOCVEC_SQL."""
+    import hashlib
+
+    import numpy as np
+
+    def vecs_iter(batches):
+        for pdf in batches:
+            ids, vs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").lower().split(" ") if t]
+                bk = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 16)
+                        % _VDIM
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                ids.append(doc_id)
+                vs.append(np.bincount(bk, minlength=_VDIM).astype(np.float64))
+            yield pd.DataFrame({"vec_id": ids, "embedding": vs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        vecs_iter, "vec_id bigint, embedding array<double>"
     )
 
 
@@ -678,8 +694,10 @@ def multimodal_features(spark, sf_dir):
 def stemmed_top_words(spark, sf_dir):
     from mitie_spark.functions.stemmer import register_udf
 
+    from mitie_spark.session import by_compute
+
     stem_udf = register_udf()
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
     toks = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
     toks = toks.filter(F.col("token") != "")
     return (

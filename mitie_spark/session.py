@@ -77,3 +77,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict:
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
+
+
+def by_compute(df, factor: int = 1):
+    """Repartition a scan whose cost is compute-per-row, not bytes.
+
+    Compressed web text under-partitions badly when split by
+    ``files.maxPartitionBytes`` (a few MB of parquet can be minutes of
+    tokenize/hash/model work), so CPU-heavy map stages size their tasks by
+    cores instead. The round-robin exchange is one narrow shuffle of the
+    input bytes; AQE coalesces it away when the scan was already wide."""
+    par = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(par)
