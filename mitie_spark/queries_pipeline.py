@@ -1,0 +1,257 @@
+"""Training-data-pipeline and relational-coverage queries (oracle-gated).
+
+Operators a large-scale training-data pipeline needs beyond the reference's
+own dataflow (SURVEY.md §2.8 "training-data-pipeline additions"), plus
+relational forms from the §2.5 absent-from-reference list (range join, set
+ops, JSON extraction) exercised as Catalyst built-ins:
+
+- events_range_join      — non-equi interval join (equality key + range
+                           predicate → hash join, NOT a nested-loop)
+- train_split_counts     — deterministic md5-bucket train/val/test split
+                           (reproducible at any scale, no RNG state)
+- contamination_bigrams  — benchmark-contamination check: docs sharing a
+                           word-bigram with a fixed benchmark list
+- events_json_props      — semi-structured JSON property extraction
+- customer_status_setops — INTERSECT / EXCEPT set operations
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mitie_spark.queries import query
+from mitie_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — click → errors by the same user within 10 minutes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_range_join",
+    """
+    SELECT c.event_id, COUNT(e.ts) AS n_errors_10m
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'error') e
+      ON e.user_id = c.user_id
+     AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL '10 minutes'
+    GROUP BY c.event_id
+    ORDER BY c.event_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for every click, count error events by the same user
+    in the following 10 minutes. The equality key (user_id) makes this a
+    plain shuffled/broadcast hash join with the range condition as a
+    post-join filter — at 100 TB it shuffles by user, never nested-loops.
+    (SURVEY.md §2.5: theta/interval joins absent from the reference.)"""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("ets")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("ets") > F.col("ts"))
+        & (F.col("ets") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("ets").alias("n_errors_10m"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — md5 bucketing, no RNG state
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_split_counts",
+    """
+    WITH b AS (
+      SELECT n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 10
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM b GROUP BY split ORDER BY split
+    """,
+)
+def train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split by md5(doc_id) bucket — the standard
+    trick for splits that survive reruns, repartitions, and scale changes
+    (no RNG seed to coordinate across executors; a doc's split is a pure
+    function of its id)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check — docs containing a benchmark word-bigram
+# ---------------------------------------------------------------------------
+
+_BENCH_BIGRAMS = (
+    "hash join",
+    "fast table",
+    "value part",
+    "window order",
+)
+_BENCH_SQL = ", ".join(f"('{g}')" for g in _BENCH_BIGRAMS)
+
+
+@query(
+    "contamination_bigrams",
+    f"""
+    WITH bench(g) AS (VALUES {_BENCH_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, unnest(
+        [l[i] || ' ' || l[i+1] FOR i IN range(1, greatest(len(l), 2))]) AS g
+      FROM toks WHERE len(l) >= 2
+    )
+    SELECT bench.g AS bigram, COUNT(grams.doc_id) AS n_docs
+    FROM bench LEFT JOIN grams ON grams.g = bench.g
+    GROUP BY bench.g ORDER BY bigram
+    """,
+)
+def contamination_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: how many documents contain each bigram
+    of a (broadcast) benchmark set. The benchmark side is tiny and the doc
+    side exploded to distinct bigrams — at scale this is an inverted-index
+    probe with the benchmark list broadcast, so no shuffle of the corpus."""
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    l = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    toks = docs.select("doc_id", l.alias("l")).filter(F.size("l") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i), F.element_at("l", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"g": list(_BENCH_BIGRAMS)}), "g string"
+    )
+    # inner broadcast-hash probe first (only bench bigrams survive the map
+    # side — no corpus-wide distinct/shuffle), then a 4-row outer join
+    # restores zero counts
+    hits = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    return (
+        bench.join(hits, "g", "left")
+        .select(
+            F.col("g").alias("bigram"),
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+        )
+        .orderBy("bigram")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON extraction from the events props column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n, ROUND(AVG(value), 3) AS avg_value
+    FROM events
+    GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (get_json_object, JVM-side) + aggregate —
+    the semi-structured-scan pattern for event logs."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    k = F.get_json_object("props", "$.k").cast("int") % 10
+    return (
+        ev.select(k.alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 3).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT over customer order-status sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_status_setops",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS grp, COUNT(*) AS n_customers
+    FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+    UNION ALL
+    SELECT 'f_only', COUNT(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+    UNION ALL
+    SELECT 'o_only', COUNT(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+    ORDER BY grp
+    """,
+)
+def customer_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT coverage (SURVEY.md §2.5 absent-from-reference
+    list): customers split by which order statuses they have."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    counts = [
+        ("both", f.intersect(o)),
+        ("f_only", f.subtract(o)),  # EXCEPT (distinct) semantics
+        ("o_only", o.subtract(f)),
+    ]
+    parts = [
+        df.agg(F.count("*").alias("n_customers")).select(
+            F.lit(name).alias("grp"), "n_customers"
+        )
+        for name, df in counts
+    ]
+    out = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return out.orderBy("grp")
