@@ -140,3 +140,26 @@ def test_windowed_counts_partial_agg(spark):
     df = e.queries()["windowed_event_counts"](spark, SF)
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_is_hash_join(spark):
+    """The interval join must ride its equality key (hash join with the
+    range predicate as a join filter), never a nested loop."""
+    import __spark_entry__ as e
+
+    df = e.queries()["events_range_join"](spark, SF)
+    plan = _plan(df)
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_probe_broadcasts_benchmark(spark):
+    """The benchmark list is the build side; the corpus bigrams must not
+    shuffle for the probe."""
+    import __spark_entry__ as e
+
+    df = e.queries()["contamination_bigrams"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
