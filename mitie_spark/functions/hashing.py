@@ -38,55 +38,66 @@ def _fmix64(h: int) -> int:
 
 def murmur_hash3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
     """MurmurHash3 x64-128 of ``data`` → (h1, h2), little-endian semantics
-    (murmur_hash3.h:318-429)."""
+    (murmur_hash3.h:318-429). Hot path of the hashed-feature extractors, so
+    the rotations/fmix are inlined and the tail bytes load via one
+    int.from_bytes (little-endian int of the tail == the per-byte XOR
+    accumulation of the original loop); bit-exactness is pinned by the
+    regression vectors in tests."""
     length = len(data)
-    nblocks = length // 16
-    h1 = h2 = seed & _M
+    nblocks = length >> 4
+    M = _M
+    h1 = h2 = seed & M
 
     for i in range(nblocks):
-        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
-        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
-        k1 = (k1 * _C1) & _M
-        k1 = _rotl64(k1, 31)
-        k1 = (k1 * _C2) & _M
+        o = i << 4
+        k1 = int.from_bytes(data[o : o + 8], "little")
+        k2 = int.from_bytes(data[o + 8 : o + 16], "little")
+        k1 = (k1 * _C1) & M
+        k1 = ((k1 << 31) | (k1 >> 33)) & M
+        k1 = (k1 * _C2) & M
         h1 ^= k1
-        h1 = _rotl64(h1, 27)
-        h1 = (h1 + h2) & _M
-        h1 = (h1 * 5 + 0x52DCE729) & _M
-        k2 = (k2 * _C2) & _M
-        k2 = _rotl64(k2, 33)
-        k2 = (k2 * _C1) & _M
+        h1 = ((h1 << 27) | (h1 >> 37)) & M
+        h1 = (h1 + h2) & M
+        h1 = (h1 * 5 + 0x52DCE729) & M
+        k2 = (k2 * _C2) & M
+        k2 = ((k2 << 33) | (k2 >> 31)) & M
+        k2 = (k2 * _C1) & M
         h2 ^= k2
-        h2 = _rotl64(h2, 31)
-        h2 = (h2 + h1) & _M
-        h2 = (h2 * 5 + 0x38495AB5) & _M
+        h2 = ((h2 << 31) | (h2 >> 33)) & M
+        h2 = (h2 + h1) & M
+        h2 = (h2 * 5 + 0x38495AB5) & M
 
-    tail = data[nblocks * 16 :]
-    k1 = k2 = 0
-    t = len(tail)
-    for j in range(min(t, 16) - 1, 7, -1):  # bytes 8..15 → k2
-        k2 ^= tail[j] << ((j - 8) * 8)
-    if t > 8:
-        k2 = (k2 * _C2) & _M
-        k2 = _rotl64(k2, 33)
-        k2 = (k2 * _C1) & _M
-        h2 ^= k2
-    for j in range(min(t, 8) - 1, -1, -1):  # bytes 0..7 → k1
-        k1 ^= tail[j] << (j * 8)
-    if t > 0:
-        k1 = (k1 * _C1) & _M
-        k1 = _rotl64(k1, 31)
-        k1 = (k1 * _C2) & _M
+    t = length & 15
+    if t:
+        tail_int = int.from_bytes(data[length - t :], "little")
+        if t > 8:
+            k2 = tail_int >> 64
+            k2 = (k2 * _C2) & M
+            k2 = ((k2 << 33) | (k2 >> 31)) & M
+            k2 = (k2 * _C1) & M
+            h2 ^= k2
+        k1 = tail_int & M
+        k1 = (k1 * _C1) & M
+        k1 = ((k1 << 31) | (k1 >> 33)) & M
+        k1 = (k1 * _C2) & M
         h1 ^= k1
 
     h1 ^= length
     h2 ^= length
-    h1 = (h1 + h2) & _M
-    h2 = (h2 + h1) & _M
-    h1 = _fmix64(h1)
-    h2 = _fmix64(h2)
-    h1 = (h1 + h2) & _M
-    h2 = (h2 + h1) & _M
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    h1 ^= h1 >> 33
+    h1 = (h1 * 0xFF51AFD7ED558CCD) & M
+    h1 ^= h1 >> 33
+    h1 = (h1 * 0xC4CEB9FE1A85EC53) & M
+    h1 ^= h1 >> 33
+    h2 ^= h2 >> 33
+    h2 = (h2 * 0xFF51AFD7ED558CCD) & M
+    h2 ^= h2 >> 33
+    h2 = (h2 * 0xC4CEB9FE1A85EC53) & M
+    h2 ^= h2 >> 33
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
     return h1, h2
 
 

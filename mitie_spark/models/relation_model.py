@@ -41,18 +41,28 @@ def _feat(gram: str, seed: int) -> tuple[int, float]:
 
 
 def _window_ngrams(tokens, lo, hi, seed, idxs, vals):
-    """hashed 1/2/3-grams of tokens[lo:hi) (cpp:56-86)."""
+    """hashed 1/2/3-grams of tokens[lo:hi) (cpp:56-86). Hot loop — locals
+    bound once, the 3-gram string reuses the 2-gram concat."""
     lo = max(lo, 0)
     hi = min(hi, len(tokens))
-    for i in range(lo, hi):
-        f = _feat(tokens[i], seed)
-        idxs.append(f[0]); vals.append(f[1])
-        if i + 1 < hi:
-            f = _feat(tokens[i] + " " + tokens[i + 1], seed)
-            idxs.append(f[0]); vals.append(f[1])
-        if i + 2 < hi:
-            f = _feat(tokens[i] + " " + tokens[i + 1] + " " + tokens[i + 2], seed)
-            idxs.append(f[0]); vals.append(f[1])
+    if lo >= hi:
+        return
+    ts = tokens[lo:hi]
+    n = len(ts)
+    feat = _feat
+    ia = idxs.append
+    va = vals.append
+    for i in range(n):
+        g = ts[i]
+        f = feat(g, seed)
+        ia(f[0]); va(f[1])
+        if i + 1 < n:
+            g = g + " " + ts[i + 1]
+            f = feat(g, seed)
+            ia(f[0]); va(f[1])
+            if i + 2 < n:
+                f = feat(g + " " + ts[i + 2], seed)
+                ia(f[0]); va(f[1])
 
 
 def relation_features(
@@ -60,15 +70,28 @@ def relation_features(
     X: np.ndarray | None,
     arg1: tuple[int, int],
     arg2: tuple[int, int],
+    mean_cache: dict | None = None,
 ):
-    """→ (sparse [(idx,val)], dense (2D,)) for an ordered (arg1, arg2) pair."""
+    """→ (sparse [(idx,val)], dense (2D,)) for an ordered (arg1, arg2) pair.
+
+    ``mean_cache``: per-document {(start, end): mean vector} — each mention
+    participates in up to 4 ordered candidate pairs, so caching its mean
+    word vector cuts the dense-feature cost ~4×."""
     if X is None:
         X = sentence_matrix(tokens)
     s1, e1 = arg1
     s2, e2 = arg2
-    dense = np.concatenate(
-        [X[s1:e1].mean(axis=0), X[s2:e2].mean(axis=0)]
-    ).astype(np.float64)
+
+    def _mean(s, e):
+        if mean_cache is None:
+            return X[s:e].mean(axis=0)
+        m = mean_cache.get((s, e))
+        if m is None:
+            m = X[s:e].mean(axis=0)
+            mean_cache[(s, e)] = m
+        return m
+
+    dense = np.concatenate([_mean(s1, e1), _mean(s2, e2)]).astype(np.float64)
 
     # arg order encoded by seed offset (cpp:111-121)
     off = ORDER_SEED_OFFSET if s1 > s2 else 0
@@ -104,17 +127,19 @@ class RelationModel:
         self.W_dense = W_dense if W_dense is not None else np.zeros((k, DENSE_DIM))
         self.b = b if b is not None else np.zeros(k)
 
-    def scores(self, tokens, X, arg1, arg2) -> np.ndarray:
-        idxs, vals, dense = relation_features(tokens, X, arg1, arg2)
+    def scores(self, tokens, X, arg1, arg2, mean_cache=None) -> np.ndarray:
+        idxs, vals, dense = relation_features(
+            tokens, X, arg1, arg2, mean_cache
+        )
         # one vectorized gather per pair instead of a python loop per feature
         s = self.b + (self.W_sparse[:, idxs] * vals).sum(axis=1)
         s += self.W_dense @ dense
         return s
 
-    def detect(self, tokens, X, arg1, arg2):
+    def detect(self, tokens, X, arg1, arg2, mean_cache=None):
         """→ [(pred, score)] for detectors with score > 0
         (binary_relation_detector.h:70-77)."""
-        s = self.scores(tokens, X, arg1, arg2)
+        s = self.scores(tokens, X, arg1, arg2, mean_cache)
         return [(self.preds[i], float(s[i])) for i in np.nonzero(s > 0)[0]]
 
     def save(self, path: str) -> None:

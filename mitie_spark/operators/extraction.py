@@ -72,12 +72,15 @@ def extract_document(text: str, ner, rel):
     triples = []
     if len(ents) >= 2:
         X = sentence_matrix(tokens)
+        mean_cache: dict = {}  # per-mention mean vectors, shared across pairs
         order = sorted(range(len(ents)), key=lambda i: ents[i][0])
         for j in range(len(order) - 1):
             for a, b in ((order[j], order[j + 1]), (order[j + 1], order[j])):
                 sa, ea = ents[a][0], ents[a][1]
                 sb, eb = ents[b][0], ents[b][1]
-                for pred, score in rel.detect(tokens, X, (sa, ea), (sb, eb)):
+                for pred, score in rel.detect(
+                    tokens, X, (sa, ea), (sb, eb), mean_cache
+                ):
                     triples.append(
                         {
                             "subj": " ".join(tokens[sa:ea]),
