@@ -155,7 +155,9 @@ def contamination_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe with the benchmark list broadcast, so no shuffle of the corpus."""
     import pandas as pd
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    from mitie_spark.session import by_compute
+
+    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
     l = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     toks = docs.select("doc_id", l.alias("l")).filter(F.size("l") >= 2)
     grams = toks.select(
