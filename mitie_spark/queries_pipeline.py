@@ -257,3 +257,64 @@ def customer_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = parts[0].unionAll(parts[1]).unionAll(parts[2])
     return out.orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring — corpus-frequency log-probability signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    doc AS (
+      SELECT doc_id, source, AVG(ln(c * 1.0 / n)) AS lp
+      FROM toks JOIN cnt USING (token) CROSS JOIN tot
+      GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs, ROUND(AVG(lp), 3) AS avg_logprob
+    FROM doc GROUP BY source ORDER BY source
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality signal: mean token log-probability under the
+    corpus's own unigram distribution, averaged per source. The counts
+    table is vocabulary-sized (≤ a few hundred k rows even at 100 TB), so
+    the token→count join broadcasts; everything else is two partial-agg
+    shuffles. Rounded at 3 decimals on per-source averages so the value
+    hash is stable across libm/summation-order differences."""
+    from mitie_spark.session import by_compute
+
+    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    toks = toks.persist()
+    cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = toks.count()  # one scalar; avoids a cross join in the plan
+    doc = (
+        toks.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(F.col("c") / F.lit(float(total)))).alias("lp"))
+    )
+    out = (
+        doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("lp"), 3).alias("avg_logprob"),
+        )
+        .orderBy("source")
+    )
+    toks.unpersist(blocking=False)
+    return out
