@@ -257,9 +257,23 @@ def token_ngram_jaccard(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over token n-gram sets, via explode + pair-count — a
-    pure DataFrame program (no UDF): tokens → n-grams → inverted index →
-    pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
+    """Exact Jaccard ≥ threshold over token n-gram sets — a pure DataFrame
+    program (no UDF), with a threshold-adaptive join strategy:
+
+    - threshold ≥ 0.5 → AllPairs-style PREFIX FILTERING: order every doc's
+      gram set by a global (doc-frequency asc, gram) total order and index
+      only the first |x| − ⌈t·|x|⌉ + 1 grams — any pair with J ≥ t must
+      share a prefix gram (Bayardo et al., "Scaling Up All Pairs Similarity
+      Search", WWW'07). The inverted-index join touches rare grams
+      preferentially, killing the hot-gram quadratic blowup; candidates are
+      verified exactly with array_intersect, so the strategy is lossless.
+    - threshold < 0.5 → full inverted-index pair counting: the prefix is
+      nearly the whole set at low thresholds (|prefix| ≈ (1−t)·|x|), so
+      filtering is pure overhead there and counting intersections directly
+      from the index is cheaper.
+
+    Both strategies return identical rows (the DuckDB oracle brute-forces
+    the same set; equality unit-tested across strategies).
 
     The input is repartitioned by compute: the gram explode multiplies rows
     ~30× before the first exchange, so an unsplittable single-row-group
@@ -280,8 +294,65 @@ def token_ngram_jaccard(
             )
         ).alias("grams"),
     ).filter(F.size("grams") > 0)
-    sizes = grams.select("id", F.size("grams").alias("sz"))
     inv = grams.select("id", F.explode("grams").alias("g"))
+
+    if threshold >= 0.5:
+        # global total order: (doc frequency asc, gram asc) — rare first
+        dfreq = inv.groupBy("g").agg(F.count("*").alias("dfq"))
+        ranked = (
+            inv.join(dfreq, "g")
+            .groupBy("id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dfq", "g"))).alias("sg")
+            )
+        )
+        sz = F.size("sg")
+        plen = F.greatest(
+            sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + 1,
+            F.lit(1),
+        )
+        prefix = ranked.select(
+            "id",
+            F.explode(
+                F.slice(F.transform("sg", lambda s: s["g"]), F.lit(1), plen)
+            ).alias("g"),
+        )
+        cand = (
+            prefix.alias("x")
+            .join(prefix.alias("y"), "g")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        # exact verification on candidate pairs only (array_intersect is a
+        # JVM built-in, not an interpreted lambda)
+        ga = grams.select(
+            F.col("id").alias("id_a"),
+            F.col("grams").alias("ga"),
+            F.size("grams").alias("sz_a"),
+        )
+        gb = grams.select(
+            F.col("id").alias("id_b"),
+            F.col("grams").alias("gb"),
+            F.size("grams").alias("sz_b"),
+        )
+        inter = F.size(F.array_intersect("ga", "gb"))
+        out = (
+            cand.join(ga, "id_a")
+            .join(gb, "id_b")
+            .withColumn("inter", inter)
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+        )
+        return out.filter(F.col("jaccard") >= threshold)
+
+    sizes = grams.select("id", F.size("grams").alias("sz"))
     pair_inter = (
         inv.alias("x")
         .join(inv.alias("y"), "g")
@@ -290,8 +361,14 @@ def token_ngram_jaccard(
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        pair_inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        pair_inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",

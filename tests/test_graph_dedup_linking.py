@@ -247,3 +247,25 @@ def test_word_knn_chinese_whispers_clusters(spark):
     assert with_company >= 0.8 * len(cities)
     # the dominant city cluster captures a large share of all cities
     assert max(cluster_city_counts.values()) >= 0.4 * len(cities)
+
+
+def test_token_ngram_jaccard_prefix_matches_counting(spark):
+    """The prefix-filtered strategy (t ≥ 0.5) must return exactly the rows
+    the full inverted-index counting strategy returns — prefix filtering is
+    lossless for Jaccard thresholds."""
+    from mitie_spark.operators.dedup import token_ngram_jaccard
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])[
+        "documents"
+    ]
+    hi = token_ngram_jaccard(docs, n=2, threshold=0.6)  # prefix path
+    # force the counting path at the same threshold by filtering a lower-
+    # threshold counting run
+    lo = token_ngram_jaccard(docs, n=2, threshold=0.3).filter(
+        "jaccard >= 0.6"
+    )
+    a = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in hi.collect()}
+    b = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in lo.collect()}
+    assert a == b
+    assert len(a) > 0  # the testdata corpus does contain near-dups
