@@ -188,6 +188,15 @@ def _featC(word: str, seed: int) -> tuple[int, float]:
     return idx % HC, val
 
 
+@lru_cache(maxsize=2_000_000)
+def _prefsufC(word: str) -> tuple[int, float, int, float]:
+    """Cached prefix/suffix hashed features of a word (the murmur u32x4
+    variants recompute per chunk occurrence otherwise)."""
+    pi, pv = make_feat(prefix(word, 10))
+    si, sv = make_feat(suffix(word, 11))
+    return pi % HC, pv, si % HC, sv
+
+
 def chunk_features(
     tokens: list[str], X: np.ndarray, start: int, end: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -195,16 +204,12 @@ def chunk_features(
     idxs: list[int] = []
     vals: list[float] = []
 
-    def add(h):
-        idx, val = make_feat(h)
-        idxs.append(idx % HC)
-        vals.append(val)
-
     for pos in range(start, end):
         w = tokens[pos]
         f = _featC(w, 0); idxs.append(f[0]); vals.append(f[1])
-        add(prefix(w, 10))
-        add(suffix(w, 11))
+        pi, pv, si, sv = _prefsufC(w)
+        idxs.append(pi); vals.append(pv)
+        idxs.append(si); vals.append(sv)
     f = _featC(tokens[start], 1); idxs.append(f[0]); vals.append(f[1])
     f = _featC(tokens[end - 1], 2); idxs.append(f[0]); vals.append(f[1])
     for off, seed in ((-2, 20), (-1, 21), (0, 22), (1, 23)):
