@@ -163,3 +163,17 @@ def test_contamination_probe_broadcasts_benchmark(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_pushes_filters_and_prunes(spark):
+    """Filters reach the parquet scan (PushedFilters) and each scan reads
+    only the referenced columns — the §4 'free Catalyst wins' stay won."""
+    import __spark_entry__ as e
+
+    df = e.queries()["shipping_priority"](spark, SF)
+    plan = _plan(df)
+    assert "EqualTo(o_orderstatus,O)" in plan  # predicate at the scan
+    orders_schema = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "o_orderkey" in l
+    ][0]
+    assert "o_totalprice" not in orders_schema  # unused column pruned
