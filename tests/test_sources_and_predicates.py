@@ -159,3 +159,38 @@ def test_format_markup_golden_roundtrip():
         assert ours == line, f"{ours!r} != {line!r}"
         checked += 1
     assert checked >= 3  # the golden file has 3 content lines
+
+
+def test_warc_roundtrip_and_pages(spark, tmp_path):
+    """write_warc → parse_warc_bytes round-trips, and warc_to_pages turns
+    binaryFile archive rows into (url, warc_ts, html) page rows."""
+    from mitie_spark.sources.warc import parse_warc_bytes, warc_to_pages, write_warc
+
+    recs = [
+        {
+            "url": f"https://ex{i}.org/p",
+            "warc_ts": f"2024-01-0{i + 1}T00:00:00Z",
+            "html": f"<html><body>doc {i} &amp; more</body></html>".encode(),
+        }
+        for i in range(3)
+    ]
+    blob = write_warc(recs)
+    parsed = parse_warc_bytes(blob)
+    assert [(u, p) for u, _, p in parsed] == [
+        (r["url"], r["html"]) for r in recs
+    ]
+
+    # interleave a non-response record: it must be skipped
+    noise = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    assert len(parse_warc_bytes(noise + blob)) == 3
+
+    p = tmp_path / "a.warc"
+    p.write_bytes(noise + blob)
+    archives = spark.read.format("binaryFile").load(str(p))
+    pages = warc_to_pages(archives).orderBy("url")
+    rows = pages.collect()
+    assert [r["url"] for r in rows] == [r["url"] for r in recs]
+    assert rows[0]["html"] == recs[0]["html"]
+    assert rows[1]["warc_ts"].day == 2
