@@ -194,3 +194,42 @@ def test_warc_roundtrip_and_pages(spark, tmp_path):
     assert [r["url"] for r in rows] == [r["url"] for r in recs]
     assert rows[0]["html"] == recs[0]["html"]
     assert rows[1]["warc_ts"].day == 2
+
+
+def test_warc_pages_feed_extraction(spark, tmp_path):
+    """WARC archive → pages → html2text → fused extraction: the ingestion
+    edge composes with the KG pipeline end-to-end."""
+    from mitie_spark.functions.html2text import register_udf
+    from mitie_spark.models.train import ARTIFACT_DIR
+    from mitie_spark.operators.extraction import extract_kg
+    from mitie_spark.sources.warc import write_warc
+
+    html = (
+        b"<html><body><p>Davis Wilson was born in Boston .</p></body></html>"
+    )
+    blob = write_warc(
+        [
+            {
+                "url": "https://ex.org/bio",
+                "warc_ts": "2024-03-01T00:00:00Z",
+                "html": html,
+            }
+        ]
+    )
+    p = tmp_path / "b.warc"
+    p.write_bytes(blob)
+    from mitie_spark.sources.warc import warc_to_pages
+
+    pages = warc_to_pages(spark.read.format("binaryFile").load(str(p)))
+    h2t = register_udf()
+    pages = pages.withColumn("text", h2t(pages["html"]))
+    kg = extract_kg(
+        pages,
+        f"{ARTIFACT_DIR}/ner_model.npz",
+        f"{ARTIFACT_DIR}/relation_model.npz",
+        lang_filter=None,
+    ).collect()
+    assert len(kg) == 1
+    tags = {(m["surface"], m["tag"]) for m in kg[0]["mentions"]}
+    assert ("Davis Wilson", "PERSON") in tags
+    assert ("Boston", "LOCATION") in tags
