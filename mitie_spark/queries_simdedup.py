@@ -232,6 +232,17 @@ def _char_shingle_jaccard_udf():
 
 
 _PAIRS_CACHE: dict[str, DataFrame] = {}
+_CAND_CACHE: dict[str, DataFrame] = {}
+
+
+def _cand_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached persisted blocking candidates — the minhash, components,
+    and embedding-cosine queries all start from the same banding pass."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _CAND_CACHE:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        _CAND_CACHE[key] = _minhash_band_candidates(docs).persist()
+    return _CAND_CACHE[key]
 
 
 def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,7 +269,7 @@ def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = _minhash_band_candidates(docs).persist()
+    cand = _cand_for(spark, sf_dir)
     texts = docs.select("doc_id", "text")
     jacc = _char_shingle_jaccard_udf()
     j = (
@@ -566,7 +577,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     token-count vectors. Count vectors are integer-valued, so both engines
     compute identical dot products; only candidate pairs are ever scored."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    cand = _minhash_band_candidates(docs).persist()
+    cand = _cand_for(spark, sf_dir)
     # count vectors only for docs that appear in a candidate pair (the
     # candidate set is ~duplicate-group-sized, never corpus-sized)
     cand_ids = (
