@@ -318,3 +318,51 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks.unpersist(blocking=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — NOT IN subquery → broadcast anti join + distinct agg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parts_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 20
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: count distinct suppliers per (brand, type) for
+    large parts, excluding blacklisted suppliers. The NOT IN subquery is a
+    broadcast LEFT ANTI join (the blacklist is a filtered dimension); the
+    part join broadcasts too — the lineitem fact table never shuffles
+    until the final distinct aggregation."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    bad = (
+        t["supplier"].filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    big_parts = t["part"].filter(F.col("p_size") >= 20).select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    li = (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(big_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        li.groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )

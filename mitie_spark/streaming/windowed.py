@@ -91,3 +91,22 @@ def running_counts_stateful(stream: DataFrame, key_col: str = "tag") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: emit each key once, drop repeats.
+
+    `withWatermark + dropDuplicates` is Spark's built-in stateful dedup —
+    state holds one entry per key seen inside the watermark horizon and is
+    evicted as event time advances, so memory is bounded by the dedup
+    window rather than the stream's lifetime. This is the streaming twin of
+    the batch `dedup_exact_groups` hash-groupBy: a pipeline ingesting a
+    crawl feed continuously dedups (url, content-hash) here before the
+    extraction stage sees the page. Works on batch frames too (the
+    watermark is a no-op, dropDuplicates is exact)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

@@ -177,3 +177,29 @@ def test_shipping_priority_pushes_filters_and_prunes(spark):
         l for l in plan.splitlines() if "ReadSchema" in l and "o_orderkey" in l
     ][0]
     assert "o_totalprice" not in orders_schema  # unused column pruned
+
+
+def test_triples_read_prunes_partitions(spark, tmp_path):
+    """The triples table is partitioned by pred; a pred-filtered read must
+    prune at the directory level (PartitionFilters), scanning one
+    partition's files only — the §4 partition-pruning win on the pipeline's
+    own output layout."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "triples")
+    df = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            {
+                "subj": [f"s{i}" for i in range(30)],
+                "pred": ["born_in", "contains", "works_for"] * 10,
+                "obj": [f"o{i}" for i in range(30)],
+            }
+        )
+    )
+    df.write.partitionBy("pred").parquet(out)
+    got = spark.read.parquet(out).filter(F.col("pred") == "born_in")
+    plan = _plan(got)
+    assert "PartitionFilters" in plan
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "born_in" in pf
+    assert got.count() == 10

@@ -103,3 +103,49 @@ def test_running_counts_stateful_across_microbatches(spark, tmp_path):
     # two micro-batches: totals 2 then 3 (state carried), ORG stays at 1
     assert person_totals == [2, 3]
     assert [r["running_total"] for r in rows if r["tag"] == "ORG"] == [1]
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate keys arriving across micro-batches are emitted once."""
+    import pandas as pd
+
+    from mitie_spark.streaming.windowed import streaming_exact_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # datetime64[us]: Spark's parquet reader expects micros, pandas
+    # defaults to nanos
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00"]
+            ).astype("datetime64[us]"),
+            "url": ["a", "b"],
+        }
+    ).to_parquet(src / "batch1.parquet")
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:02:00", "2024-01-01 00:03:00"]
+            ).astype("datetime64[us]"),
+            "url": ["a", "c"],  # 'a' is a repeat
+        }
+    ).to_parquet(src / "batch2.parquet")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, url string")
+        .option("maxFilesPerTrigger", 1)  # force separate micro-batches
+        .parquet(str(src))
+    )
+    out = streaming_exact_dedup(stream, ["url"], ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT url FROM dedup_sink").collect()
+    assert sorted(r["url"] for r in rows) == ["a", "b", "c"]
