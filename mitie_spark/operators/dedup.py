@@ -278,7 +278,9 @@ def token_ngram_jaccard(
     The input is repartitioned by compute: the gram explode multiplies rows
     ~30× before the first exchange, so an unsplittable single-row-group
     scan would otherwise run the whole map side on one core."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+    from mitie_spark.session import by_compute
+
+    df = by_compute(df, 2)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(
@@ -307,8 +309,15 @@ def token_ngram_jaccard(
             )
         )
         sz = F.size("sg")
+        # ⌈t·|x|⌉ with a guard against double round-up: 0.56*25 is
+        # 14.000000000000002 in binary floating point, and ceil'ing that to
+        # 15 makes the prefix one gram too short — losing boundary pairs
+        # (J exactly t). Subtracting an epsilon can only LENGTHEN the
+        # prefix by one gram in such cases, which keeps the filter lossless.
         plen = F.greatest(
-            sz - F.ceil(F.lit(float(threshold)) * sz).cast("int") + 1,
+            sz
+            - F.ceil(F.lit(float(threshold)) * sz - F.lit(1e-9)).cast("int")
+            + 1,
             F.lit(1),
         )
         prefix = ranked.select(

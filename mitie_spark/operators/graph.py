@@ -45,6 +45,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        .persist()  # the probe below materializes it; without this the
+        # large path would re-execute the full upstream (e.g. an LSH
+        # blocking pipeline) for the checkpoint after already shuffling it
+        # for the probe
     )
     probe = e.limit(driver_threshold + 1).collect()
 
@@ -77,6 +81,7 @@ def connected_components(
         # from the (already warm) Arrow one — first use pays a full
         # 32-worker spawn
         pdf = pd.DataFrame(rows, columns=["id", "comp"])
+        e.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame(pdf, schema)
 
     # materialize the edge list once — every iteration joins against it, and
@@ -85,6 +90,7 @@ def connected_components(
     und = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+    e.unpersist(blocking=False)
     vertices = und.select(F.col("a").alias("id")).distinct()
     labels = vertices.withColumn("comp", F.col("id"))
 

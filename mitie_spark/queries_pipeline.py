@@ -308,7 +308,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.avg(F.log(F.col("c") / F.lit(float(total)))).alias("lp"))
     )
-    out = (
+    # toks stays persisted: the returned DataFrame is lazy, so unpersisting
+    # here would unmark the cache before the query ever runs and the explode
+    # would execute twice at collect time (once for cnt, once for doc)
+    return (
         doc.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -316,8 +319,6 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-    toks.unpersist(blocking=False)
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -149,8 +149,9 @@ def _minhash_band_candidates(docs) -> DataFrame:
 
     import numpy as np
 
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    from mitie_spark.session import by_compute
+
+    docs = by_compute(docs, 2)
     A = np.array(_MH_A, dtype=np.int64)[:, None]
     B = np.array(_MH_B, dtype=np.int64)[:, None]
 
@@ -394,8 +395,9 @@ def _simhash_signatures_sql(docs: DataFrame) -> DataFrame:
 
     import numpy as np
 
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    from mitie_spark.session import by_compute
+
+    docs = by_compute(docs, 2)
 
     @F.pandas_udf("bigint")
     def sh_udf(texts: pd.Series) -> pd.Series:

@@ -49,12 +49,25 @@ def write_warc(records: list[dict]) -> bytes:
     return b"".join(out)
 
 
+def _resync(blob: bytes, i: int) -> int:
+    """Index of the next record marker after ``i``, or -1."""
+    return blob.find(b"WARC/1.", i + 1)
+
+
 def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
-    """WARC/1.0 bytes → [(url, warc_date, payload)] for response records.
+    """WARC/1.0 bytes → [(url, warc_date, html_payload)] for responses.
 
     Record grammar (ISO 28500): header block terminated by a blank line,
     payload of exactly Content-Length bytes, then two CRLFs. Non-response
-    records (warcinfo, request, metadata) are skipped by type."""
+    records (warcinfo, request, metadata) are skipped by type; records with
+    corrupt headers (unparseable Content-Length, missing markers) are
+    skipped by resyncing to the next ``WARC/1.`` marker.
+
+    Real Common-Crawl response records carry a FULL HTTP response as the
+    payload (Content-Type: application/http;msgtype=response — status line
+    + headers + body); the HTTP header block is stripped so the returned
+    payload is the document itself. Bare payloads (no HTTP/ status line)
+    pass through unchanged."""
     recs = []
     i = 0
     n = len(blob)
@@ -65,8 +78,7 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
         head = blob[i:head_end].decode("utf-8", "replace")
         lines = head.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
-            # resync: find the next record marker
-            nxt = blob.find(b"WARC/1.", i + 1)
+            nxt = _resync(blob, i)
             if nxt < 0:
                 break
             i = nxt
@@ -75,9 +87,22 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
         for line in lines[1:]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
-        length = int(fields.get("content-length", "0"))
+        try:
+            length = int(fields.get("content-length", "0"))
+        except ValueError:
+            # damaged header: skip this record, keep the task alive
+            nxt = _resync(blob, i)
+            if nxt < 0:
+                break
+            i = nxt
+            continue
         payload = blob[head_end + 4 : head_end + 4 + length]
         if fields.get("warc-type") == "response":
+            if payload.startswith(b"HTTP/"):
+                # application/http payload: strip the HTTP response headers
+                body_at = payload.find(_CRLF + _CRLF)
+                if body_at >= 0:
+                    payload = payload[body_at + 4 :]
             recs.append(
                 (
                     fields.get("warc-target-uri", ""),

@@ -101,12 +101,15 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """Continuous-ingestion exact dedup: emit each key once, drop repeats.
 
-    `withWatermark + dropDuplicates` is Spark's built-in stateful dedup —
-    state holds one entry per key seen inside the watermark horizon and is
-    evicted as event time advances, so memory is bounded by the dedup
-    window rather than the stream's lifetime. This is the streaming twin of
-    the batch `dedup_exact_groups` hash-groupBy: a pipeline ingesting a
-    crawl feed continuously dedups (url, content-hash) here before the
-    extraction stage sees the page. Works on batch frames too (the
-    watermark is a no-op, dropDuplicates is exact)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    `withWatermark + dropDuplicatesWithinWatermark` is Spark's built-in
+    stateful dedup with bounded state: an entry per key is held only until
+    the watermark passes its event time, then evicted — memory tracks the
+    dedup horizon, not the stream's lifetime. (Plain `dropDuplicates(keys)`
+    without the event-time column among the keys never evicts: its state
+    grows forever. That foot-gun is why this wrapper exists.) This is the
+    streaming twin of the batch `dedup_exact_groups` hash-groupBy: a
+    pipeline ingesting a crawl feed continuously dedups (url, content-hash)
+    here before the extraction stage sees the page."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

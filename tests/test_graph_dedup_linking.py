@@ -269,3 +269,28 @@ def test_token_ngram_jaccard_prefix_matches_counting(spark):
     b = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in lo.collect()}
     assert a == b
     assert len(a) > 0  # the testdata corpus does contain near-dups
+
+
+def test_token_ngram_jaccard_prefix_threshold_boundary(spark):
+    """Regression: 0.56*25 = 14.000000000000002 in double; a naive ceil
+    made the AllPairs prefix one gram too short and dropped pairs whose
+    Jaccard equals the threshold exactly."""
+    import pandas as pd
+
+    from mitie_spark.operators.dedup import token_ngram_jaccard
+
+    shared = [f"s{i}" for i in range(14)]
+    only_x = [f"x{i}" for i in range(11)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [" ".join(shared + only_x), " ".join(shared)],
+            }
+        )
+    )
+    # n=1 → gram set == token set; J(x, y) = 14 / 25 = 0.56 exactly
+    rows = token_ngram_jaccard(df, n=1, threshold=0.56).collect()
+    assert [(r.id_a, r.id_b, round(r.jaccard, 6)) for r in rows] == [
+        (1, 2, 0.56)
+    ]

@@ -233,3 +233,33 @@ def test_warc_pages_feed_extraction(spark, tmp_path):
     tags = {(m["surface"], m["tag"]) for m in kg[0]["mentions"]}
     assert ("Davis Wilson", "PERSON") in tags
     assert ("Boston", "LOCATION") in tags
+
+
+def test_warc_http_payload_and_corrupt_records():
+    """Real CC response payloads are full HTTP responses — the header block
+    must be stripped — and a record with a corrupt Content-Length is skipped
+    via resync instead of raising."""
+    from mitie_spark.sources.warc import parse_warc_bytes, write_warc
+
+    html = b"<html><body>clean</body></html>"
+    http_payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    blob = write_warc(
+        [
+            {
+                "url": "https://cc.org/a",
+                "warc_ts": "2024-01-01T00:00:00Z",
+                "html": http_payload,
+            }
+        ]
+    )
+    recs = parse_warc_bytes(blob)
+    assert recs == [("https://cc.org/a", "2024-01-01T00:00:00Z", html)]
+
+    corrupt = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.org\r\n"
+        b"Content-Length: 12zz\r\n\r\nwhatever\r\n\r\n"
+    )
+    assert parse_warc_bytes(corrupt + blob) == recs
