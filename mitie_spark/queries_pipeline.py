@@ -367,3 +367,79 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — correlated EXISTS → left semi join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "late_order_priority_counts",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having at least one returned lineitem,
+    counted by priority. The correlated EXISTS is a LEFT SEMI join — the
+    probe side never duplicates rows and only the join key shuffles."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — scalar subquery per group (below-average quantity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey
+    ) c ON c.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND l.l_quantity < c.qty_cut
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-20%-of-average-quantity orders for
+    one brand. The per-part average is a reaggregation joined back on the
+    part key — Catalyst reuses the lineitem exchange for both branches
+    (same shuffle key), so the fact table shuffles once."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    cuts = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    out = (
+        t["lineitem"]
+        .join(cuts, "l_partkey")
+        .join(
+            F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+    return out

@@ -149,3 +149,39 @@ def test_streaming_exact_dedup(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT url FROM dedup_sink").collect()
     assert sorted(r["url"] for r in rows) == ["a", "b", "c"]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming feed enriched against a static
+    dimension (the broadcast pattern a streaming extraction pipeline uses
+    for alias/gazetteer lookup)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"url": ["a", "b", "c"], "domain": ["x.org", "y.org", "x.org"]}).to_parquet(
+        src / "b1.parquet"
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"domain": ["x.org", "y.org"], "tier": [1, 2]})
+    )
+    stream = spark.readStream.schema("url string, domain string").parquet(
+        str(src)
+    )
+    joined = stream.join(F.broadcast(dim), "domain", "left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["url"]: r["tier"]
+        for r in spark.sql("SELECT url, tier FROM enrich_sink").collect()
+    }
+    assert rows == {"a": 1, "b": 2, "c": 1}
