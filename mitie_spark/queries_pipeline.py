@@ -423,9 +423,12 @@ def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue of below-20%-of-average-quantity orders for
-    one brand. The per-part average is a reaggregation joined back on the
-    part key — Catalyst reuses the lineitem exchange for both branches
-    (same shuffle key), so the fact table shuffles once."""
+    one brand. The per-part average reaggregates the fact table and joins
+    back on the part key; both branches scan lineitem with different
+    column prunings (quantity-only vs price+quantity), so Catalyst keeps
+    two narrow scans rather than one wide shared exchange — cheaper at
+    scale because scan bytes, not shuffle count, dominate here. The brand
+    filter broadcasts."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     cuts = (
         t["lineitem"]
