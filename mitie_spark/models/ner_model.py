@@ -136,6 +136,61 @@ def viterbi(emissions: np.ndarray, trans: np.ndarray) -> np.ndarray:
     return path
 
 
+def viterbi_batch(
+    emissions_list: list[np.ndarray], trans: np.ndarray
+) -> list[np.ndarray]:
+    """Decode a batch of sequences in one vectorized DP: identical
+    arithmetic and argmax tie-breaking to per-doc ``viterbi`` (equivalence
+    unit-tested), but the python-level loop runs max_len times per Arrow
+    batch instead of sum(len) times — the per-step (B, 5, 5) NumPy ops
+    amortize the interpreter overhead across documents."""
+    B = len(emissions_list)
+    if B == 0:
+        return []
+    T = trans + _ALLOWED
+    lens = np.array([e.shape[0] for e in emissions_list], dtype=np.int64)
+    Lmax = int(lens.max()) if B else 0
+    if Lmax == 0:
+        return [np.zeros(0, dtype=np.int64) for _ in range(B)]
+    NEG = -1e30
+    E = np.full((B, Lmax, N_STATES), 0.0)
+    for b, e in enumerate(emissions_list):
+        if lens[b]:
+            E[b, : lens[b]] = e
+    dp = np.full((B, N_STATES), NEG)
+    nz = lens > 0
+    dp[nz] = E[nz, 0] + _START_OK
+    back = np.zeros((B, Lmax, N_STATES), dtype=np.int8)
+    for t in range(1, Lmax):
+        active = lens > t
+        if not active.any():
+            break
+        cand = dp[active][:, :, None] + T[None]  # (A, prev, cur)
+        bt = np.argmax(cand, axis=1).astype(np.int8)  # (A, cur)
+        dp_a = (
+            np.take_along_axis(cand, bt[:, None, :].astype(np.int64), axis=1)[
+                :, 0, :
+            ]
+            + E[active, t]
+        )
+        dp[active] = dp_a
+        back[active, t] = bt
+    # batched backtrack: one assignment per time step over the active docs
+    path_arr = np.zeros((B, Lmax), dtype=np.int64)
+    final = dp + _END_OK
+    last_state = np.argmax(final, axis=1)
+    idx = np.nonzero(nz)[0]
+    path_arr[idx, lens[idx] - 1] = last_state[idx]
+    for t in range(Lmax - 1, 0, -1):
+        active = lens > t
+        if not active.any():
+            continue
+        path_arr[active, t - 1] = back[
+            active, t, path_arr[active, t]
+        ]
+    return [path_arr[b, : lens[b]].copy() for b in range(B)]
+
+
 def labels_to_chunks(path: np.ndarray) -> list[tuple[int, int]]:
     """BILOU label path → half-open token ranges
     (sequence_segmenter.h:389-408)."""
@@ -271,18 +326,40 @@ class NerModel:
         margin = float(srt[-1] - srt[-2]) if len(scores) > 1 else float(scores[k])
         return k, margin
 
-    def extract_entities(self, tokens: list[str]):
-        """→ [(start, end, tag, score)] — chunks classified NOT_ENTITY are
-        dropped (named_entity_extractor.cpp:147-174)."""
-        if not tokens:
+    def segment_batch(self, Xs: list[np.ndarray]):
+        """Batched segmentation: one stacked emissions matmul for the whole
+        batch + the vectorized Viterbi — value-identical to per-doc
+        ``segment`` (equivalence unit-tested)."""
+        Ws = [window_matrix(X) for X in Xs]
+        if not Ws:
             return []
-        chunks, X = self.segment(tokens)
+        allW = np.concatenate(Ws) if Ws else np.zeros((0, SEG_DIM), np.float32)
+        allE = allW @ self.W_seg.T.astype(np.float32)
+        offs = np.cumsum([0] + [w.shape[0] for w in Ws])
+        ems = [
+            allE[offs[i] : offs[i + 1]].astype(np.float64)
+            for i in range(len(Ws))
+        ]
+        paths = viterbi_batch(ems, self.T_seg)
+        return [labels_to_chunks(p) for p in paths]
+
+    def classify_chunks(self, tokens, X, chunks):
+        """chunks → [(start, end, tag, score)], dropping NOT_ENTITY
+        (named_entity_extractor.cpp:147-174)."""
         out = []
         for s, e in chunks:
             k, margin = self.classify_chunk(tokens, X, s, e)
             if k < len(self.tags):
                 out.append((s, e, self.tags[k], margin))
         return out
+
+    def extract_entities(self, tokens: list[str]):
+        """→ [(start, end, tag, score)] — chunks classified NOT_ENTITY are
+        dropped (named_entity_extractor.cpp:147-174)."""
+        if not tokens:
+            return []
+        chunks, X = self.segment(tokens)
+        return self.classify_chunks(tokens, X, chunks)
 
     # --- serialization ---
     def save(self, path: str) -> None:

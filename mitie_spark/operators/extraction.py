@@ -49,16 +49,14 @@ def _load_models(ner_path: str, rel_path: str):
     return NerModel.load(ner_path), RelationModel.load(rel_path)
 
 
-def extract_document(text: str, ner, rel):
-    """Pure-python per-doc extraction → (n_tokens, mentions, triples).
+def _finish_document(tokens, ents, rel, X=None):
+    """Post-segmentation per-doc dataflow: mentions rows + adjacent-pair
+    relation scoring → (n_tokens, mentions, triples).
 
     Candidate pairs: adjacent detected mentions, both orders, no window crop
     (relation_extraction_example.cpp:107-121)."""
-    from mitie_spark.functions.tokenizer import tokenize
     from mitie_spark.models.ner_model import sentence_matrix
 
-    tokens = tokenize(text)
-    ents = ner.extract_entities(tokens)
     mentions = [
         {
             "start": s,
@@ -71,7 +69,8 @@ def extract_document(text: str, ner, rel):
     ]
     triples = []
     if len(ents) >= 2:
-        X = sentence_matrix(tokens)
+        if X is None:
+            X = sentence_matrix(tokens)
         mean_cache: dict = {}  # per-mention mean vectors, shared across pairs
         order = sorted(range(len(ents)), key=lambda i: ents[i][0])
         for j in range(len(order) - 1):
@@ -92,6 +91,35 @@ def extract_document(text: str, ner, rel):
                         }
                     )
     return len(tokens), mentions, triples
+
+
+def extract_document(text: str, ner, rel):
+    """Pure-python per-doc extraction → (n_tokens, mentions, triples)."""
+    from mitie_spark.functions.tokenizer import tokenize
+
+    tokens = tokenize(text)
+    ents = ner.extract_entities(tokens)
+    return _finish_document(tokens, ents, rel)
+
+
+def extract_documents_batch(texts, ner, rel):
+    """Arrow-batch extraction: segmentation (emissions matmul + Viterbi)
+    runs batched across the documents (NerModel.segment_batch — the python
+    per-step DP overhead amortizes over the batch), then each doc finishes
+    through the same chunk-classify + relation path as extract_document.
+    Value-identical to per-doc extraction (equivalence unit-tested)."""
+    from mitie_spark.functions.tokenizer import tokenize
+    from mitie_spark.models.ner_model import sentence_matrix
+
+    tok_lists = [tokenize(t or "") for t in texts]
+    Xs = [sentence_matrix(toks) for toks in tok_lists]
+    chunk_lists = ner.segment_batch(Xs)
+    return [
+        _finish_document(
+            toks, ner.classify_chunks(toks, X, chunks), rel, X=X
+        )
+        for toks, X, chunks in zip(tok_lists, Xs, chunk_lists)
+    ]
 
 
 def extract_kg(
@@ -120,8 +148,8 @@ def extract_kg(
         ner, rel = _load_models(ner_path, rel_path)
         for pdf in batches:
             out = {"url": [], "n_tokens": [], "mentions": [], "triples": []}
-            for url, text in zip(pdf["url"], pdf[text_col]):
-                n, ments, trips = extract_document(text or "", ner, rel)
+            results = extract_documents_batch(list(pdf[text_col]), ner, rel)
+            for url, (n, ments, trips) in zip(pdf["url"], results):
                 out["url"].append(url)
                 out["n_tokens"].append(n)
                 out["mentions"].append(ments)

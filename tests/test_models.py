@@ -57,3 +57,30 @@ def test_trained_models_meet_parity_target():
     assert m["mention_recall"] >= 0.95, m
     assert m["triple_precision"] >= 0.95, m
     assert m["triple_recall"] >= 0.95, m
+
+
+def test_batched_segmentation_matches_per_doc():
+    """segment_batch / extract_documents_batch must be value-identical to
+    the per-doc path on real corpus docs (incl. empty and 1-token texts)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mitie_spark.models.train import ARTIFACT_DIR
+    from mitie_spark.operators.extraction import (
+        _load_models,
+        extract_document,
+        extract_documents_batch,
+    )
+
+    t = pq.read_table(
+        "data/kg_sf0.01/pages.parquet", columns=["text", "lang"]
+    ).to_pandas()
+    texts = list(t[t.lang == "en"]["text"].head(200)) + ["", "Boston", "a b"]
+    ner, rel = _load_models(
+        os.path.join(ARTIFACT_DIR, "ner_model.npz"),
+        os.path.join(ARTIFACT_DIR, "relation_model.npz"),
+    )
+    batched = extract_documents_batch(texts, ner, rel)
+    for text, got in zip(texts, batched):
+        assert got == extract_document(text, ner, rel)
