@@ -40,14 +40,14 @@ def _feat(gram: str, seed: int) -> tuple[int, float]:
     return idx % HR, val
 
 
-def _window_ngrams(tokens, lo, hi, seed, idxs, vals):
-    """hashed 1/2/3-grams of tokens[lo:hi) (cpp:56-86). Hot loop — locals
-    bound once, the 3-gram string reuses the 2-gram concat."""
-    lo = max(lo, 0)
-    hi = min(hi, len(tokens))
-    if lo >= hi:
-        return
-    ts = tokens[lo:hi]
+@lru_cache(maxsize=1_000_000)
+def _window_feats(ts: tuple, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """hashed 1/2/3-gram features of a whole token window (cpp:56-86),
+    memoized per (window, seed): context windows around entities repeat
+    heavily in web text (templates, boilerplate), so a hit replaces the
+    entire gram loop with one dict lookup returning ready arrays."""
+    idxs: list[int] = []
+    vals: list[float] = []
     n = len(ts)
     feat = _feat
     ia = idxs.append
@@ -63,6 +63,28 @@ def _window_ngrams(tokens, lo, hi, seed, idxs, vals):
             if i + 2 < n:
                 f = feat(g + " " + ts[i + 2], seed)
                 ia(f[0]); va(f[1])
+    return np.asarray(idxs, dtype=np.int64), np.asarray(vals)
+
+
+def _window_ngrams(tokens, lo, hi, seed, parts_i, parts_v):
+    lo = max(lo, 0)
+    hi = min(hi, len(tokens))
+    if lo >= hi:
+        return
+    i, v = _window_feats(tuple(tokens[lo:hi]), seed)
+    parts_i.append(i)
+    parts_v.append(v)
+
+
+@lru_cache(maxsize=1_000_000)
+def _span_unigram_feats(ts: tuple, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unigram indicator features of an argument span, memoized — the same
+    mention surface recurs across pairs and documents."""
+    feats = [_feat(t, seed) for t in ts]
+    return (
+        np.asarray([f[0] for f in feats], dtype=np.int64),
+        np.asarray([f[1] for f in feats]),
+    )
 
 
 def relation_features(
@@ -99,22 +121,20 @@ def relation_features(
     first_start, second_start = lo
     first_end, second_end = hi[0], hi[1]
 
-    idxs: list[int] = []
-    vals: list[float] = []
+    parts_i: list[np.ndarray] = []
+    parts_v: list[np.ndarray] = []
     # 5 windows (cpp:123-187): before-first ×2 widths, between, after-second ×2
-    _window_ngrams(tokens, first_start - WIN_SMALL, first_start, off + 1, idxs, vals)
-    _window_ngrams(tokens, first_start - WIN_BIG, first_start, off + 2, idxs, vals)
-    _window_ngrams(tokens, first_end, second_start, off + 3, idxs, vals)
-    _window_ngrams(tokens, second_end, second_end + WIN_SMALL, off + 4, idxs, vals)
-    _window_ngrams(tokens, second_end, second_end + WIN_BIG, off + 5, idxs, vals)
+    _window_ngrams(tokens, first_start - WIN_SMALL, first_start, off + 1, parts_i, parts_v)
+    _window_ngrams(tokens, first_start - WIN_BIG, first_start, off + 2, parts_i, parts_v)
+    _window_ngrams(tokens, first_end, second_start, off + 3, parts_i, parts_v)
+    _window_ngrams(tokens, second_end, second_end + WIN_SMALL, off + 4, parts_i, parts_v)
+    _window_ngrams(tokens, second_end, second_end + WIN_BIG, off + 5, parts_i, parts_v)
     # the argument surfaces themselves (cpp: arg word indicator features)
-    for i in range(s1, e1):
-        f = _feat(tokens[i], off + 6)
-        idxs.append(f[0]); vals.append(f[1])
-    for i in range(s2, e2):
-        f = _feat(tokens[i], off + 7)
-        idxs.append(f[0]); vals.append(f[1])
-    return np.asarray(idxs, dtype=np.int64), np.asarray(vals), dense
+    i1, v1 = _span_unigram_feats(tuple(tokens[s1:e1]), off + 6)
+    i2, v2 = _span_unigram_feats(tuple(tokens[s2:e2]), off + 7)
+    parts_i.extend((i1, i2))
+    parts_v.extend((v1, v2))
+    return np.concatenate(parts_i), np.concatenate(parts_v), dense
 
 
 class RelationModel:
