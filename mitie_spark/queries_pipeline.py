@@ -5,14 +5,18 @@ own dataflow (SURVEY.md §2.8 "training-data-pipeline additions"), plus
 relational forms from the §2.5 absent-from-reference list (range join, set
 ops, JSON extraction) exercised as Catalyst built-ins:
 
-- events_range_join      — non-equi interval join (equality key + range
-                           predicate → hash join, NOT a nested-loop)
-- train_split_counts     — deterministic md5-bucket train/val/test split
-                           (reproducible at any scale, no RNG state)
-- contamination_bigrams  — benchmark-contamination check: docs sharing a
-                           word-bigram with a fixed benchmark list
-- events_json_props      — semi-structured JSON property extraction
-- customer_status_setops — INTERSECT / EXCEPT set operations
+- events_range_join         — non-equi interval join (equality key + range
+                              predicate → hash join, NOT a nested-loop)
+- train_split_counts        — deterministic md5-bucket train/val/test split
+                              (reproducible at any scale, no RNG state)
+- contamination_bigrams     — benchmark-contamination check: docs sharing
+                              a word-bigram with a fixed benchmark list
+- events_json_props         — semi-structured JSON property extraction
+- customer_status_setops    — INTERSECT / EXCEPT set operations
+- doc_unigram_logprob       — unigram LM quality signal (broadcast counts)
+- parts_supplier_counts     — TPC-H Q16 shape (NOT-IN → broadcast anti)
+- late_order_priority_counts— TPC-H Q4 shape (EXISTS → left semi)
+- small_quantity_revenue    — TPC-H Q17 shape (scalar-subquery reagg)
 """
 
 from __future__ import annotations

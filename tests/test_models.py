@@ -84,3 +84,22 @@ def test_batched_segmentation_matches_per_doc():
     batched = extract_documents_batch(texts, ner, rel)
     for text, got in zip(texts, batched):
         assert got == extract_document(text, ner, rel)
+
+
+def test_viterbi_batch_matches_per_doc_on_random_emissions():
+    """Property check: batch and per-doc decode agree on random emission
+    matrices of random lengths (including ties, length 1, and the longest
+    doc defining the padded horizon)."""
+    import numpy as np
+
+    from mitie_spark.models.ner_model import N_STATES, viterbi, viterbi_batch
+
+    rng = np.random.default_rng(123)
+    trans = rng.normal(size=(N_STATES, N_STATES))
+    lens = [1, 2, 3, 7, 40, 40, 13, 1, 5]
+    ems = [rng.normal(size=(n, N_STATES)) for n in lens]
+    # inject exact ties to exercise argmax tie-breaking
+    ems.append(np.zeros((6, N_STATES)))
+    batched = viterbi_batch(ems, trans)
+    for e, got in zip(ems, batched):
+        np.testing.assert_array_equal(got, viterbi(e, trans))
