@@ -48,19 +48,29 @@ def format_markup(tokens: list[str], entities: list[tuple[int, int, str]]) -> st
 
 def annotate_lines(lines: DataFrame, ner_path: str, text_col: str = "value") -> DataFrame:
     """lines(value) → (line, annotated) using the broadcast NER model; works
-    on both batch and streaming DataFrames (stateless mapInPandas)."""
+    on both batch and streaming DataFrames (stateless mapInPandas).
+    Segmentation runs batched across each micro-batch's lines
+    (NerModel.segment_batch) — same values as per-line decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mitie_spark.functions.tokenizer import tokenize
-        from mitie_spark.models.ner_model import NerModel
+        from mitie_spark.models.ner_model import NerModel, sentence_matrix
 
         ner = NerModel.load(ner_path)
         for pdf in batches:
-            out = []
-            for line in pdf[text_col]:
-                toks = tokenize(line or "")
-                ents = [(s, e, t) for s, e, t, _ in ner.extract_entities(toks)]
-                out.append(format_markup(toks, ents))
+            toks_list = [tokenize(l or "") for l in pdf[text_col]]
+            Xs = [sentence_matrix(t) for t in toks_list]
+            chunk_lists = ner.segment_batch(Xs)
+            out = [
+                format_markup(
+                    toks,
+                    [
+                        (s, e, t)
+                        for s, e, t, _ in ner.classify_chunks(toks, X, chunks)
+                    ],
+                )
+                for toks, X, chunks in zip(toks_list, Xs, chunk_lists)
+            ]
             yield pd.DataFrame({"line": pdf[text_col], "annotated": out})
 
     return lines.mapInPandas(run, schema="line:string,annotated:string")
