@@ -149,7 +149,7 @@ def viterbi_batch(
         return []
     T = trans + _ALLOWED
     lens = np.array([e.shape[0] for e in emissions_list], dtype=np.int64)
-    Lmax = int(lens.max()) if B else 0
+    Lmax = int(lens.max())
     if Lmax == 0:
         return [np.zeros(0, dtype=np.int64) for _ in range(B)]
     NEG = -1e30
@@ -326,22 +326,47 @@ class NerModel:
         margin = float(srt[-1] - srt[-2]) if len(scores) > 1 else float(scores[k])
         return k, margin
 
-    def segment_batch(self, Xs: list[np.ndarray]):
+    def segment_batch(
+        self, Xs: list[np.ndarray], max_padded_cells: int = 1_000_000
+    ):
         """Batched segmentation: one stacked emissions matmul for the whole
         batch + the vectorized Viterbi — value-identical to per-doc
-        ``segment`` (equivalence unit-tested)."""
-        Ws = [window_matrix(X) for X in Xs]
-        if not Ws:
+        ``segment`` (equivalence unit-tested).
+
+        The Viterbi DP pads to the longest doc in its group, so docs are
+        grouped by length with total padded cells (group_size × max_len)
+        capped: one 30k-token outlier in a 2048-row Arrow batch would
+        otherwise inflate the padded tensors to B×Lmax ≈ gigabytes. With
+        the cap, a skewed doc lands in its own small group and costs only
+        itself — preserving the 'a 100×-long document only costs its own
+        batch' property of the per-doc path."""
+        if not Xs:
             return []
-        allW = np.concatenate(Ws) if Ws else np.zeros((0, SEG_DIM), np.float32)
+        Ws = [window_matrix(X) for X in Xs]
+        allW = np.concatenate(Ws)
         allE = allW @ self.W_seg.T.astype(np.float32)
         offs = np.cumsum([0] + [w.shape[0] for w in Ws])
         ems = [
             allE[offs[i] : offs[i + 1]].astype(np.float64)
             for i in range(len(Ws))
         ]
-        paths = viterbi_batch(ems, self.T_seg)
-        return [labels_to_chunks(p) for p in paths]
+        out: list = [None] * len(Xs)
+        order = sorted(range(len(Xs)), key=lambda i: ems[i].shape[0])
+        group: list[int] = []
+        for i in order:
+            n = ems[i].shape[0]  # ascending: n is the group max
+            if group and (len(group) + 1) * max(n, 1) > max_padded_cells:
+                for j, p in zip(
+                    group, viterbi_batch([ems[j] for j in group], self.T_seg)
+                ):
+                    out[j] = labels_to_chunks(p)
+                group = []
+            group.append(i)
+        for j, p in zip(
+            group, viterbi_batch([ems[j] for j in group], self.T_seg)
+        ):
+            out[j] = labels_to_chunks(p)
+        return out
 
     def classify_chunks(self, tokens, X, chunks):
         """chunks → [(start, end, tag, score)], dropping NOT_ENTITY

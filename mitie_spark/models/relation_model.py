@@ -40,12 +40,23 @@ def _feat(gram: str, seed: int) -> tuple[int, float]:
     return idx % HR, val
 
 
-@lru_cache(maxsize=1_000_000)
+# memoize only short windows: the fixed-width before/after windows (2 and 5
+# tokens) repeat heavily in web text, but the between-mentions window is
+# uncropped and mostly unique — caching it would grow per-worker memory with
+# corpus diversity (entry-count-bounded, not byte-bounded)
+_MEMO_MAX_WINDOW = 8
+
+
+@lru_cache(maxsize=500_000)
 def _window_feats(ts: tuple, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """hashed 1/2/3-gram features of a whole token window (cpp:56-86),
     memoized per (window, seed): context windows around entities repeat
     heavily in web text (templates, boilerplate), so a hit replaces the
     entire gram loop with one dict lookup returning ready arrays."""
+    return _window_feats_uncached(ts, seed)
+
+
+def _window_feats_uncached(ts: tuple, seed: int) -> tuple[np.ndarray, np.ndarray]:
     idxs: list[int] = []
     vals: list[float] = []
     n = len(ts)
@@ -71,12 +82,16 @@ def _window_ngrams(tokens, lo, hi, seed, parts_i, parts_v):
     hi = min(hi, len(tokens))
     if lo >= hi:
         return
-    i, v = _window_feats(tuple(tokens[lo:hi]), seed)
+    ts = tuple(tokens[lo:hi])
+    if len(ts) <= _MEMO_MAX_WINDOW:
+        i, v = _window_feats(ts, seed)
+    else:
+        i, v = _window_feats_uncached(ts, seed)
     parts_i.append(i)
     parts_v.append(v)
 
 
-@lru_cache(maxsize=1_000_000)
+@lru_cache(maxsize=500_000)
 def _span_unigram_feats(ts: tuple, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Unigram indicator features of an argument span, memoized — the same
     mention surface recurs across pairs and documents."""

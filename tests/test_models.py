@@ -103,3 +103,28 @@ def test_viterbi_batch_matches_per_doc_on_random_emissions():
     batched = viterbi_batch(ems, trans)
     for e, got in zip(ems, batched):
         np.testing.assert_array_equal(got, viterbi(e, trans))
+
+
+def test_segment_batch_padding_cap_preserves_output():
+    """The padded-cells cap groups docs by length; a tiny cap (every doc in
+    its own group) must produce identical chunks to one big group."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mitie_spark.models.ner_model import sentence_matrix
+    from mitie_spark.models.train import ARTIFACT_DIR
+    from mitie_spark.operators.extraction import _load_models
+
+    t = pq.read_table(
+        "data/kg_sf0.01/pages.parquet", columns=["text", "lang"]
+    ).to_pandas()
+    texts = list(t[t.lang == "en"]["text"].head(60)) + ["", "Boston"]
+    ner, _ = _load_models(
+        os.path.join(ARTIFACT_DIR, "ner_model.npz"),
+        os.path.join(ARTIFACT_DIR, "relation_model.npz"),
+    )
+    from mitie_spark.functions.tokenizer import tokenize
+
+    Xs = [sentence_matrix(tokenize(x)) for x in texts]
+    assert ner.segment_batch(Xs, max_padded_cells=1) == ner.segment_batch(Xs)
