@@ -84,23 +84,31 @@ def extract_features(
 
 
 def synth_media_table(spark, n: int = 50, seed: int = 3):
-    """Deterministic fake media table for tests."""
+    """Deterministic fake media table for tests (built via the Arrow
+    local-data path — a plain row list goes through the separate pickle
+    worker pool; see operators/graph.py)."""
+    import pandas as pd
+
     rng = np.random.default_rng(seed)
-    rows = []
+    mids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
         kind = ["image", "audio", "video"][i % 3]
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {
-                    "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                    "width": 64 if kind == "image" else 0,
-                    "height": 64 if kind == "image" else 0,
-                    "duration_ms": 5000 if kind != "image" else 0,
-                },
-            )
+        mids.append(i)
+        kinds.append(kind)
+        payloads.append(rng.integers(0, 256, size=256, dtype=np.uint8).tobytes())
+        metas.append(
+            {
+                "mime": {
+                    "image": "image/png",
+                    "audio": "audio/wav",
+                    "video": "video/mp4",
+                }[kind],
+                "width": 64 if kind == "image" else 0,
+                "height": 64 if kind == "image" else 0,
+                "duration_ms": 5000 if kind != "image" else 0,
+            }
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pdf = pd.DataFrame(
+        {"media_id": mids, "kind": kinds, "payload": payloads, "meta": metas}
+    )
+    return spark.createDataFrame(pdf, MEDIA_SCHEMA)
