@@ -142,8 +142,13 @@ def train_word_vectors(
     wid = {w: i for i, w in enumerate(words)}
     V = len(words)
     spark = docs.sparkSession
+    # Arrow local-data path (the pickle serializer has its own worker pool;
+    # see operators/graph.py)
+    import pandas as pd
+
     vocab_ids = spark.createDataFrame(
-        [(w, i) for w, i in wid.items()], "word string, wid long"
+        pd.DataFrame({"word": words, "wid": range(V)}),
+        "word string, wid long",
     )
     t = _context_pairs(tokens, vocab_ids)
 
