@@ -368,12 +368,36 @@ class NerModel:
             out[j] = labels_to_chunks(p)
         return out
 
+    _CHUNK_CACHE_MAX = 500_000
+
     def classify_chunks(self, tokens, X, chunks):
         """chunks → [(start, end, tag, score)], dropping NOT_ENTITY
-        (named_entity_extractor.cpp:147-174)."""
+        (named_entity_extractor.cpp:147-174).
+
+        Results are memoized per model instance: every feature of a chunk
+        (hashed words/prefix/suffix, the ±2-token context seeds, and the
+        five dense X-row blocks) is a pure function of the chunk tokens
+        plus the tokens at start−2, start−1 and end — so identical
+        (chunk, context) windows, which recur constantly in web text,
+        classify once."""
+        cache = getattr(self, "_chunk_cache", None)
+        if cache is None:
+            cache = self._chunk_cache = {}
+        n = len(tokens)
         out = []
         for s, e in chunks:
-            k, margin = self.classify_chunk(tokens, X, s, e)
+            key = (
+                tuple(tokens[s:e]),
+                tokens[s - 2] if s >= 2 else None,
+                tokens[s - 1] if s >= 1 else None,
+                tokens[e] if e < n else None,
+            )
+            hit = cache.get(key)
+            if hit is None:
+                hit = self.classify_chunk(tokens, X, s, e)
+                if len(cache) < self._CHUNK_CACHE_MAX:
+                    cache[key] = hit
+            k, margin = hit
             if k < len(self.tags):
                 out.append((s, e, self.tags[k], margin))
         return out

@@ -128,3 +128,48 @@ def test_segment_batch_padding_cap_preserves_output():
 
     Xs = [sentence_matrix(tokenize(x)) for x in texts]
     assert ner.segment_batch(Xs, max_padded_cells=1) == ner.segment_batch(Xs)
+
+
+def test_chunk_classification_memo_is_pure():
+    """The chunk-classification memo key must capture every input: the same
+    (chunk, context) window in different docs/positions classifies
+    identically, and boundary chunks (missing context) don't collide with
+    mid-sentence ones."""
+    import os
+
+    from mitie_spark.functions.tokenizer import tokenize
+    from mitie_spark.models.ner_model import NerModel, sentence_matrix
+    from mitie_spark.models.train import ARTIFACT_DIR
+
+    ner = NerModel.load(os.path.join(ARTIFACT_DIR, "ner_model.npz"))
+    fresh = NerModel.load(os.path.join(ARTIFACT_DIR, "ner_model.npz"))
+
+    docs = [
+        "Davis Wilson was born in Boston .",
+        "the visit of Davis Wilson was born in Boston today",
+        "Davis Wilson",  # chunk at both doc edges: no context tokens
+        "in Boston",
+    ]
+    for text in docs:
+        toks = tokenize(text)
+        X = sentence_matrix(toks)
+        chunks, _ = ner.segment(toks)
+        cached = ner.classify_chunks(toks, X, chunks)
+        direct = [
+            (s, e, fresh.tags[k], m)
+            for s, e in chunks
+            for k, m in [fresh.classify_chunk(toks, X, s, e)]
+            if k < len(fresh.tags)
+        ]
+        assert cached == direct
+    # run everything twice so the second pass is all cache hits
+    for text in docs:
+        toks = tokenize(text)
+        X = sentence_matrix(toks)
+        chunks, _ = ner.segment(toks)
+        assert ner.classify_chunks(toks, X, chunks) == [
+            (s, e, fresh.tags[k], m)
+            for s, e in chunks
+            for k, m in [fresh.classify_chunk(toks, X, s, e)]
+            if k < len(fresh.tags)
+        ]
