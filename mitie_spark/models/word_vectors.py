@@ -160,31 +160,63 @@ def train_word_vectors(
         ctx_cols.append(F.lead("wid", off).over(w).alias(f"r{off}"))
     ctx = t.select("wid", *ctx_cols).persist()
 
-    # center-context pair counts (for A7 word vectors)
-    pair_counts = {}
-    for off in range(1, WINDOW + 1):
-        for side in ("l", "r"):
-            pc = (
-                ctx.filter(F.col(f"{side}{off}").isNotNull())
-                .groupBy("wid", F.col(f"{side}{off}").alias("cid"))
-                .agg(F.count("*").alias("n"))
-                .collect()
-            )
-            pair_counts[(side, off)] = pc
+    # center-context pair counts (for A7 word vectors) — all 6 (side,
+    # offset) marginals unpivot into one groupBy job instead of 6
+    # sequential scan+collect jobs over the same persisted frame
+    from collections import defaultdict
 
-    # left-right joint counts (for A6 CCA cross-covariance)
-    lr_counts = {}
-    for lo in range(1, WINDOW + 1):
-        for ro in range(1, WINDOW + 1):
-            pc = (
-                ctx.filter(
-                    F.col(f"l{lo}").isNotNull() & F.col(f"r{ro}").isNotNull()
-                )
-                .groupBy(F.col(f"l{lo}").alias("a"), F.col(f"r{ro}").alias("b"))
-                .agg(F.count("*").alias("n"))
-                .collect()
+    slots = F.array(
+        *[
+            F.struct(
+                F.lit(f"{side}{off}").alias("slot"),
+                F.col(f"{side}{off}").alias("cid"),
             )
-            lr_counts[(lo, ro)] = pc
+            for off in range(1, WINDOW + 1)
+            for side in ("l", "r")
+        ]
+    )
+    pair_counts: dict = defaultdict(list)
+    for r in (
+        ctx.select("wid", F.explode(slots).alias("s"))
+        .filter(F.col("s.cid").isNotNull())
+        .groupBy(
+            "wid",
+            F.col("s.slot").alias("slot"),
+            F.col("s.cid").alias("cid"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        pair_counts[(r["slot"][0], int(r["slot"][1:]))].append(r)
+
+    # left-right joint counts (for A6 CCA cross-covariance) — all 9
+    # (lo, ro) blocks in one job likewise
+    lr_structs = F.array(
+        *[
+            F.struct(
+                F.lit(lo).alias("lo"),
+                F.lit(ro).alias("ro"),
+                F.col(f"l{lo}").alias("a"),
+                F.col(f"r{ro}").alias("b"),
+            )
+            for lo in range(1, WINDOW + 1)
+            for ro in range(1, WINDOW + 1)
+        ]
+    )
+    lr_counts: dict = defaultdict(list)
+    for r in (
+        ctx.select(F.explode(lr_structs).alias("p"))
+        .filter(F.col("p.a").isNotNull() & F.col("p.b").isNotNull())
+        .groupBy(
+            F.col("p.lo").alias("lo"),
+            F.col("p.ro").alias("ro"),
+            F.col("p.a").alias("a"),
+            F.col("p.b").alias("b"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        lr_counts[(r["lo"], r["ro"])].append(r)
     ctx.unpersist()
 
     dL = WINDOW * (V + 1)

@@ -31,11 +31,33 @@ from mitie_spark.operators.dedup import (
 from mitie_spark.operators.graph import connected_components
 
 
+def dedupe_alias_dict(alias_dict: DataFrame) -> DataFrame:
+    """One deterministic row per (alias, tag) — min canonical_id wins.
+
+    Real alias dictionaries carry ambiguous keys (the corpus's bare org
+    name 'Acme' maps to every 'Acme <suffix>' canonical); joining mentions
+    against the raw dict would fan each such mention out into one row per
+    candidate entity. Linking must stay 1:1 per mention, so ambiguity is
+    resolved deterministically here — and represented faithfully where it
+    belongs: ``canonical_components`` builds its same-as graph from the
+    FULL dictionary, so all canonicals sharing an alias still land in one
+    component."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("alias", "tag").orderBy("canonical_id")
+    return (
+        alias_dict.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 def link_exact(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """mentions(url, surface, tag, ...) ⟕ broadcast alias dict →
-    + (canonical_id, canonical_name, match_kind)."""
+    + (canonical_id, canonical_name, match_kind). The dict is deduped per
+    (alias, tag) first so one mention links to at most one entity."""
     al = F.broadcast(
-        alias_dict.select(
+        dedupe_alias_dict(alias_dict).select(
             F.col("alias").alias("surface"),
             F.col("tag").alias("tag"),
             "canonical_id",
@@ -57,12 +79,16 @@ def link_fuzzy(
     num_hashes: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Fuzzy alias resolution via MinHash-LSH blocking on surface strings.
 
     unmatched(surface) × alias_dict(alias) → best (surface, canonical_id,
     canonical_name, est_jaccard) per surface. Both sides are hashed into the
-    same signature space; candidate generation never cross-joins."""
+    same signature space; candidate generation never cross-joins.
+    ``max_bucket`` caps degenerate LSH buckets far above the dedup default
+    (500): for alias linking a dropped bucket is plain recall loss, not a
+    near-certain-duplicate shortcut."""
     surf = unmatched.select("surface").distinct()
     s_sig = minhash_signatures(
         surf, id_col="surface", text_col="surface", num_hashes=num_hashes
@@ -74,7 +100,7 @@ def link_fuzzy(
     tagged = s_sig.select(
         F.concat(F.lit("m:"), "id").alias("id"), "sig"
     ).union(a_sig.select(F.concat(F.lit("a:"), "id").alias("id"), "sig"))
-    pairs = lsh_candidate_pairs(tagged, bands=bands)
+    pairs = lsh_candidate_pairs(tagged, bands=bands, max_bucket=max_bucket)
     scored = estimated_jaccard(pairs, tagged)
     cross = scored.filter(
         F.substring("id_a", 1, 2) != F.substring("id_b", 1, 2)
@@ -98,10 +124,18 @@ def link_fuzzy(
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
-    return best.join(
-        F.broadcast(alias_dict.select("alias", "canonical_id", "canonical_name")),
-        "alias",
-    ).select(
+    # resolve the winning alias string to ONE entity deterministically —
+    # joining the raw dict would fan ambiguous aliases back out and break
+    # the one-best-match-per-surface invariant row_number just established
+    al = (
+        dedupe_alias_dict(alias_dict)
+        .groupBy("alias")
+        .agg(
+            F.min("canonical_id").alias("canonical_id"),
+            F.min_by("canonical_name", "canonical_id").alias("canonical_name"),
+        )
+    )
+    return best.join(F.broadcast(al), "alias").select(
         "surface", "canonical_id", "canonical_name",
         F.col("est_jaccard").alias("link_score"),
     )
@@ -114,6 +148,9 @@ def link_mentions(
     exact = link_exact(mentions, alias_dict)
     if not fuzzy:
         return exact
+    # persisted: the miss probe, the exact-matched branch, and the misses
+    # reuse would otherwise each re-execute the join's full upstream
+    exact = exact.persist()
     misses = exact.filter(F.col("canonical_id").isNull()).drop(
         "canonical_id", "canonical_name", "match_kind"
     )

@@ -96,13 +96,21 @@ def run_pipeline(
         "verify_text",
         {"extractor_version": 1, "pages": pages_path},
         lambda: pages.select(
-            "url", (h2t(F.col("html")) == F.col("text")).alias("text_ok")
+            "url",
+            # null-safe: a NULL html or text must count as a violation, not
+            # silently fall into a NULL comparison bucket
+            (
+                F.col("html").isNotNull()
+                & F.col("text").isNotNull()
+                & (h2t(F.col("html")) == F.col("text"))
+            ).alias("text_ok"),
         )
         .groupBy("text_ok")
         .agg(F.count("*").alias("n")),
         input_rows=n_pages,
     )
-    bad = {r.text_ok: r.n for r in verify.collect()}.get(False, 0)
+    counts = {r.text_ok: r.n for r in verify.collect()}
+    bad = sum(n for ok, n in counts.items() if ok is not True)
     if bad:
         raise RuntimeError(f"html→text invariant violated for {bad} pages")
 
@@ -152,10 +160,14 @@ def run_pipeline(
 
     # 6. canonical triple edges with counts (two-phase agg; partitioned by pred)
     def build_edges():
+        # deterministic surface → entity map: min canonical_id per surface
+        # (triples carry surfaces only, so a surface seen under two tags
+        # must resolve once — F.first over an unordered group would make
+        # re-runs non-byte-stable, breaking the lineage resume contract)
         surf2canon = (
             linked.filter(F.col("canonical_id").isNotNull())
-            .groupBy("surface", "tag")
-            .agg(F.first("canonical_id", ignorenulls=True).alias("canonical_id"))
+            .groupBy("surface")
+            .agg(F.min("canonical_id").alias("canonical_id"))
         )
         s2c = F.broadcast(
             surf2canon.join(
@@ -178,10 +190,13 @@ def run_pipeline(
                 "left",
             )
         )
+        # canonicalize on the COMPONENT when the entity has one: entities
+        # connected through shared aliases (stage 5) collapse into one edge
+        # endpoint; unlinked surfaces fall back to the raw surface string
         return t.groupBy(
-            F.coalesce("subj_id", "subj").alias("subj_id"),
+            F.coalesce("subj_comp", "subj_id", "subj").alias("subj_id"),
             "pred",
-            F.coalesce("obj_id", "obj").alias("obj_id"),
+            F.coalesce("obj_comp", "obj_id", "obj").alias("obj_id"),
         ).agg(
             F.count("*").alias("n_evidence"),
             F.min("subj").alias("subj_surface"),

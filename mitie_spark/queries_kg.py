@@ -129,20 +129,29 @@ def kg_triple_pairs_ranked(spark, sf_dir):
 @query(
     "alias_link_coverage",
     f"""
+    WITH ad AS (
+      SELECT alias, tag, MIN(canonical_id) AS canonical_id
+      FROM read_parquet('{ORACLE_KG}/alias_dict.parquet')
+      GROUP BY alias, tag
+    )
     SELECT m.tag, COUNT(*) AS n_mentions,
            SUM(CASE WHEN a.canonical_id IS NULL THEN 0 ELSE 1 END) AS n_linked,
            COUNT(DISTINCT a.canonical_id) AS n_entities
     FROM read_parquet('{ORACLE_KG}/mentions_true.parquet') m
-    LEFT JOIN read_parquet('{ORACLE_KG}/alias_dict.parquet') a
-      ON m.surface = a.alias AND m.tag = a.tag
+    LEFT JOIN ad a ON m.surface = a.alias AND m.tag = a.tag
     GROUP BY m.tag ORDER BY m.tag
     """,
 )
 def alias_link_coverage(spark, sf_dir):
-    """J1/J4: broadcast dimension join of mentions against the alias dict."""
+    """J1/J4: broadcast dimension join of mentions against the alias dict —
+    deduped per (alias, tag) first (operators/linking.dedupe_alias_dict):
+    ambiguous aliases must not fan mention rows out, so linking stays 1:1
+    per mention. The oracle applies the same MIN-canonical disambiguation."""
+    from mitie_spark.operators.linking import dedupe_alias_dict
+
     d = kg_dir_for(sf_dir)
     m = spark.read.parquet(os.path.join(d, "mentions_true.parquet"))
-    a = spark.read.parquet(os.path.join(d, "alias_dict.parquet"))
+    a = dedupe_alias_dict(spark.read.parquet(os.path.join(d, "alias_dict.parquet")))
     j = m.join(
         F.broadcast(a.withColumnRenamed("alias", "surface")),
         ["surface", "tag"],
