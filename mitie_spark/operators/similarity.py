@@ -25,25 +25,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _cos(a: str, b: str):
-    dot = F.aggregate(
+def _dot(a: str, b: str):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    n1 = F.sqrt(
+
+
+def _norm(a: str):
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v,
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
     )
-    n2 = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-    )
-    return dot / (n1 * n2)
+
+
+# NOTE — deliberate exception to the "no interpreted HOFs in hot paths"
+# rule: the dot products here fold sequentially, which is bit-identical to
+# the DuckDB oracle's list_dot_product fold. A NumPy pairwise-summed cosine
+# differs in the last ulp and can flip near-tie rankings against the
+# oracle's value hash. The norms ARE hoisted to one fold per row (not per
+# pair), which removes two thirds of the interpreted work.
 
 
 def brute_force_topk(
@@ -54,10 +59,20 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """→ (qid, cid, cos, rk) — exact top-k by cosine, vec_id tie-break."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-    c = candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        _norm(vec_col).alias("qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        _norm(vec_col).alias("cn"),
+    )
     scored = c.join(F.broadcast(q)).select(
-        "qid", "cid", _cos("qe", "ce").alias("cos")
+        "qid",
+        "cid",
+        (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -71,8 +86,14 @@ def train_centroids(
 ) -> np.ndarray:
     """k-means-lite: deterministic sample init + `iters` Lloyd rounds, each a
     single groupBy aggregation over the assignment (scales: only centroids
-    come back to the driver)."""
-    dim = len(df.select(vec_col).first()[0])
+    come back to the driver). The input is persisted for the loop — each
+    round re-scans it, and recomputing an expensive upstream per round
+    would multiply its cost."""
+    df = df.select(vec_col).persist()
+    probe = df.first()
+    if probe is None:
+        raise ValueError("train_centroids: empty input (no vectors)")
+    dim = len(probe[0])
     init = (
         df.select(vec_col)
         .orderBy(F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>"))))
@@ -98,6 +119,7 @@ def train_centroids(
             vec = np.array([comps[i][0] / comps[i][1] for i in range(dim)])
             new[cell] = vec
         cents = new
+    df.unpersist(blocking=False)  # centroids are materialized ndarrays
     return cents
 
 
@@ -148,10 +170,13 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
+        _norm(vec_col).alias("qn"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"),
     )
-    scored = c.join(F.broadcast(q), "cell").select(
-        "qid", "cid", _cos("qe", "ce").alias("cos")
+    scored = c.withColumn("cn", _norm("ce")).join(F.broadcast(q), "cell").select(
+        "qid",
+        "cid",
+        (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -170,40 +195,61 @@ def cosine_near_duplicates(
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-bit signatures → banded bucket join →
     exact cosine verify ≥ threshold."""
-    dim = len(df.select(vec_col).first()[0])
+    r_planes = n_planes // bands
+    if not (1 <= r_planes <= 32):
+        raise ValueError(
+            f"planes-per-band must be in [1, 32], got {r_planes} "
+            f"(n_planes={n_planes}, bands={bands})"
+        )
+    probe = df.select(vec_col).first()
+    if probe is None:
+        raise ValueError("cosine_near_duplicates: empty input (no vectors)")
+    dim = len(probe[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    @F.pandas_udf("array<int>")
+    @F.pandas_udf("array<long>")
     def band_udf(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
         bits = (M @ planes.T) > 0  # (n, n_planes)
-        r = n_planes // bands
         out = []
         for row in bits:
             sig = []
             for b in range(bands):
-                chunk = row[b * r : (b + 1) * r]
+                chunk = row[b * r_planes : (b + 1) * r_planes]
                 v = 0
                 for bit in chunk:
                     v = (v << 1) | int(bit)
-                sig.append((b << 16) | v)
+                # band index in the high bits, clear of the ≤32 value bits —
+                # a plain (b << 16) | v overflowed int32 above 16 planes per
+                # band and collided buckets across bands at 17-30
+                sig.append((b << 48) | v)
             out.append(sig)
         return pd.Series(out)
 
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     sig = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         F.explode(band_udf(F.col(vec_col))).alias("bucket"),
     )
-    l = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    r = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    l = sig.select(F.col("id").alias("id_a"), "bucket")
+    r = sig.select(F.col("id").alias("id_b"), "bucket")
+    # dedupe band-duplicate pairs on ids alone — carrying the embedding
+    # arrays through the distinct() exchange would shuffle every vector
+    # once per matching band
     pairs = (
         l.join(r, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs.select(
-        "id_a", "id_b", _cos("va", "vb").alias("cos")
+    joined = pairs.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b"
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cos"),
     ).filter(F.col("cos") >= threshold)

@@ -42,6 +42,13 @@ def parse_conll_text(text: str) -> list[list[tuple[str, str]]]:
             raise ValueError(
                 f"CONLL PARSE ERROR, wrong number of tokens in line {ln}"
             )
+    # flush an unterminated final sentence (file without trailing newline).
+    # DELIBERATE divergence from the reference parser, which drops the last
+    # sentence unless the file ends in a blank line — silently losing
+    # train/eval data is worse than byte-parity here; files with the
+    # conventional trailing blank line parse identically in both.
+    if sentence:
+        sentences.append(sentence)
     return sentences
 
 

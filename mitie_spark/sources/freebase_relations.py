@@ -72,14 +72,19 @@ def read_freebase_relations(spark: SparkSession, path: str) -> DataFrame:
 
 
 def train_from_freebase(
-    spark: SparkSession, path: str, negatives_per_positive: int = 2, seed: int = 5
+    spark: SparkSession, path: str, negatives_per_positive: int = 1, seed: int = 5
 ):
     """Train one detector per relation_type in the file. Positives are the
-    file's rows; negatives are the same pairs with swapped argument order
-    (the reference trainer's convention: reversed pairs are negative —
-    binary_relation_detector_trainer.cpp)."""
+    file's rows; the first negative per positive is the same pair with
+    swapped argument order (the reference trainer's convention: reversed
+    pairs are negative — binary_relation_detector_trainer.cpp). When
+    ``negatives_per_positive`` > 1, the extras are seeded random
+    single-token span pairs sampled from the same sentence."""
+    import numpy as np
+
     from mitie_spark.models.relation_model import train_relation_model
 
+    rng = np.random.default_rng(seed)
     rows = read_freebase_relations(spark, path).collect()
     preds = sorted({r["relation_type"] for r in rows})
     examples = []
@@ -89,4 +94,12 @@ def train_from_freebase(
         toks = list(r["tokens"])
         examples.append((toks, a1, a2, r["relation_type"]))
         examples.append((toks, a2, a1, None))  # swapped order → negative
+        n = len(toks)
+        for _ in range(max(negatives_per_positive - 1, 0)):
+            if n < 3:
+                break
+            s1, s2 = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if s1 == s2:
+                continue
+            examples.append((toks, (s1, s1 + 1), (s2, s2 + 1), None))
     return train_relation_model(preds, examples, epochs=10)

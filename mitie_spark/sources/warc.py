@@ -131,12 +131,16 @@ def warc_to_pages(archives: DataFrame, content_col: str = "content") -> DataFram
                     urls.append(url)
                     tss.append(ts)
                     htmls.append(payload)
+            # tz-aware UTC series: Arrow preserves the instant. Stripping
+            # the tz (tz_localize(None)) would make Spark reinterpret the
+            # wall-clock in the session timezone, shifting warc_ts by the
+            # session's UTC offset on non-UTC clusters.
             yield pd.DataFrame(
                 {
                     "url": urls,
                     "warc_ts": pd.to_datetime(
                         pd.Series(tss, dtype="object"), utc=True, errors="coerce"
-                    ).dt.tz_localize(None),
+                    ),
                     "html": htmls,
                 }
             )
