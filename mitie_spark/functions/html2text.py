@@ -27,8 +27,12 @@ import re
 
 EXTRACTOR_VERSION = 1
 
+# the closing tag alternation tolerates attributes ("</script foo>") and a
+# missing close (unclosed block swallows to end-of-document): without the
+# $ fallback, a truncated "<script>var x=..." page would leak its whole
+# script body into the extracted text
 _DROP = re.compile(
-    r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
+    r"<(script|style|noscript)\b[^>]*>.*?(</\1\b[^>]*>|\Z)|<!--.*?-->",
     re.IGNORECASE | re.DOTALL,
 )
 _BR = re.compile(r"<br\s*/?>", re.IGNORECASE)

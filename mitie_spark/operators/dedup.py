@@ -281,17 +281,21 @@ def token_ngram_jaccard(
     from mitie_spark.session import by_compute
 
     df = by_compute(df, 2)
+    # single-space split (matching the oracle's string_split(text, ' '))
+    # and a hard >= n token floor: a shorter doc would otherwise emit one
+    # partial "gram" (the whole token list), which the SQL form excludes —
+    # two such docs would score jaccard 1.0 on Spark and nothing in DuckDB
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(
-            "toks"
-        ),
-    )
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+        ).alias("toks"),
+    ).filter(F.size("toks") >= n)
     grams = toks.select(
         "id",
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                F.sequence(F.lit(0), F.size("toks") - n),
                 lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
             )
         ).alias("grams"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mitie_spark.functions.hashing import dlib_string_hash
 
@@ -82,14 +83,23 @@ def sketch_token_counts(
             return tuple(dlib_string_hash(tok, r) % w for r in range(num_hashes))
 
         rs = np.arange(num_hashes)
+        pid = 0
         for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["pid"].iloc[0])
             for text in pdf[text_col]:
-                for tok in (text or "").split():
+                # single-space split, matching the exact aggregate the gate
+                # compares against (str.split() on any whitespace would make
+                # the sketch UNDERCOUNT a token like 'foo\tbar' that the
+                # exact side treats as one token)
+                for tok in (text or "").split(" "):
+                    if not tok:
+                        continue
                     local.counts[rs, idxs(tok)] += 1
                     local.total += 1
         yield pd.DataFrame(
             {
-                "k": [local.total % merge_fanin],
+                "k": [pid % merge_fanin],
                 "sketch": [local.counts.tobytes()],
                 "total": [local.total],
             }
@@ -109,6 +119,10 @@ def sketch_token_counts(
     rows = (
         df.select(text_col)
         .repartition(par)
+        # partition id as the merge key: totals-based keys collapse to one
+        # group on uniform corpora (equal partition token counts),
+        # serializing the merge
+        .withColumn("pid", F.spark_partition_id())
         .mapInPandas(build, "k int, sketch binary, total long")
         .groupBy("k")
         .applyInPandas(merge_group, "sketch binary, total long")

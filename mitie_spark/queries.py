@@ -265,10 +265,15 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders",
     """
     SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
     ORDER BY c_custkey
     """,
+    # NOT EXISTS, not NOT IN: a NULL o_custkey would turn NOT IN into an
+    # empty result (three-valued logic) while the Spark anti join is
+    # null-tolerant — the two would silently disagree
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])

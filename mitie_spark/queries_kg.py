@@ -43,7 +43,10 @@ def _kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitie_spark.operators.extraction import extract_kg
 
     d = kg_dir_for(sf_dir)
-    key = f"{id(spark)}:{d}"
+    # applicationId, not id(spark): a stopped session's freed address can
+    # be reused by CPython, which would hand back a DataFrame bound to a
+    # dead SparkContext
+    key = f"{spark.sparkContext.applicationId}:{d}"
     if key not in _KG_CACHE:
         pages = spark.read.parquet(os.path.join(d, "pages.parquet"))
         cores = spark.sparkContext.defaultParallelism
@@ -360,7 +363,7 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in _STOP)
     SELECT doc_id, lang, len(l) AS n_tokens,
            ROUND(len(list_filter(l, t -> t IN ({_STOP_SQL}))) * 1.0
                  / greatest(len(l), 1), 4) AS stop_ratio,
-           ROUND(list_sum(list_transform(l, t -> length(t))) * 1.0
+           ROUND(COALESCE(list_sum(list_transform(l, t -> length(t))), 0) * 1.0
                  / greatest(len(l), 1), 4) AS mean_tok_len,
            len(list_distinct(l)) AS n_unique
     FROM toks
@@ -430,29 +433,6 @@ _COS_Q = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
 
 
-def _cosine_expr(a: str, b: str):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    n1 = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    n2 = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (n1 * n2)
-
-
 @query(
     "embedding_topk",
     f"""
@@ -482,15 +462,25 @@ def embedding_topk(spark, sf_dir):
     score all candidates in one narrow pass, rank per query."""
     from mitie_spark.session import load_tables
 
+    from mitie_spark.operators.similarity import _dot, _norm
+
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # norms hoisted to one fold per row (not per pair) — same values,
+    # two thirds fewer interpreted folds on the Q×N product
     q = emb.filter(F.col("vec_id") < _COS_Q).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
     )
     c = emb.filter(F.col("vec_id") >= _COS_Q).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
     )
     scored = c.join(F.broadcast(q)).select(
-        "qid", "cid", F.round(_cosine_expr("qe", "ce"), 4).alias("cos")
+        "qid",
+        "cid",
+        F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 4).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (

@@ -239,7 +239,7 @@ _CAND_CACHE: dict[str, DataFrame] = {}
 def _cand_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached persisted blocking candidates — the minhash, components,
     and embedding-cosine queries all start from the same banding pass."""
-    key = f"{id(spark)}:{sf_dir}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"  # see queries_kg._kg
     if key not in _CAND_CACHE:
         docs = load_tables(spark, sf_dir, ["documents"])["documents"]
         _CAND_CACHE[key] = _minhash_band_candidates(docs).persist()
@@ -266,7 +266,7 @@ def _verified_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and components queries share one blocking+verify pass, exactly as the
     KG queries share one extraction pass.
     """
-    key = f"{id(spark)}:{sf_dir}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"  # see queries_kg._kg
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
