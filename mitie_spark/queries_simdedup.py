@@ -894,3 +894,50 @@ def asof_purchase_before_click(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH embedding near-dups and chinese-whispers clusters
+# (rows-only: random-projection blocking is genuinely approximate, and the
+# cluster objective is model-driven — both are unit-tested instead)
+# ---------------------------------------------------------------------------
+
+
+@query("embedding_near_duplicates")
+def embedding_near_duplicates(spark, sf_dir):
+    """Random-hyperplane LSH blocking + exact cosine verify ≥ 0.95 over the
+    documents' hashed count-vectors (operators/similarity.
+    cosine_near_duplicates — the sign-bit LSH scale path). With 8 bands of
+    2 planes, the miss probability at cos 0.95 is (1−0.81)^8 ≈ 2e-6, so
+    the output matches the deterministic md5-banded variant
+    (dedup_embedding_cosine) in practice — but blocking recall is
+    probabilistic by construction, so this entry is rows-only and the
+    md5-banded variant carries the value-hash gate."""
+    from mitie_spark.operators.similarity import cosine_near_duplicates
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    vecs = _doc_count_vectors(docs)
+    out = cosine_near_duplicates(
+        vecs, threshold=_COS_T, n_planes=16, bands=8, id_col="vec_id"
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+@query("surface_whisper_clusters")
+def surface_whisper_clusters(spark, sf_dir):
+    """Chinese-whispers clustering over the verified near-dup graph —
+    the synchronous distributed form of the reference's word-cluster pass
+    (wordrep kNN + dlib chinese_whispers, main.cpp:197-256). Unlike
+    connected components this cuts weak bridges; rows-only (the label
+    dynamics are iterative, not SQL-expressible)."""
+    from mitie_spark.operators.graph import chinese_whispers
+
+    pairs = _verified_minhash_pairs(spark, sf_dir)
+    out = chinese_whispers(pairs, src="id_a", dst="id_b", weight="jaccard")
+    return (
+        out.groupBy("cluster")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "cluster")
+    )
