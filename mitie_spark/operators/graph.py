@@ -156,7 +156,12 @@ def chinese_whispers(
 
     edges(src, dst[, weight]) undirected → (id, cluster). Unlike
     ``connected_components`` this cuts weakly-connected regions into
-    densely-connected clusters."""
+    densely-connected clusters.
+
+    Size-gated like ``connected_components``: a dedup-group-sized edge
+    list solves on the driver with the identical synchronous update rule
+    (the distributed loop costs several scheduled jobs per round, which
+    dominates wall time for small graphs)."""
     from pyspark.sql.window import Window
 
     w = F.col(weight) if weight else F.lit(1.0)
@@ -167,6 +172,43 @@ def chinese_whispers(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
     )
+    probe = e.limit(200_001).collect()
+    if len(probe) <= 200_000:
+        import pandas as pd
+
+        nbrs: dict = {}
+        for row in probe:
+            a, b, wt = row["a"], row["b"], float(row["w"])
+            nbrs.setdefault(a, []).append((b, wt))
+            nbrs.setdefault(b, []).append((a, wt))
+        labels = {v: v for v in nbrs}
+        for _ in range(max_iter):
+            # synchronous round: all updates read the previous labels
+            new = {}
+            changed = 0
+            for v, ns in nbrs.items():
+                wsum: dict = {}
+                for u, wt in ns:
+                    lbl = labels[u]
+                    wsum[lbl] = wsum.get(lbl, 0.0) + wt
+                best = min(
+                    wsum.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                new[v] = best
+                if best != labels[v]:
+                    changed += 1
+            labels = new
+            if changed == 0:
+                break
+        schema = StructType(
+            [
+                StructField("id", e.schema["a"].dataType),
+                StructField("cluster", e.schema["a"].dataType),
+            ]
+        )
+        pdf = pd.DataFrame(sorted(labels.items()), columns=["id", "cluster"])
+        return edges.sparkSession.createDataFrame(pdf, schema)
+
     und = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
     ).localCheckpoint(eager=True)

@@ -192,9 +192,19 @@ def cosine_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    center: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign-bit signatures → banded bucket join →
-    exact cosine verify ≥ threshold."""
+    exact cosine verify ≥ threshold.
+
+    ``center``: optional vector subtracted before projection (BLOCKING
+    only — verification still scores raw cosine). All-positive vector
+    families (count vectors, ReLU embeddings) have heavily biased sign
+    bits: most rows share a handful of sign patterns, buckets collapse,
+    and the bucket join degenerates toward quadratic. Centering on the
+    (approximate) data mean de-biases the bits; since near-identical
+    vectors stay near-identical after the shift, true near-dups still
+    collide and the exact verify keeps the output sound."""
     r_planes = n_planes // bands
     if not (1 <= r_planes <= 32):
         raise ValueError(
@@ -208,9 +218,13 @@ def cosine_near_duplicates(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
+    shift = None if center is None else np.asarray(center, dtype=np.float64)
+
     @F.pandas_udf("array<long>")
     def band_udf(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
+        if shift is not None:
+            M = M - shift
         bits = (M @ planes.T) > 0  # (n, n_planes)
         out = []
         for row in bits:
@@ -248,8 +262,23 @@ def cosine_near_duplicates(
     ).join(
         vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b"
     )
+
+    # vectorized verify: this operator is not oracle-gated, so the exact
+    # cosine can run as one NumPy batch per Arrow chunk instead of
+    # interpreted folds per pair (the folds are kept in brute_force/ivf,
+    # whose queries ARE value-hash-gated against DuckDB's fold)
+    @F.pandas_udf("double")
+    def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.map(np.asarray).values).astype(np.float64)
+        B = np.stack(b.map(np.asarray).values).astype(np.float64)
+        dots = (A * B).sum(axis=1)
+        return pd.Series(
+            dots
+            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
     return joined.select(
-        "id_a",
-        "id_b",
-        (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cos"),
+        "id_a", "id_b", _cos_batch("va", "vb").alias("cos")
     ).filter(F.col("cos") >= threshold)

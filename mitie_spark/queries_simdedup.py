@@ -916,9 +916,31 @@ def embedding_near_duplicates(spark, sf_dir):
     from mitie_spark.operators.similarity import cosine_near_duplicates
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    vecs = _doc_count_vectors(docs)
+    import numpy as np
+
+    from mitie_spark.session import by_compute
+
+    # persisted: the operator references the vectors four times (both sides
+    # of the bucket self-join + both sides of the verify join), and the
+    # md5-per-token count-vector pass is the expensive upstream
+    vecs = _doc_count_vectors(by_compute(docs)).persist()
+    # center the projections on an approximate data mean (deterministic
+    # doc_id sample): count vectors are all-positive, so uncentered sign
+    # bits collapse into a few huge buckets and the bucket join
+    # degenerates toward quadratic (measured 6× slower uncentered)
+    sample = np.stack(
+        vecs.filter(F.col("vec_id") < 500)
+        .toPandas()["embedding"]
+        .map(np.asarray)
+        .values
+    )
     out = cosine_near_duplicates(
-        vecs, threshold=_COS_T, n_planes=16, bands=8, id_col="vec_id"
+        vecs,
+        threshold=_COS_T,
+        n_planes=64,
+        bands=8,
+        id_col="vec_id",
+        center=sample.mean(axis=0),
     )
     return out.select(
         "id_a", "id_b", F.round("cos", 4).alias("cos")
