@@ -29,7 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_registry()[0])
+    # Oracle-gated queries first (relative order preserved), rows-only
+    # entries last: CORRECTNESS_r01 recorded exactly 50 rows for 53
+    # registered queries, so if the driver caps how many queries it gates,
+    # the cap must fall on rows-only entries (which carry a weaker check
+    # anyway), never on a value-hash-gated query.
+    qs, osql = _registry()
+    ordered = {k: v for k, v in qs.items() if k in osql}
+    ordered.update({k: v for k, v in qs.items() if k not in osql})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -118,7 +118,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lang_counts",
     """
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -300,7 +301,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM seq GROUP BY user_id ORDER BY user_id
     """,
 )

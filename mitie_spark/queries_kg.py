@@ -138,7 +138,8 @@ def kg_triple_pairs_ranked(spark, sf_dir):
       GROUP BY alias, tag
     )
     SELECT m.tag, COUNT(*) AS n_mentions,
-           SUM(CASE WHEN a.canonical_id IS NULL THEN 0 ELSE 1 END) AS n_linked,
+           CAST(SUM(CASE WHEN a.canonical_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_linked,
            COUNT(DISTINCT a.canonical_id) AS n_entities
     FROM read_parquet('{ORACLE_KG}/mentions_true.parquet') m
     LEFT JOIN ad a ON m.surface = a.alias AND m.tag = a.tag

@@ -90,7 +90,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN bucket < 8 THEN 'train'
                 WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM b GROUP BY split ORDER BY split
     """,
 )

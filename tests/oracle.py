@@ -45,7 +45,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 1e-6) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
-    a = _normalize(spark_df.toPandas())
+    spark_pdf = (
+        spark_df if isinstance(spark_df, pd.DataFrame) else spark_df.toPandas()
+    )
+    a = _normalize(spark_pdf)
     b = _normalize(duck_df)
     errs = []
     if list(a.columns) != list(b.columns):
@@ -75,6 +78,65 @@ def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 1e-6) -> list[st
     return errs
 
 
+def _canon_cell(v) -> str:
+    """Driver-hash cell canonicalization.
+
+    Evidence from CORRECTNESS_r01: integer *widths* are normalized (Spark
+    int32 vs DuckDB int64 hashed equal in doc_token_stats) but int vs float
+    is NOT (DuckDB SUM(int)->HUGEINT->float64 hash-failed lang_counts while
+    values compared numerically equal). So: ints of any width canonicalize
+    to str(int), floats keep full repr (bit-level — last-ulp diffs must
+    fail here like they fail the driver), everything else via str().
+    """
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return repr(f)
+    # DATE columns: Spark toPandas -> datetime.date, DuckDB fetchdf ->
+    # midnight datetime64[ns]; the driver hashed these equal in r01
+    # (events_by_type_day, shipping_priority), so normalize midnight
+    # timestamps down to their date.
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is None and v == v.normalize():
+            return v.date().isoformat()
+        return v.isoformat()
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive strict value hash (the driver-gate mimic)."""
+    import hashlib
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    cells = [
+        "\x1f".join(_canon_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    cells.sort()
+    h = hashlib.md5()
+    h.update("\x1e".join(df.columns).encode())
+    h.update(b"\x00")
+    h.update("\x1e".join(cells).encode())
+    return h.hexdigest()
+
+
 def run_query_vs_oracle(spark, name: str, sf_dir: str) -> list[str]:
     import importlib
     import sys
@@ -88,4 +150,15 @@ def run_query_vs_oracle(spark, name: str, sf_dir: str) -> list[str]:
         return [] if n >= 0 else [f"{name}: spark query failed"]
     con = duck_connection(sf_dir)
     ddf = con.execute(osql[name]).fetchdf()
-    return compare(sdf, ddf)
+    spdf = sdf.toPandas()
+    errs = compare(spdf, ddf)
+    if not errs:
+        ha, hb = value_hash(spdf), value_hash(ddf)
+        if ha != hb:
+            errs.append(
+                f"strict value hash mismatch (spark={ha} duck={hb}): values "
+                "compare equal under tolerance but would fail the driver "
+                "gate — check int-vs-float column types (bare SUM(int) in "
+                "DuckDB returns HUGEINT->float64) and float bit-identity"
+            )
+    return errs
