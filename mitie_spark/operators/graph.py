@@ -171,6 +171,9 @@ def chinese_whispers(
         )
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
+        .persist()  # probe materializes it; without this the large path
+        # would re-run the full upstream (e.g. blocking+verify) for the
+        # checkpoint — same reason connected_components persists
     )
     probe = e.limit(200_001).collect()
     if len(probe) <= 200_000:
@@ -207,11 +210,14 @@ def chinese_whispers(
             ]
         )
         pdf = pd.DataFrame(sorted(labels.items()), columns=["id", "cluster"])
+        e.unpersist(blocking=False)
         return edges.sparkSession.createDataFrame(pdf, schema)
 
     und = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
     ).localCheckpoint(eager=True)
+    e.unpersist(blocking=False)  # the checkpoint is materialized; the
+    # cached edges are no longer referenced
     vertices = und.select(F.col("a").alias("id")).distinct()
     labels = vertices.withColumn("lbl", F.col("id"))
 

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 from mitie_spark.queries import query
 from mitie_spark.session import load_tables
 
+# session-keyed persisted token frames for doc_unigram_logprob (one cached
+# copy per (session, sf_dir) instead of one per invocation)
+_TOKS_CACHE: dict[str, DataFrame] = {}
+
 # ---------------------------------------------------------------------------
 # Range (interval) join — click → errors by the same user within 10 minutes
 # ---------------------------------------------------------------------------
@@ -296,15 +300,23 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is stable across libm/summation-order differences."""
     from mitie_spark.session import by_compute
 
-    docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.filter(F.split("text", " "), lambda t: t != "")
-        ).alias("token"),
-    )
-    toks = toks.persist()
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _TOKS_CACHE:
+        docs = by_compute(
+            load_tables(spark, sf_dir, ["documents"])["documents"]
+        )
+        # session-keyed: repeated invocations reuse one persisted copy
+        # instead of accumulating cached blocks per call (the frame must
+        # stay persisted past return — the result DataFrame is lazy and
+        # reads it twice at collect time: once for cnt, once for doc)
+        _TOKS_CACHE[key] = docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token"),
+        ).persist()
+    toks = _TOKS_CACHE[key]
     cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
     total = toks.count()  # one scalar; avoids a cross join in the plan
     doc = (
@@ -312,9 +324,6 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.avg(F.log(F.col("c") / F.lit(float(total)))).alias("lp"))
     )
-    # toks stays persisted: the returned DataFrame is lazy, so unpersisting
-    # here would unmark the cache before the query ever runs and the explode
-    # would execute twice at collect time (once for cnt, once for doc)
     return (
         doc.groupBy("source")
         .agg(

@@ -907,12 +907,16 @@ def asof_purchase_before_click(spark, sf_dir):
 def embedding_near_duplicates(spark, sf_dir):
     """Random-hyperplane LSH blocking + exact cosine verify ≥ 0.95 over the
     documents' hashed count-vectors (operators/similarity.
-    cosine_near_duplicates — the sign-bit LSH scale path). With 8 bands of
-    2 planes, the miss probability at cos 0.95 is (1−0.81)^8 ≈ 2e-6, so
-    the output matches the deterministic md5-banded variant
-    (dedup_embedding_cosine) in practice — but blocking recall is
-    probabilistic by construction, so this entry is rows-only and the
-    md5-banded variant carries the value-hash gate."""
+    cosine_near_duplicates — the sign-bit LSH scale path). 16 bands of
+    8 planes: per-band collision at cos 0.95 is (1−acos(.95)/π)^8 ≈ 0.426,
+    so the miss probability is (1−0.426)^16 ≈ 1.4e-4 and the output
+    matches the deterministic md5-banded variant (dedup_embedding_cosine)
+    in practice. 8 planes per band (256 signatures/band) keeps buckets
+    fine-grained — recall is bought with MORE BANDS, never with shorter
+    band signatures, which coarsen buckets and push the bucket self-join
+    toward quadratic at corpus scale. Blocking recall is probabilistic by
+    construction, so this entry is rows-only and the md5-banded variant
+    carries the value-hash gate."""
     from mitie_spark.operators.similarity import cosine_near_duplicates
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -937,8 +941,8 @@ def embedding_near_duplicates(spark, sf_dir):
     out = cosine_near_duplicates(
         vecs,
         threshold=_COS_T,
-        n_planes=64,
-        bands=8,
+        n_planes=128,
+        bands=16,
         id_col="vec_id",
         center=sample.mean(axis=0),
     )

@@ -98,8 +98,14 @@ def train_from_freebase(
         for _ in range(max(negatives_per_positive - 1, 0)):
             if n < 3:
                 break
-            s1, s2 = int(rng.integers(0, n)), int(rng.integers(0, n))
-            if s1 == s2:
-                continue
-            examples.append((toks, (s1, s1 + 1), (s2, s2 + 1), None))
+            # resample on collision (bounded) so the requested negative
+            # count is actually produced — a skipped iteration would bias
+            # short sentences toward fewer negatives
+            for _retry in range(8):
+                s1, s2 = int(rng.integers(0, n)), int(rng.integers(0, n))
+                if s1 != s2:
+                    examples.append(
+                        (toks, (s1, s1 + 1), (s2, s2 + 1), None)
+                    )
+                    break
     return train_relation_model(preds, examples, epochs=10)
