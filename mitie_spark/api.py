@@ -65,22 +65,29 @@ class named_entity_extractor:
         ]
 
     def extract_binary_relation(self, tokens, arg1_range, arg2_range):
-        """→ a ``binary_relation`` carrying the pair context (C++ example
-        semantics: full token sequence, no window crop)."""
-        return binary_relation(
-            list(tokens),
-            (arg1_range.start, arg1_range.stop),
-            (arg2_range.start, arg2_range.stop),
-        )
+        """→ a ``binary_relation`` carrying the extracted pair FEATURES (C++
+        example semantics: full token sequence, no window crop). Like the
+        reference, feature extraction happens on the NER extractor — which
+        owns the word-feature source — and the detector only scores the
+        pre-extracted vector (mitie.h:360-375; the .svm detector file does
+        not embed an extractor)."""
+        from mitie_spark.models.relation_model import relation_features
+
+        toks = list(tokens)
+        a1 = (arg1_range.start, arg1_range.stop)
+        a2 = (arg2_range.start, arg2_range.stop)
+        row = relation_features(toks, self._model.X(toks), a1, a2)
+        return binary_relation(row, self._model.fs.fingerprint)
 
 
 class binary_relation:
-    """Opaque candidate-pair container (mitie.py:361-372 analog)."""
+    """Opaque extracted-features container (mitie.py:361-372 analog; the
+    reference's mitie_binary_relation is likewise the extracted sparse
+    vector plus the extractor fingerprint)."""
 
-    def __init__(self, tokens, arg1, arg2):
-        self.tokens = tokens
-        self.arg1 = arg1
-        self.arg2 = arg2
+    def __init__(self, features, fingerprint: int):
+        self.features = features
+        self.fingerprint = fingerprint
 
 
 class binary_relation_detector:
@@ -106,9 +113,13 @@ class binary_relation_detector:
         self._model.save(filename)
 
     def __call__(self, relation: binary_relation) -> float:
-        s = self._model.scores(
-            relation.tokens, None, relation.arg1, relation.arg2
-        )
+        if relation.fingerprint != self._model.fingerprint:
+            raise ValueError(
+                "relation was extracted with a different word-feature "
+                "source than this detector was trained on (reference "
+                "guard: binary_relation_detector.h:70-77)"
+            )
+        s = self._model._score_rows([relation.features])[0]
         return float(s[self._idx])
 
 
@@ -294,7 +305,12 @@ class binary_relation_detector_trainer:
             (toks, a1, a2, self.relation_name) for toks, a1, a2 in self._pos
         ] + [(toks, a1, a2, None) for toks, a1, a2 in self._neg]
         model = train_relation_model(
-            [self.relation_name], examples, epochs=14, margin=2.0
+            [self.relation_name],
+            examples,
+            epochs=14,
+            margin=2.0,
+            fs=self._ner._model.fs,  # the reference trainer extracts
+            # features through the NER's word-feature extractor
         )
         return binary_relation_detector(_model=model, name=self.relation_name)
 

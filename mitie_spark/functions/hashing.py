@@ -177,15 +177,23 @@ def shash(word: str, seed: int) -> tuple[int, int]:
     return murmur_hash3_128(word.encode("utf-8"), seed)
 
 
+def _schar(byte: int) -> int:
+    """char → uint32 with sign extension: the reference assigns
+    ``dlib::uint32 l1 = word[0]`` where char is signed on x86 Linux, so
+    UTF-8 bytes ≥ 0x80 become 0xFFFFFFxx (ner_feature_extraction.cpp:27-61).
+    Bit-exactness for non-ASCII words requires replicating that."""
+    return byte if byte < 0x80 else (byte - 0x100) & 0xFFFFFFFF
+
+
 @lru_cache(maxsize=200_000)
 def prefix(word: str, seed: int) -> tuple[int, int]:
     """hash of the first ≤3 bytes (ner_feature_extraction.cpp:27-43)."""
     if not word:
         return (0, 0)
     b = word.encode("utf-8")
-    l1 = b[0]
-    l2 = b[1] if len(b) > 1 else 0
-    l3 = b[2] if len(b) > 2 else 0
+    l1 = _schar(b[0])
+    l2 = _schar(b[1]) if len(b) > 1 else 0
+    l3 = _schar(b[2]) if len(b) > 2 else 0
     return murmur_hash3_128_u32x4(l1, l2, l3, seed)
 
 
@@ -195,9 +203,9 @@ def suffix(word: str, seed: int) -> tuple[int, int]:
     if not word:
         return (0, 0)
     b = word.encode("utf-8")
-    l1 = b[-1]
-    l2 = b[-2] if len(b) > 1 else 0
-    l3 = b[-3] if len(b) > 2 else 0
+    l1 = _schar(b[-1])
+    l2 = _schar(b[-2]) if len(b) > 1 else 0
+    l3 = _schar(b[-3]) if len(b) > 2 else 0
     return murmur_hash3_128_u32x4(l1, l2, l3, seed)
 
 

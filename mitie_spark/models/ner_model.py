@@ -9,18 +9,25 @@ Re-expresses the reference's two-part NER (SURVEY.md §2.3 M1+M2):
   structured-SVM solver; ours are trained with an averaged structured
   perceptron on the deterministic synthetic corpus (the reference's binary
   models are not vendored — makefile:13-17 downloads them).
-- M2: per-chunk classification with murmur-hashed sparse features + dense
-  word-vector blocks, multiclass linear argmax, and the "predicted class ≥
-  num_tags ⇒ drop chunk" rule
-  (/root/reference/mitielib/src/ner_feature_extraction.cpp:167-388;
-  named_entity_extractor.cpp:147-174; dlib/svm/function.h:752-832).
+- M2: per-chunk classification with the reference's FULL hashed feature set
+  (word/stem/prefix/suffix hashes, shape indicator features, caps-pattern,
+  ±1/±2 context words and 8-token context bags seeds 1000/1001, all over
+  MAX_FEAT=500000 with ±1.5 random signs and duplicate-summing) plus five
+  normalized dense word-vector blocks appended at index MAX_FEAT+i, then
+  multiclass linear argmax with the "predicted class ≥ num_tags ⇒ drop
+  chunk" rule (/root/reference/mitielib/src/ner_feature_extraction.cpp:
+  167-388; named_entity_extractor.cpp:147-174; dlib/svm/function.h:752-832).
 
-Word features: deterministic murmur-derived embeddings + shape flags
-(stand-in for the 271-dim CCA vectors of total_word_feature_extractor.h;
-same lookup semantics — a broadcast-free hash "join" per token).
+Word features are pluggable (T9): either the deterministic hashed-embedding
+standin (no dictionary needed) or trained CCA word vectors
+(models/word_vectors.WordVectors — the total_word_feature_extractor
+equivalent, embedded inside the saved model exactly like the reference
+serializes its extractor inside ner_model.dat,
+named_entity_extractor.cpp:35-118).
 
 All inference is batched NumPy inside mapInPandas (SURVEY.md §4): the model
-object is broadcast once per executor, never per batch.
+object is broadcast once per executor, never per batch; chunk scoring stacks
+every cache-miss chunk in the Arrow batch into one segment-reduce + matmul.
 """
 
 from __future__ import annotations
@@ -30,12 +37,26 @@ from functools import lru_cache
 import numpy as np
 
 from mitie_spark.functions.hashing import (
+    MAX_FEAT,
     hashed_embedding,
+    ifeat,
     make_feat,
     prefix,
     shash,
     suffix,
 )
+from mitie_spark.functions.predicates import (
+    alternating_caps_in_middle,
+    caps_pattern,
+    contains_hyphen,
+    contains_letters,
+    contains_letters_and_numbers,
+    contains_numbers,
+    is_all_caps,
+    is_all_numbers,
+    is_caps,
+)
+from mitie_spark.functions.stemmer import stem_word
 
 # BILOU state ids (sequence_segmenter.h uses the same 5-state layout when
 # use_BIO_model == false; ner_feature_extraction.h:35)
@@ -59,58 +80,129 @@ _END_OK = np.array([0.0, NEG, NEG, 0.0, 0.0])  # O, L, U may end
 
 EMB_DIM = 32
 SHAPE_DIM = 6
-D = EMB_DIM + SHAPE_DIM  # per-token dense feature width
+D = EMB_DIM + SHAPE_DIM  # per-token width of the DEFAULT (hashed) source
 WINDOW = 3  # sequence_segmenter window_size (ner_feature_extraction.h:39)
-SEG_DIM = WINDOW * D + 1  # + bias
+SEG_DIM = WINDOW * D + 1  # + bias (default source; dynamic per fs otherwise)
 
-HC = 1 << 16  # hashed feature space of the chunk classifier
-
-# feature-space fingerprint (S5 parity: the reference chains a murmur
-# fingerprint of the word-feature extractor through every model and verifies
-# it before predicting — named_entity_extractor.h:223-245,
-# binary_relation_detector.h:70-77). Ours fingerprints the deterministic
-# hashed-embedding feature space; bump the version when D/EMB_DIM change.
-import zlib as _zlib
-
-FEATURE_FINGERPRINT = _zlib.crc32(f"hashed-emb-v1:{EMB_DIM}:{SHAPE_DIM}".encode())
 TAGS = ["PERSON", "LOCATION", "ORGANIZATION"]
 NOT_ENTITY = len(TAGS)  # drop rule: predicted class ≥ len(TAGS)
 
+import zlib as _zlib
 
-@lru_cache(maxsize=500_000)
-def token_features(word: str) -> np.ndarray:
-    """Dense per-token features: hashed embedding + ASCII shape flags
-    (shape predicates per ner_feature_extraction.cpp:70-145)."""
-    v = np.empty(D, dtype=np.float32)
-    v[:EMB_DIM] = hashed_embedding(word, EMB_DIM)
+
+# ---------------------------------------------------------------------------
+# word-feature sources (T9). The reference chains a murmur fingerprint of the
+# word-feature extractor through every model and verifies it before
+# predicting (named_entity_extractor.h:223-245, binary_relation_detector.h:
+# 70-77); each source exposes .dims / .token_features / .fingerprint.
+# ---------------------------------------------------------------------------
+
+
+def shape_flags(word: str) -> np.ndarray:
+    """6 ASCII shape flags (shape predicates per
+    ner_feature_extraction.cpp:70-145)."""
+    v = np.empty(SHAPE_DIM, dtype=np.float32)
     c0 = word[0] if word else ""
-    v[EMB_DIM + 0] = 1.0 if c0.isupper() else 0.0
-    v[EMB_DIM + 1] = 1.0 if word.isupper() else 0.0
-    v[EMB_DIM + 2] = 1.0 if any(ch.isdigit() for ch in word) else 0.0
-    v[EMB_DIM + 3] = 1.0 if word.isalpha() else 0.0
-    v[EMB_DIM + 4] = min(len(word), 10) / 10.0
-    v[EMB_DIM + 5] = 1.0 if word.islower() else 0.0
+    v[0] = 1.0 if c0.isupper() else 0.0
+    v[1] = 1.0 if word.isupper() else 0.0
+    v[2] = 1.0 if any(ch.isdigit() for ch in word) else 0.0
+    v[3] = 1.0 if word.isalpha() else 0.0
+    v[4] = min(len(word), 10) / 10.0
+    v[5] = 1.0 if word.islower() else 0.0
     return v
 
 
-def sentence_matrix(tokens: list[str]) -> np.ndarray:
-    """(n, D) float32 token feature matrix (sentence_to_feats analog,
+@lru_cache(maxsize=500_000)
+def _hashed_token_features(word: str) -> np.ndarray:
+    """Dense per-token features: hashed embedding + ASCII shape flags."""
+    v = np.empty(D, dtype=np.float32)
+    v[:EMB_DIM] = hashed_embedding(word, EMB_DIM)
+    v[EMB_DIM:] = shape_flags(word)
+    return v
+
+
+class HashedFeatureSource:
+    """Deterministic murmur-derived embeddings — dictionary-free standin for
+    the CCA vectors (same lookup semantics, no broadcast needed). v2: the
+    chunk-classifier feature space moved to the reference-exact extractor."""
+
+    kind = "hashed"
+    dims = D
+    fingerprint = _zlib.crc32(f"hashed-emb-v2:{EMB_DIM}:{SHAPE_DIM}".encode())
+
+    def token_features(self, word: str) -> np.ndarray:
+        return _hashed_token_features(word)
+
+
+class ShapeAugmentedWordVectors:
+    """Trained CCA word vectors (T9) + the 6 ASCII shape flags.
+
+    The reference's segmenter sees ONLY the 271-dim dictionary vectors —
+    workable because its extractor is trained on billions of tokens with a
+    400k-word vocabulary and the segmenter is a structured SVM. On the
+    synthetic corpora here, a pure-CCA source leaves the averaged
+    perceptron ~0.2%% short of exact boundary recovery (capitalization only
+    reaches it through morph substrings), so the shape flags are appended
+    as a documented extension; the CCA + morph + OOV layout underneath is
+    the reference's (total_word_feature_extractor.h:107-137)."""
+
+    kind = "wordvec+shape"
+
+    def __init__(self, wv):
+        self.wv = wv
+
+    @property
+    def dims(self) -> int:
+        return self.wv.dims + SHAPE_DIM
+
+    @property
+    def fingerprint(self) -> int:
+        return _zlib.crc32(b"+shape6", self.wv.fingerprint)
+
+    def token_features(self, word: str) -> np.ndarray:
+        cache = self.wv._tf_cache
+        key = ("+s", word)
+        v = cache.get(key)
+        if v is None:
+            v = np.concatenate(
+                [self.wv.token_features(word), shape_flags(word)]
+            )
+            if len(cache) < 1_000_000:
+                cache[key] = v
+        return v
+
+
+DEFAULT_FS = HashedFeatureSource()
+
+# kept for compatibility: modules that fingerprint against the default space
+FEATURE_FINGERPRINT = DEFAULT_FS.fingerprint
+
+
+def token_features(word: str) -> np.ndarray:
+    """Default-source per-token features (back-compat shim)."""
+    return _hashed_token_features(word)
+
+
+def sentence_matrix(tokens: list[str], fs=None) -> np.ndarray:
+    """(n, fs.dims) float32 token feature matrix (sentence_to_feats analog,
     ner_feature_extraction.cpp:13-23)."""
+    fs = fs or DEFAULT_FS
     if not tokens:
-        return np.zeros((0, D), dtype=np.float32)
-    return np.stack([token_features(t) for t in tokens])
+        return np.zeros((0, fs.dims), dtype=np.float32)
+    tf = fs.token_features
+    return np.stack([tf(t) for t in tokens])
 
 
 def window_matrix(X: np.ndarray) -> np.ndarray:
-    """(n, 3D+1): [x_{i-1}, x_i, x_{i+1}, 1] with zero padding at the edges
+    """(n, 3d+1): [x_{i-1}, x_i, x_{i+1}, 1] with zero padding at the edges
     (the window-3 emission features of sequence_segmenter.h:208-253)."""
-    n = X.shape[0]
-    W = np.zeros((n, SEG_DIM), dtype=np.float32)
+    n, d = X.shape
+    W = np.zeros((n, WINDOW * d + 1), dtype=np.float32)
     if n == 0:
         return W
-    W[1:, 0:D] = X[:-1]
-    W[:, D : 2 * D] = X
-    W[:-1, 2 * D : 3 * D] = X[1:]
+    W[1:, 0:d] = X[:-1]
+    W[:, d : 2 * d] = X
+    W[:-1, 2 * d : 3 * d] = X[1:]
     W[:, -1] = 1.0
     return W
 
@@ -223,70 +315,188 @@ def chunks_to_labels(n: int, chunks: list[tuple[int, int]]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# chunk classifier features (simplified port of extract_ner_chunk_features,
-# ner_feature_extraction.cpp:167-388: hashed words/prefix/suffix of the chunk
-# ±2 context, plus dense first/last/mean/before/after blocks each normalized
-# by 1/(0.5‖v‖+1e-10))
+# chunk classifier features — exact port of extract_ner_chunk_features
+# (ner_feature_extraction.cpp:167-388): every hashed feature of the reference
+# at its original seed, over MAX_FEAT=500000, duplicates summed
+# (make_sparse_vector_inplace), dense blocks appended at index ≥ MAX_FEAT.
 # ---------------------------------------------------------------------------
 
 N_DENSE_BLOCKS = 5
-CLS_DENSE = N_DENSE_BLOCKS * D
+CLS_DENSE = N_DENSE_BLOCKS * D  # default source; dynamic per fs otherwise
+
+# per-role seeds, straight from the cpp:
+# (word, stem, prefix, suffix, caps, all_caps, all_caps_size_base,
+#  numbers, letters, letters+numbers, all_numbers, hyphen, alt_caps)
+# role 'tok'  = every chunk token            (cpp:188-212)
+# role 'first'= words[start]                 (cpp:221-243; caps seed 27 — the
+#               reference REUSES the hyphen seed here; replicated, not fixed)
+# role 'last' = words[end-1]                 (cpp:245-261)
+# role 'before'  = words[start-1]            (cpp:263-289)
+# role 'before2' = words[start-2]            (cpp:291-315)
+# role 'after2'  = words[end+1]              (cpp:317-341)
+# role 'after'   = words[end]                (cpp:343-369)
+_ROLE_SEEDS = {
+    "tok": (0, 10, 50, 51, 21, 22, 6622, 23, 24, 25, 26, 27, 500),
+    "first": (1, 11, 52, 53, 27, 28, 6628, 29, 30, 31, 32, 33, 501),
+    "last": (2, 12, 54, 55, 34, 35, 6635, 36, 37, 38, 39, 40, 502),
+    "before": (3, 13, 56, 57, 60, 61, 6661, 62, 63, 64, 65, 66, 503),
+    "before2": (103, 113, 156, 157, 160, 161, 66161, 162, 163, 164, 165, 166, 504),
+    "after2": (104, 114, 158, 159, 167, 168, 66168, 169, 170, 171, 172, 173, 505),
+    "after": (4, 14, 58, 59, 67, 68, 6668, 69, 70, 71, 72, 73, 506),
+}
+
+CONTEXT_BAG = 8  # wide_range = chunk ± 8 tokens (cpp:180-186)
+SEED_BAG_BEFORE = 1000
+SEED_BAG_AFTER = 1001
+
+
+@lru_cache(maxsize=4096)
+def _ifeat_feat(seed: int) -> tuple[int, float]:
+    return make_feat(ifeat(seed))
+
+
+@lru_cache(maxsize=2_000_000)
+def _word_feat(word: str, seed: int) -> tuple[int, float]:
+    return make_feat(shash(word, seed))
+
+
+# caps_pattern collapses to two possible hashes (val ∈ {0,1} — the
+# reference ORs every probe into bit 0; predicates.py documents the quirk)
+_CAPS_FEAT = {v: make_feat(caps_pattern(["A" if v else "a"], 0, 1)) for v in (0, 1)}
+
+
+@lru_cache(maxsize=1_000_000)
+def _role_feats(word: str, role: str) -> tuple[tuple[int, float], ...]:
+    """All hashed features the reference emits for ``word`` in ``role`` —
+    pure function of (word, role), so one cache hit replaces ~8 murmur
+    calls per occurrence."""
+    (
+        w_seed, st_seed, p_seed, s_seed,
+        c_caps, c_all, size_base,
+        c_num, c_let, c_both, c_allnum, c_hyph, c_alt,
+    ) = _ROLE_SEEDS[role]
+    out = [
+        _word_feat(word, w_seed),
+        _word_feat(stem_word(word), st_seed),
+        make_feat(prefix(word, p_seed)),
+        make_feat(suffix(word, s_seed)),
+    ]
+    if is_caps(word):
+        out.append(_ifeat_feat(c_caps))
+    if is_all_caps(word):
+        out.append(_ifeat_feat(c_all))
+        if 1 <= len(word) <= 4:
+            out.append(_ifeat_feat(size_base + len(word) - 1))
+    if contains_numbers(word):
+        out.append(_ifeat_feat(c_num))
+    if contains_letters(word):
+        out.append(_ifeat_feat(c_let))
+    if contains_letters_and_numbers(word):
+        out.append(_ifeat_feat(c_both))
+    if is_all_numbers(word):
+        out.append(_ifeat_feat(c_allnum))
+    if contains_hyphen(word):
+        out.append(_ifeat_feat(c_hyph))
+    if alternating_caps_in_middle(word):
+        out.append(_ifeat_feat(c_alt))
+    return tuple(out)
 
 
 def _norm_block(v: np.ndarray) -> np.ndarray:
+    # lnorm = 0.5 (cpp:371-376)
     return v / (0.5 * float(np.linalg.norm(v)) + 1e-10)
-
-
-@lru_cache(maxsize=2_000_000)
-def _featC(word: str, seed: int) -> tuple[int, float]:
-    idx, val = make_feat(shash(word, seed))
-    return idx % HC, val
-
-
-@lru_cache(maxsize=2_000_000)
-def _prefsufC(word: str) -> tuple[int, float, int, float]:
-    """Cached prefix/suffix hashed features of a word (the murmur u32x4
-    variants recompute per chunk occurrence otherwise)."""
-    pi, pv = make_feat(prefix(word, 10))
-    si, sv = make_feat(suffix(word, 11))
-    return pi % HC, pv, si % HC, sv
 
 
 def chunk_features(
     tokens: list[str], X: np.ndarray, start: int, end: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """→ (sparse idx array over HC, sparse val array, dense (CLS_DENSE,))."""
-    idxs: list[int] = []
-    vals: list[float] = []
+    """extract_ner_chunk_features (cpp:167-388) → (sorted unique sparse
+    indices over MAX_FEAT, summed values, dense (5·d,) block vector).
 
-    for pos in range(start, end):
-        w = tokens[pos]
-        f = _featC(w, 0); idxs.append(f[0]); vals.append(f[1])
-        pi, pv, si, sv = _prefsufC(w)
-        idxs.append(pi); vals.append(pv)
-        idxs.append(si); vals.append(sv)
-    f = _featC(tokens[start], 1); idxs.append(f[0]); vals.append(f[1])
-    f = _featC(tokens[end - 1], 2); idxs.append(f[0]); vals.append(f[1])
-    for off, seed in ((-2, 20), (-1, 21), (0, 22), (1, 23)):
-        p = start + off if off < 0 else end - 1 + off
-        if 0 <= p < len(tokens):
-            f = _featC(tokens[p], seed); idxs.append(f[0]); vals.append(f[1])
-    f = _featC(str(end - start if end - start < 5 else 5), 30)
-    idxs.append(f[0]); vals.append(f[1])  # length bucket
+    The multiset of hashed (index, ±1.5) pairs matches the reference
+    exactly; duplicates are summed as make_sparse_vector_inplace does. The
+    dense part is [first, last, mean, before, after], each block scaled by
+    1/(0.5·‖v‖+1e-10), zeros at sentence boundaries (cpp:371-383)."""
+    n = len(tokens)
+    pairs: list[tuple[int, float]] = []
+    ext = pairs.extend
+    app = pairs.append
 
+    # 8-token context bags (cpp:180-186)
+    for i in range(max(0, start - CONTEXT_BAG), start):
+        app(_word_feat(tokens[i], SEED_BAG_BEFORE))
+    for i in range(end, min(n, end + CONTEXT_BAG)):
+        app(_word_feat(tokens[i], SEED_BAG_AFTER))
+
+    # per chunk token (cpp:188-212)
+    for i in range(start, end):
+        ext(_role_feats(tokens[i], "tok"))
+
+    # caps pattern over {prev, first, last, next} (cpp:216)
+    val = 0
+    if start != 0 and is_caps(tokens[start - 1]):
+        val = 1
+    if is_caps(tokens[start]):
+        val = 1
+    if is_caps(tokens[end - 1]):
+        val = 1
+    if end < n and is_caps(tokens[end]):
+        val = 1
+    app(_CAPS_FEAT[val])
+
+    ext(_role_feats(tokens[start], "first"))
+    ext(_role_feats(tokens[end - 1], "last"))
+    if start > 0:
+        ext(_role_feats(tokens[start - 1], "before"))
+    if start > 1:
+        ext(_role_feats(tokens[start - 2], "before2"))
+    if end + 1 < n:
+        ext(_role_feats(tokens[end + 1], "after2"))
+    if end < n:
+        ext(_role_feats(tokens[end], "after"))
+
+    # make_sparse_vector_inplace: sort by index, sum duplicates
+    idx = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+    val_arr = np.fromiter((p[1] for p in pairs), np.float64, len(pairs))
+    order = np.argsort(idx, kind="stable")
+    idx = idx[order]
+    val_arr = val_arr[order]
+    first_mask = np.empty(len(idx), dtype=bool)
+    first_mask[0] = True
+    np.not_equal(idx[1:], idx[:-1], out=first_mask[1:])
+    starts = np.nonzero(first_mask)[0]
+    sums = np.add.reduceat(val_arr, starts)
+
+    d = X.shape[1]
     first = X[start]
     last = X[end - 1]
     mean = X[start:end].mean(axis=0)
-    before = X[start - 1] if start > 0 else np.zeros(D, dtype=np.float32)
-    after = X[end] if end < len(tokens) else np.zeros(D, dtype=np.float32)
+    before = X[start - 1] if start > 0 else np.zeros(d, dtype=np.float32)
+    after = X[end] if end < n else np.zeros(d, dtype=np.float32)
     dense = np.concatenate(
         [_norm_block(b) for b in (first, last, mean, before, after)]
     ).astype(np.float32)
-    return np.asarray(idxs, dtype=np.int64), np.asarray(vals), dense
+    return idx[starts], sums, dense
+
+
+def chunk_memo_key(tokens: list[str], start: int, end: int):
+    """Every chunk feature — hashed and dense — is a pure function of the
+    chunk tokens plus the ≤8 context tokens on each side (context bags,
+    ±1/±2 roles, caps pattern, dense before/after blocks), so identical
+    windows classify once."""
+    return (
+        tuple(tokens[max(0, start - CONTEXT_BAG) : start]),
+        tuple(tokens[start:end]),
+        tuple(tokens[end : end + CONTEXT_BAG]),
+    )
 
 
 class NerModel:
-    """Weights container + predict; save/load as .npz (broadcastable)."""
+    """Weights container + predict; save/load as .npz (broadcastable).
+
+    ``fs``: the word-feature source (T9) — HashedFeatureSource (default) or
+    a trained WordVectors; embedded in the artifact like the reference
+    embeds its total_word_feature_extractor inside ner_model.dat."""
 
     def __init__(
         self,
@@ -296,31 +506,67 @@ class NerModel:
         W_cls_dense: np.ndarray | None = None,
         b_cls: np.ndarray | None = None,
         tags: list[str] | None = None,
+        fs=None,
     ):
+        self.fs = fs or DEFAULT_FS
+        d = self.fs.dims
         k = NOT_ENTITY + 1
-        self.W_seg = W_seg if W_seg is not None else np.zeros((N_STATES, SEG_DIM))
+        self.W_seg = (
+            W_seg if W_seg is not None else np.zeros((N_STATES, WINDOW * d + 1))
+        )
         self.T_seg = T_seg if T_seg is not None else np.zeros((N_STATES, N_STATES))
         self.W_cls_sparse = (
-            W_cls_sparse if W_cls_sparse is not None else np.zeros((k, HC))
+            W_cls_sparse if W_cls_sparse is not None else np.zeros((k, MAX_FEAT))
         )
         self.W_cls_dense = (
-            W_cls_dense if W_cls_dense is not None else np.zeros((k, CLS_DENSE))
+            W_cls_dense
+            if W_cls_dense is not None
+            else np.zeros((k, N_DENSE_BLOCKS * d))
         )
         self.b_cls = b_cls if b_cls is not None else np.zeros(k)
         self.tags = tags or TAGS
 
+    def X(self, tokens: list[str]) -> np.ndarray:
+        """Token feature matrix under this model's word-feature source."""
+        return sentence_matrix(tokens, self.fs)
+
     # --- prediction (named_entity_extractor.cpp:132-174,178-225) ---
     def segment(self, tokens: list[str], X: np.ndarray | None = None):
         if X is None:
-            X = sentence_matrix(tokens)
+            X = self.X(tokens)
         em = window_matrix(X) @ self.W_seg.T.astype(np.float32)
         path = viterbi(em.astype(np.float64), self.T_seg)
         return labels_to_chunks(path), X
 
+    def _score_feature_rows(self, rows):
+        """Batched multiclass scoring of feature rows [(idxs, vals, dense)]
+        → (N, K) scores: one segment-reduce per class over the concatenated
+        sparse parts + one dense matmul. The single-chunk path goes through
+        here too so per-doc and batched extraction stay bit-identical."""
+        K = self.b_cls.shape[0]
+        N = len(rows)
+        lens = np.fromiter((len(r[0]) for r in rows), np.int64, N)
+        all_idx = np.concatenate([r[0] for r in rows])
+        all_val = np.concatenate([r[1] for r in rows])
+        offs = np.zeros(N, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        S = np.empty((N, K), dtype=np.float64)
+        dense = np.stack([r[2] for r in rows]).astype(np.float64)
+        for k in range(K):
+            contrib = self.W_cls_sparse[k, all_idx] * all_val
+            # einsum, not BLAS matvec: BLAS dgemv picks N-dependent kernels
+            # (measured last-ulp drift between N=1 and N=60), while einsum's
+            # per-element summation order is independent of N — so batched
+            # and per-doc scoring stay bit-identical
+            S[:, k] = np.add.reduceat(contrib, offs) + np.einsum(
+                "nd,d->n", dense, self.W_cls_dense[k]
+            )
+        S += self.b_cls
+        return S
+
     def classify_chunk(self, tokens, X, start, end):
-        idxs, vals, dense = chunk_features(tokens, X, start, end)
-        scores = self.b_cls + (self.W_cls_sparse[:, idxs] * vals).sum(axis=1)
-        scores += self.W_cls_dense @ dense.astype(np.float64)
+        row = chunk_features(tokens, X, start, end)
+        scores = self._score_feature_rows([row])[0]
         k = int(np.argmax(scores))
         srt = np.sort(scores)
         margin = float(srt[-1] - srt[-2]) if len(scores) > 1 else float(scores[k])
@@ -370,37 +616,58 @@ class NerModel:
 
     _CHUNK_CACHE_MAX = 500_000
 
-    def classify_chunks(self, tokens, X, chunks):
-        """chunks → [(start, end, tag, score)], dropping NOT_ENTITY
-        (named_entity_extractor.cpp:147-174).
+    def classify_chunks_batch(self, docs):
+        """[(tokens, X, chunks)] → per-doc [(start, end, tag, score)] with
+        NOT_ENTITY dropped (named_entity_extractor.cpp:147-174).
 
-        Results are memoized per model instance: every feature of a chunk
-        (hashed words/prefix/suffix, the ±2-token context seeds, and the
-        five dense X-row blocks) is a pure function of the chunk tokens
-        plus the tokens at start−2, start−1 and end — so identical
-        (chunk, context) windows, which recur constantly in web text,
-        classify once."""
+        Memoized per (chunk, ±8-token context) window — recurring windows
+        (constant in templated web text) classify once — and every cache
+        MISS in the batch is scored in ONE stacked segment-reduce + matmul
+        instead of a per-chunk gather (the round-1 hot-spot)."""
         cache = getattr(self, "_chunk_cache", None)
         if cache is None:
             cache = self._chunk_cache = {}
-        n = len(tokens)
-        out = []
-        for s, e in chunks:
-            key = (
-                tuple(tokens[s:e]),
-                tokens[s - 2] if s >= 2 else None,
-                tokens[s - 1] if s >= 1 else None,
-                tokens[e] if e < n else None,
-            )
-            hit = cache.get(key)
-            if hit is None:
-                hit = self.classify_chunk(tokens, X, s, e)
+        layouts = []  # per doc: [(s, e, key)]
+        miss_rows = []  # feature rows to score
+        miss_keys = []
+        seen_miss: dict = {}
+        for tokens, X, chunks in docs:
+            lay = []
+            for s, e in chunks:
+                key = chunk_memo_key(tokens, s, e)
+                lay.append((s, e, key))
+                if key not in cache and key not in seen_miss:
+                    seen_miss[key] = True
+                    miss_rows.append(chunk_features(tokens, X, s, e))
+                    miss_keys.append(key)
+            layouts.append(lay)
+        if miss_rows:
+            S = self._score_feature_rows(miss_rows)
+            top = np.argmax(S, axis=1)
+            part = np.sort(S, axis=1)
+            margins = part[:, -1] - part[:, -2]
+            for key, k, m in zip(miss_keys, top, margins):
                 if len(cache) < self._CHUNK_CACHE_MAX:
-                    cache[key] = hit
-            k, margin = hit
-            if k < len(self.tags):
-                out.append((s, e, self.tags[k], margin))
+                    cache[key] = (int(k), float(m))
+                else:
+                    seen_miss[key] = (int(k), float(m))
+        out = []
+        n_tags = len(self.tags)
+        for lay in layouts:
+            doc_out = []
+            for s, e, key in lay:
+                hit = cache.get(key)
+                if hit is None:
+                    hit = seen_miss[key]
+                k, margin = hit
+                if k < n_tags:
+                    doc_out.append((s, e, self.tags[k], margin))
+            out.append(doc_out)
         return out
+
+    def classify_chunks(self, tokens, X, chunks):
+        """chunks → [(start, end, tag, score)], dropping NOT_ENTITY."""
+        return self.classify_chunks_batch([(tokens, X, chunks)])[0]
 
     def extract_entities(self, tokens: list[str]):
         """→ [(start, end, tag, score)] — chunks classified NOT_ENTITY are
@@ -412,33 +679,75 @@ class NerModel:
 
     # --- serialization ---
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path,
+        # sparse weights stored as (row, col, val) triplets: only features
+        # seen in training are nonzero, so the artifact stays KB-sized
+        # instead of k×500000 dense floats
+        r, c = np.nonzero(self.W_cls_sparse)
+        arrays = dict(
             W_seg=self.W_seg,
             T_seg=self.T_seg,
-            W_cls_sparse=self.W_cls_sparse,
+            W_cls_shape=np.array(self.W_cls_sparse.shape, dtype=np.int64),
+            W_cls_rows=r.astype(np.int32),
+            W_cls_cols=c.astype(np.int64),
+            W_cls_vals=self.W_cls_sparse[r, c],
             W_cls_dense=self.W_cls_dense,
             b_cls=self.b_cls,
             tags=np.array(self.tags),
-            fingerprint=np.array([FEATURE_FINGERPRINT], dtype=np.int64),
+            fs_kind=np.array([self.fs.kind]),
+            fingerprint=np.array([self.fs.fingerprint], dtype=np.int64),
         )
+        if self.fs.kind in ("wordvec", "wordvec+shape"):
+            wv = self.fs.wv if self.fs.kind == "wordvec+shape" else self.fs
+            arrays.update(
+                wv_words=np.array(wv.words),
+                wv_core=wv.core,
+                wv_hash_table=wv.substring_set.hash_table,
+                wv_max_substr_len=np.array(
+                    [wv.substring_set.max_substr_len]
+                ),
+                wv_morph_trans=wv.morph_trans,
+                wv_cca_dim=np.array([wv.cca_dim]),
+            )
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "NerModel":
         z = np.load(path, allow_pickle=False)
-        if "fingerprint" in z and int(z["fingerprint"][0]) != FEATURE_FINGERPRINT:
+        kind = str(z["fs_kind"][0]) if "fs_kind" in z else "hashed"
+        if kind in ("wordvec", "wordvec+shape"):
+            from mitie_spark.functions.morphology import ApproximateSubstringSet
+            from mitie_spark.models.word_vectors import WordVectors
+
+            sset = ApproximateSubstringSet()
+            sset.hash_table = z["wv_hash_table"]
+            sset.max_substr_len = int(z["wv_max_substr_len"][0])
+            fs = WordVectors(
+                [str(w) for w in z["wv_words"]],
+                z["wv_core"],
+                sset,
+                z["wv_morph_trans"],
+                int(z["wv_cca_dim"][0]),
+            )
+            if kind == "wordvec+shape":
+                fs = ShapeAugmentedWordVectors(fs)
+        else:
+            fs = DEFAULT_FS
+        if "fingerprint" in z and int(z["fingerprint"][0]) != fs.fingerprint:
             raise ValueError(
                 "NER model was trained against a different word-feature "
                 "space (fingerprint mismatch) — retrain or ship the matching "
                 "feature code (reference: named_entity_extractor.h:223-245)"
             )
+        W = np.zeros(tuple(z["W_cls_shape"]), dtype=np.float64)
+        W[z["W_cls_rows"], z["W_cls_cols"]] = z["W_cls_vals"]
         return cls(
             W_seg=z["W_seg"],
             T_seg=z["T_seg"],
-            W_cls_sparse=z["W_cls_sparse"],
+            W_cls_sparse=W,
             W_cls_dense=z["W_cls_dense"],
             b_cls=z["b_cls"],
             tags=[str(t) for t in z["tags"]],
+            fs=fs,
         )
 
 
@@ -449,15 +758,19 @@ class NerModel:
 # ---------------------------------------------------------------------------
 
 
-def train_segmenter(sentences, epochs: int = 8, seed: int = 1234):
+def train_segmenter(sentences, epochs: int = 8, seed: int = 1234, fs=None):
     """sentences: [(tokens, chunk_ranges)]. Returns (W_seg, T_seg)."""
+    fs = fs or DEFAULT_FS
     rng = np.random.default_rng(seed)
-    W = np.zeros((N_STATES, SEG_DIM))
+    W = np.zeros((N_STATES, WINDOW * fs.dims + 1))
     T = np.zeros((N_STATES, N_STATES))
     Wa = np.zeros_like(W)
     Ta = np.zeros_like(T)
     feats = [
-        (window_matrix(sentence_matrix(toks)), chunks_to_labels(len(toks), chunks))
+        (
+            window_matrix(sentence_matrix(toks, fs)),
+            chunks_to_labels(len(toks), chunks),
+        )
         for toks, chunks in sentences
         if toks
     ]
@@ -483,23 +796,28 @@ def train_segmenter(sentences, epochs: int = 8, seed: int = 1234):
 
 
 def train_chunk_classifier(
-    examples, epochs: int = 6, seed: int = 1235, n_classes: int | None = None
+    examples,
+    epochs: int = 6,
+    seed: int = 1235,
+    n_classes: int | None = None,
+    fs=None,
 ):
     """examples: [(tokens, start, end, class_id)] with class_id == the
     not-entity id (== number of real tags) for non-entity segments. Returns
     (W_sparse, W_dense, b). ``n_classes`` = real tags + 1; defaults to the
     built-in TAGS vocabulary."""
+    fs = fs or DEFAULT_FS
     rng = np.random.default_rng(seed)
     k = n_classes if n_classes is not None else NOT_ENTITY + 1
-    Ws = np.zeros((k, HC))
-    Wd = np.zeros((k, CLS_DENSE))
+    Ws = np.zeros((k, MAX_FEAT))
+    Wd = np.zeros((k, N_DENSE_BLOCKS * fs.dims))
     b = np.zeros(k)
     # lazy averaging: avg = W_final - U/steps where U accumulates
-    # step_index * delta at each update (avoids O(HC) work per example)
+    # step_index * delta at each update (avoids O(MAX_FEAT) work per example)
     Us, Ud, ub = np.zeros_like(Ws), np.zeros_like(Wd), np.zeros_like(b)
     cache = []
     for tokens, s, e, y in examples:
-        X = sentence_matrix(tokens)
+        X = sentence_matrix(tokens, fs)
         idxs, vals, dense = chunk_features(tokens, X, s, e)
         cache.append((idxs, vals, dense.astype(np.float64), y))
     steps = 0

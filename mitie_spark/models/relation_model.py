@@ -108,14 +108,15 @@ def relation_features(
     arg1: tuple[int, int],
     arg2: tuple[int, int],
     mean_cache: dict | None = None,
+    fs=None,
 ):
-    """→ (sparse [(idx,val)], dense (2D,)) for an ordered (arg1, arg2) pair.
+    """→ (sparse [(idx,val)], dense (2d,)) for an ordered (arg1, arg2) pair.
 
     ``mean_cache``: per-document {(start, end): mean vector} — each mention
     participates in up to 4 ordered candidate pairs, so caching its mean
     word vector cuts the dense-feature cost ~4×."""
     if X is None:
-        X = sentence_matrix(tokens)
+        X = sentence_matrix(tokens, fs)
     s1, e1 = arg1
     s2, e2 = arg2
 
@@ -153,23 +154,60 @@ def relation_features(
 
 
 class RelationModel:
-    """Named binary detectors over the shared feature space."""
+    """Named binary detectors over the shared feature space.
 
-    def __init__(self, preds: list[str], W_sparse=None, W_dense=None, b=None):
+    ``fingerprint``: the word-feature-source fingerprint this model was
+    trained against; the extraction operator verifies it matches the NER's
+    source before predicting, mirroring the reference's predict-time guard
+    (binary_relation_detector.h:70-77)."""
+
+    def __init__(
+        self,
+        preds: list[str],
+        W_sparse=None,
+        W_dense=None,
+        b=None,
+        fingerprint: int | None = None,
+    ):
         self.preds = list(preds)
         k = len(self.preds)
         self.W_sparse = W_sparse if W_sparse is not None else np.zeros((k, HR))
         self.W_dense = W_dense if W_dense is not None else np.zeros((k, DENSE_DIM))
         self.b = b if b is not None else np.zeros(k)
+        if fingerprint is None:
+            from mitie_spark.models.ner_model import DEFAULT_FS
+
+            fingerprint = DEFAULT_FS.fingerprint
+        self.fingerprint = int(fingerprint)
+
+    def _score_rows(self, rows) -> np.ndarray:
+        """Batched scoring of feature rows [(idxs, vals, dense)] → (N, K):
+        one segment-reduce per detector over the concatenated sparse parts
+        + one dense matmul. The single-pair path routes through here so
+        per-doc and batched extraction stay bit-identical."""
+        K = self.b.shape[0]
+        N = len(rows)
+        lens = np.fromiter((len(r[0]) for r in rows), np.int64, N)
+        all_idx = np.concatenate([r[0] for r in rows])
+        all_val = np.concatenate([r[1] for r in rows])
+        offs = np.zeros(N, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        S = np.empty((N, K), dtype=np.float64)
+        dense = np.stack([r[2] for r in rows])
+        for k in range(K):
+            contrib = self.W_sparse[k, all_idx] * all_val
+            # einsum, not BLAS matvec: summation order independent of N, so
+            # batched and per-pair scoring stay bit-identical (see
+            # ner_model._score_feature_rows)
+            S[:, k] = np.add.reduceat(contrib, offs) + np.einsum(
+                "nd,d->n", dense, self.W_dense[k]
+            )
+        S += self.b
+        return S
 
     def scores(self, tokens, X, arg1, arg2, mean_cache=None) -> np.ndarray:
-        idxs, vals, dense = relation_features(
-            tokens, X, arg1, arg2, mean_cache
-        )
-        # one vectorized gather per pair instead of a python loop per feature
-        s = self.b + (self.W_sparse[:, idxs] * vals).sum(axis=1)
-        s += self.W_dense @ dense
-        return s
+        row = relation_features(tokens, X, arg1, arg2, mean_cache)
+        return self._score_rows([row])[0]
 
     def detect(self, tokens, X, arg1, arg2, mean_cache=None):
         """→ [(pred, score)] for detectors with score > 0
@@ -177,53 +215,70 @@ class RelationModel:
         s = self.scores(tokens, X, arg1, arg2, mean_cache)
         return [(self.preds[i], float(s[i])) for i in np.nonzero(s > 0)[0]]
 
-    def save(self, path: str) -> None:
-        from mitie_spark.models.ner_model import FEATURE_FINGERPRINT
+    def detect_batch(self, items):
+        """items: [(tokens, X, arg1, arg2, mean_cache)] → per item
+        [(pred, score) for score > 0]. Feature extraction stays per pair
+        (memoized windows); the K detector scores for EVERY pair in the
+        Arrow batch compute in one stacked call."""
+        if not items:
+            return []
+        rows = [
+            relation_features(t, X, a1, a2, mc) for t, X, a1, a2, mc in items
+        ]
+        S = self._score_rows(rows)
+        out = []
+        for i in range(len(items)):
+            hits = np.nonzero(S[i] > 0)[0]
+            out.append([(self.preds[j], float(S[i, j])) for j in hits])
+        return out
 
+    def save(self, path: str) -> None:
         np.savez_compressed(
             path,
             preds=np.array(self.preds),
             W_sparse=self.W_sparse,
             W_dense=self.W_dense,
             b=self.b,
-            fingerprint=np.array([FEATURE_FINGERPRINT], dtype=np.int64),
+            fingerprint=np.array([self.fingerprint], dtype=np.int64),
         )
 
     @classmethod
     def load(cls, path: str) -> "RelationModel":
-        from mitie_spark.models.ner_model import FEATURE_FINGERPRINT
-
         z = np.load(path, allow_pickle=False)
-        if "fingerprint" in z and int(z["fingerprint"][0]) != FEATURE_FINGERPRINT:
-            raise ValueError(
-                "relation detector was trained against a different word-"
-                "feature space (fingerprint mismatch; reference guard: "
-                "binary_relation_detector.h:70-77)"
-            )
         return cls(
             preds=[str(p) for p in z["preds"]],
             W_sparse=z["W_sparse"],
             W_dense=z["W_dense"],
             b=z["b"],
+            fingerprint=int(z["fingerprint"][0]) if "fingerprint" in z else None,
         )
 
 
 def train_relation_model(
-    preds: list[str], examples, epochs: int = 10, seed: int = 77, margin: float = 1.0
+    preds: list[str],
+    examples,
+    epochs: int = 10,
+    seed: int = 77,
+    margin: float = 1.0,
+    fs=None,
 ) -> RelationModel:
     """examples: [(tokens, arg1, arg2, pos_pred | None)]; every candidate is a
     negative for all detectors except its positive predicate (if any).
     Margin perceptron with lazy averaging."""
+    from mitie_spark.models.ner_model import DEFAULT_FS
+
+    fs = fs or DEFAULT_FS
     rng = np.random.default_rng(seed)
     k = len(preds)
     pid = {p: i for i, p in enumerate(preds)}
+    dense_dim = 2 * fs.dims
     Ws = np.zeros((k, HR))
-    Wd = np.zeros((k, DENSE_DIM))
+    Wd = np.zeros((k, dense_dim))
     b = np.zeros(k)
     Us, Ud, ub = np.zeros_like(Ws), np.zeros_like(Wd), np.zeros_like(b)
     cache = []
     for tokens, a1, a2, pos in examples:
-        idxs, vals, dense = relation_features(tokens, None, a1, a2)
+        idxs, vals, dense = relation_features(tokens, None, a1, a2, fs=fs)
         y = np.full(k, -1.0)
         if pos is not None:
             y[pid[pos]] = 1.0
@@ -246,4 +301,10 @@ def train_relation_model(
                     b[d] += yy
                     ub[d] += steps * yy
     n = max(steps, 1)
-    return RelationModel(preds, Ws - Us / n, Wd - Ud / n, b - ub / n)
+    return RelationModel(
+        preds,
+        Ws - Us / n,
+        Wd - Ud / n,
+        b - ub / n,
+        fingerprint=fs.fingerprint,
+    )

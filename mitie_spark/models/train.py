@@ -121,8 +121,6 @@ def build_training_data(n_docs: int, seed: int):
 
 def evaluate(ner: NerModel, rel: RelationModel, n_docs: int, seed: int):
     """End-to-end P/R on held-out docs: mentions (span+tag exact) and triples."""
-    from mitie_spark.models.ner_model import sentence_matrix
-
     rng = random.Random(f"eval:{seed}")
     tp_m = fp_m = fn_m = 0
     tp_r = fp_r = fn_r = 0
@@ -138,7 +136,7 @@ def evaluate(ner: NerModel, rel: RelationModel, n_docs: int, seed: int):
         truth_t = {
             (ments[si][3], p, ments[oi][3]) for si, p, oi in rels
         }
-        X = sentence_matrix(toks)
+        X = ner.X(toks)
         pred_sorted = sorted(pred_m, key=lambda m: m[0])
         pred_t = set()
         for j in range(len(pred_sorted) - 1):
@@ -169,13 +167,48 @@ def evaluate(ner: NerModel, rel: RelationModel, n_docs: int, seed: int):
     }
 
 
-def train_all(out_dir: str = ARTIFACT_DIR, n_train_docs: int = 1500, seed: int = 4242):
+def train_word_feature_source(seg_sents, vocab_size=2000, cca_dim=16, morph_dim=8):
+    """T9: train the wordrep CCA word vectors on the training corpus and use
+    them as the NER emission features (the reference's NER consumes the
+    total_word_feature_extractor's vectors — total_word_feature_extractor.h:
+    107-137; trainer analog: tools/wordrep -e, main.cpp:142-149)."""
+    import pandas as pd
+
+    from mitie_spark.models.word_vectors import train_word_vectors
+    from mitie_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    texts = [" ".join(toks) for toks, _ in seg_sents]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        "doc_id long, text string",
+    )
+    from mitie_spark.models.ner_model import ShapeAugmentedWordVectors
+
+    wv = train_word_vectors(
+        docs,
+        vocab_size=vocab_size,
+        cca_dim=cca_dim,
+        morph_dim=morph_dim,
+    )
+    return ShapeAugmentedWordVectors(wv)
+
+
+def train_all(
+    out_dir: str = ARTIFACT_DIR,
+    n_train_docs: int = 4000,
+    seed: int = 4242,
+    use_word_vectors: bool = True,
+):
     os.makedirs(out_dir, exist_ok=True)
     seg_sents, cls_examples, rel_examples = build_training_data(n_train_docs, seed)
-    W_seg, T_seg = train_segmenter(seg_sents)
-    Ws, Wd, b = train_chunk_classifier(cls_examples, epochs=12)
-    ner = NerModel(W_seg, T_seg, Ws, Wd, b, TAGS)
-    rel = train_relation_model(list(PREDS), rel_examples, epochs=14, margin=2.0)
+    fs = train_word_feature_source(seg_sents) if use_word_vectors else None
+    W_seg, T_seg = train_segmenter(seg_sents, fs=fs)
+    Ws, Wd, b = train_chunk_classifier(cls_examples, epochs=12, fs=fs)
+    ner = NerModel(W_seg, T_seg, Ws, Wd, b, TAGS, fs=fs)
+    rel = train_relation_model(
+        list(PREDS), rel_examples, epochs=14, margin=2.0, fs=fs
+    )
     ner.save(os.path.join(out_dir, "ner_model.npz"))
     rel.save(os.path.join(out_dir, "relation_model.npz"))
     cat = train_text_categorizer(build_categorizer_data(800, seed))
@@ -192,7 +225,7 @@ def train_all(out_dir: str = ARTIFACT_DIR, n_train_docs: int = 1500, seed: int =
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=ARTIFACT_DIR)
-    ap.add_argument("--train-docs", type=int, default=1500)
+    ap.add_argument("--train-docs", type=int, default=4000)
     ap.add_argument("--seed", type=int, default=4242)
     args = ap.parse_args()
     _, _, metrics = train_all(args.out, args.train_docs, args.seed)

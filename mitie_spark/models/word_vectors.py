@@ -80,10 +80,13 @@ def top_k_words(counts: DataFrame, k: int) -> DataFrame:
 
 def substring_counts(counts: DataFrame, max_len: int = 5) -> DataFrame:
     """A3: boundary-marked substrings (≤ max_len chars incl. '*') of vocab
-    words, weighted by word frequency (basic_morph.cpp:47-124). Dynamic
-    substr bounds need SQL expr (F.substring takes literals only)."""
+    words, weighted by word frequency (basic_morph.cpp:47-124). CASE-
+    SENSITIVE like the reference (basic_morph never lowercases — so the
+    morph features of OOV words carry capitalization, which the NER
+    segmenter needs to find name boundaries). Dynamic substr bounds need
+    SQL expr (F.substring takes literals only)."""
     marked = counts.select(
-        F.concat(F.lit("*"), F.lower("word"), F.lit("*")).alias("mw"), "cnt"
+        F.concat(F.lit("*"), F.col("word"), F.lit("*")).alias("mw"), "cnt"
     )
     subs = marked.select(
         "cnt",
@@ -273,7 +276,7 @@ def train_word_vectors(
     morph_acc = np.zeros((sset.max_substring_id() + 1, 2 * cca_dim))
     morph_n = np.zeros(sset.max_substring_id() + 1)
     for w_, i in wid.items():
-        for h in set(sset.find_substrings(w_.lower())):
+        for h in set(sset.find_substrings(w_)):
             morph_acc[h] += core[i]
             morph_n[h] += 1
     morph_full = morph_acc / np.maximum(morph_n, 1.0)[:, None]
@@ -288,7 +291,14 @@ def train_word_vectors(
 
 class WordVectors:
     """total_word_feature_extractor equivalent (T9):
-    dims = 1 (OOV flag) + 2*cca_dim + morph_dim."""
+    dims = 1 (OOV flag) + 2*cca_dim + morph_dim.
+
+    Doubles as a NER word-feature source (ner_model.NerModel ``fs``): the
+    reference's NER consumes exactly these vectors as its emission features
+    (total_word_feature_extractor.h:107-137), with digits folded to '#'
+    before lookup (convert_numbers, :34-45)."""
+
+    kind = "wordvec"
 
     def __init__(self, words, core, substring_set, morph_trans, cca_dim):
         self.words = list(words)
@@ -297,13 +307,43 @@ class WordVectors:
         self.substring_set = substring_set
         self.morph_trans = morph_trans  # (8192, morph_dim)
         self.cca_dim = cca_dim
+        self._tf_cache: dict[str, np.ndarray] = {}
 
     @property
     def dims(self) -> int:
         return 1 + self.core.shape[1] + self.morph_trans.shape[1]
 
+    @property
+    def fingerprint(self) -> int:
+        """Content fingerprint chained through dependent models
+        (reference: total_word_feature_extractor.h fingerprint member,
+        verified by named_entity_extractor.h:223-245)."""
+        import zlib
+
+        h = zlib.crc32("wordvec-v1".encode())
+        h = zlib.crc32("\x00".join(self.words).encode(), h)
+        h = zlib.crc32(np.ascontiguousarray(self.core).tobytes(), h)
+        h = zlib.crc32(
+            np.ascontiguousarray(self.morph_trans).tobytes(), h
+        )
+        return h
+
+    def token_features(self, word: str) -> np.ndarray:
+        """Cached per-word lookup with the reference's digit fold applied
+        (convert_numbers before the dictionary probe)."""
+        v = self._tf_cache.get(word)
+        if v is None:
+            from mitie_spark.functions.tokenizer import fold_digits
+
+            v = self.get_feature_vector(fold_digits(word))
+            if len(self._tf_cache) < 500_000:
+                self._tf_cache[word] = v
+        return v
+
     def morph_vector(self, word: str) -> np.ndarray:
-        hits = self.substring_set.find_substrings(word.lower())
+        # case-sensitive like the reference's word_morphology_feature_
+        # extractor.get_feature_vector (no tolower anywhere in that path)
+        hits = self.substring_set.find_substrings(word)
         out = np.zeros(self.morph_trans.shape[1], dtype=np.float32)
         for h in hits:
             out += self.morph_trans[h]

@@ -46,18 +46,22 @@ def _load_models(ner_path: str, rel_path: str):
     from mitie_spark.models.ner_model import NerModel
     from mitie_spark.models.relation_model import RelationModel
 
-    return NerModel.load(ner_path), RelationModel.load(rel_path)
+    ner = NerModel.load(ner_path)
+    rel = RelationModel.load(rel_path)
+    # predict-time guard: the relation detectors must have been trained
+    # against the same word-feature source as the NER model — fail fast
+    # before a corpus-scale run (binary_relation_detector.h:70-77)
+    if rel.fingerprint != ner.fs.fingerprint:
+        raise ValueError(
+            "relation detector / NER word-feature fingerprint mismatch "
+            f"({rel.fingerprint} != {ner.fs.fingerprint}) — retrain the "
+            "pair together (reference guard: binary_relation_detector.h:70-77)"
+        )
+    return ner, rel
 
 
-def _finish_document(tokens, ents, rel, X=None):
-    """Post-segmentation per-doc dataflow: mentions rows + adjacent-pair
-    relation scoring → (n_tokens, mentions, triples).
-
-    Candidate pairs: adjacent detected mentions, both orders, no window crop
-    (relation_extraction_example.cpp:107-121)."""
-    from mitie_spark.models.ner_model import sentence_matrix
-
-    mentions = [
+def _mention_rows(tokens, ents):
+    return [
         {
             "start": s,
             "end": e,
@@ -67,29 +71,44 @@ def _finish_document(tokens, ents, rel, X=None):
         }
         for s, e, tag, score in ents
     ]
+
+
+def _candidate_pairs(ents):
+    """Adjacent detected mentions, both orders, no window crop
+    (relation_extraction_example.cpp:107-121) → [((sa, ea), (sb, eb))]."""
+    pairs = []
+    order = sorted(range(len(ents)), key=lambda i: ents[i][0])
+    for j in range(len(order) - 1):
+        for a, b in ((order[j], order[j + 1]), (order[j + 1], order[j])):
+            pairs.append(
+                ((ents[a][0], ents[a][1]), (ents[b][0], ents[b][1]))
+            )
+    return pairs
+
+
+def _triple_row(tokens, arg1, arg2, pred, score):
+    sa, ea = arg1
+    sb, eb = arg2
+    return {
+        "subj": " ".join(tokens[sa:ea]),
+        "pred": pred,
+        "obj": " ".join(tokens[sb:eb]),
+        "score": float(score),
+        "subj_start": sa,
+        "obj_start": sb,
+    }
+
+
+def _finish_document(tokens, ents, rel, X):
+    """Post-segmentation per-doc dataflow: mentions rows + adjacent-pair
+    relation scoring → (n_tokens, mentions, triples)."""
+    mentions = _mention_rows(tokens, ents)
     triples = []
     if len(ents) >= 2:
-        if X is None:
-            X = sentence_matrix(tokens)
         mean_cache: dict = {}  # per-mention mean vectors, shared across pairs
-        order = sorted(range(len(ents)), key=lambda i: ents[i][0])
-        for j in range(len(order) - 1):
-            for a, b in ((order[j], order[j + 1]), (order[j + 1], order[j])):
-                sa, ea = ents[a][0], ents[a][1]
-                sb, eb = ents[b][0], ents[b][1]
-                for pred, score in rel.detect(
-                    tokens, X, (sa, ea), (sb, eb), mean_cache
-                ):
-                    triples.append(
-                        {
-                            "subj": " ".join(tokens[sa:ea]),
-                            "pred": pred,
-                            "obj": " ".join(tokens[sb:eb]),
-                            "score": float(score),
-                            "subj_start": sa,
-                            "obj_start": sb,
-                        }
-                    )
+        for arg1, arg2 in _candidate_pairs(ents):
+            for pred, score in rel.detect(tokens, X, arg1, arg2, mean_cache):
+                triples.append(_triple_row(tokens, arg1, arg2, pred, score))
     return len(tokens), mentions, triples
 
 
@@ -98,28 +117,50 @@ def extract_document(text: str, ner, rel):
     from mitie_spark.functions.tokenizer import tokenize
 
     tokens = tokenize(text)
-    ents = ner.extract_entities(tokens)
-    return _finish_document(tokens, ents, rel)
+    chunks, X = ner.segment(tokens)
+    ents = ner.classify_chunks(tokens, X, chunks)
+    return _finish_document(tokens, ents, rel, X)
 
 
 def extract_documents_batch(texts, ner, rel):
-    """Arrow-batch extraction: segmentation (emissions matmul + Viterbi)
-    runs batched across the documents (NerModel.segment_batch — the python
-    per-step DP overhead amortizes over the batch), then each doc finishes
-    through the same chunk-classify + relation path as extract_document.
-    Value-identical to per-doc extraction (equivalence unit-tested)."""
+    """Arrow-batch extraction, batched at every model stage: segmentation
+    (one stacked emissions matmul + vectorized Viterbi), chunk
+    classification (all cache-miss chunks in the batch scored in one
+    segment-reduce + matmul), and relation detection (every candidate pair
+    in the batch scored in one stacked call). Value-identical to per-doc
+    extraction — all three stages route through the same scoring functions
+    (equivalence unit-tested)."""
     from mitie_spark.functions.tokenizer import tokenize
-    from mitie_spark.models.ner_model import sentence_matrix
 
     tok_lists = [tokenize(t or "") for t in texts]
-    Xs = [sentence_matrix(toks) for toks in tok_lists]
+    Xs = [ner.X(toks) for toks in tok_lists]
     chunk_lists = ner.segment_batch(Xs)
-    return [
-        _finish_document(
-            toks, ner.classify_chunks(toks, X, chunks), rel, X=X
-        )
-        for toks, X, chunks in zip(tok_lists, Xs, chunk_lists)
+    ents_lists = ner.classify_chunks_batch(
+        list(zip(tok_lists, Xs, chunk_lists))
+    )
+    results = [
+        [len(toks), _mention_rows(toks, ents), []]
+        for toks, ents in zip(tok_lists, ents_lists)
     ]
+    # relation candidates across the whole batch → one scoring call
+    pair_items = []
+    pair_where = []
+    for di, (toks, X, ents) in enumerate(zip(tok_lists, Xs, ents_lists)):
+        if len(ents) < 2:
+            continue
+        mean_cache: dict = {}
+        for arg1, arg2 in _candidate_pairs(ents):
+            pair_items.append((toks, X, arg1, arg2, mean_cache))
+            pair_where.append((di, arg1, arg2))
+    for (di, arg1, arg2), hits in zip(
+        pair_where, rel.detect_batch(pair_items)
+    ):
+        toks = tok_lists[di]
+        for pred, score in hits:
+            results[di][2].append(
+                _triple_row(toks, arg1, arg2, pred, score)
+            )
+    return [tuple(r) for r in results]
 
 
 def extract_kg(

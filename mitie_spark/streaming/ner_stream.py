@@ -54,22 +54,19 @@ def annotate_lines(lines: DataFrame, ner_path: str, text_col: str = "value") -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mitie_spark.functions.tokenizer import tokenize
-        from mitie_spark.models.ner_model import NerModel, sentence_matrix
+        from mitie_spark.models.ner_model import NerModel
 
         ner = NerModel.load(ner_path)
         for pdf in batches:
             toks_list = [tokenize(l or "") for l in pdf[text_col]]
-            Xs = [sentence_matrix(t) for t in toks_list]
+            Xs = [ner.X(t) for t in toks_list]
             chunk_lists = ner.segment_batch(Xs)
+            ents_lists = ner.classify_chunks_batch(
+                list(zip(toks_list, Xs, chunk_lists))
+            )
             out = [
-                format_markup(
-                    toks,
-                    [
-                        (s, e, t)
-                        for s, e, t, _ in ner.classify_chunks(toks, X, chunks)
-                    ],
-                )
-                for toks, X, chunks in zip(toks_list, Xs, chunk_lists)
+                format_markup(toks, [(s, e, t) for s, e, t, _ in ents])
+                for toks, ents in zip(toks_list, ents_lists)
             ]
             yield pd.DataFrame({"line": pdf[text_col], "annotated": out})
 

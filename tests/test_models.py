@@ -112,7 +112,7 @@ def test_segment_batch_padding_cap_preserves_output():
 
     import pyarrow.parquet as pq
 
-    from mitie_spark.models.ner_model import sentence_matrix
+
     from mitie_spark.models.train import ARTIFACT_DIR
     from mitie_spark.operators.extraction import _load_models
 
@@ -126,7 +126,7 @@ def test_segment_batch_padding_cap_preserves_output():
     )
     from mitie_spark.functions.tokenizer import tokenize
 
-    Xs = [sentence_matrix(tokenize(x)) for x in texts]
+    Xs = [ner.X(tokenize(x)) for x in texts]
     assert ner.segment_batch(Xs, max_padded_cells=1) == ner.segment_batch(Xs)
 
 
@@ -138,7 +138,7 @@ def test_chunk_classification_memo_is_pure():
     import os
 
     from mitie_spark.functions.tokenizer import tokenize
-    from mitie_spark.models.ner_model import NerModel, sentence_matrix
+    from mitie_spark.models.ner_model import NerModel
     from mitie_spark.models.train import ARTIFACT_DIR
 
     ner = NerModel.load(os.path.join(ARTIFACT_DIR, "ner_model.npz"))
@@ -152,7 +152,7 @@ def test_chunk_classification_memo_is_pure():
     ]
     for text in docs:
         toks = tokenize(text)
-        X = sentence_matrix(toks)
+        X = ner.X(toks)
         chunks, _ = ner.segment(toks)
         cached = ner.classify_chunks(toks, X, chunks)
         direct = [
@@ -165,7 +165,7 @@ def test_chunk_classification_memo_is_pure():
     # run everything twice so the second pass is all cache hits
     for text in docs:
         toks = tokenize(text)
-        X = sentence_matrix(toks)
+        X = ner.X(toks)
         chunks, _ = ner.segment(toks)
         assert ner.classify_chunks(toks, X, chunks) == [
             (s, e, fresh.tags[k], m)
