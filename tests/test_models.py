@@ -173,3 +173,62 @@ def test_chunk_classification_memo_is_pure():
             for k, m in [fresh.classify_chunk(toks, X, s, e)]
             if k < len(fresh.tags)
         ]
+
+
+def test_chunk_features_reference_golden():
+    """Regression vectors for the reference-exact chunk feature extractor
+    (ner_feature_extraction.cpp:167-388 port): pinned (count, first/last
+    index, value sum, crc) per chunk over a sentence exercising every
+    role (start-of-sentence chunk, end-of-sentence chunk, hyphens,
+    all-caps sizes, internal dots). Any change to seeds, hashing, merge
+    order, or the context-bag width shows up here."""
+    import zlib
+
+    import numpy as np
+
+    from mitie_spark.models.ner_model import chunk_features, sentence_matrix
+
+    toks = "On Tuesday John-Paul DEL Smith of U.S. STEEL Corp visited Xy .".split()
+    X = sentence_matrix(toks)
+    expected = {
+        (2, 5): (65, 8704, 489896, 0.0, 4164058613),
+        (0, 1): (41, 8651, 493766, 16.5, 320453484),
+        (8, 10): (56, 4605, 488079, 7.5, 3116295870),
+        (11, 12): (32, 125, 482540, 15.0, 975670638),
+    }
+    for (s, e), (n, i0, i1, vsum, crc) in expected.items():
+        idx, val, dense = chunk_features(toks, X, s, e)
+        assert len(idx) == n
+        assert (np.diff(idx) > 0).all()  # sorted unique (merged duplicates)
+        assert int(idx[0]) == i0 and int(idx[-1]) == i1
+        assert abs(float(val.sum()) - vsum) < 1e-9
+        assert (zlib.crc32(idx.tobytes()) ^ zlib.crc32(val.tobytes())) == crc
+        # every merged value is a multiple of the reference's 1.5 weight
+        assert np.allclose(np.abs(val) % 1.5, 0.0)
+        assert dense.shape == (5 * X.shape[1],)
+
+
+def test_prefix_suffix_sign_extension():
+    """C++ char is signed: UTF-8 bytes >= 0x80 sign-extend into the uint32
+    lanes of the prefix/suffix murmur variant (ner_feature_extraction.cpp:
+    27-61). Pinned against hand-evaluated sign-extended lane values."""
+    from mitie_spark.functions.hashing import (
+        murmur_hash3_128_u32x4,
+        prefix,
+        suffix,
+    )
+
+    # 'über' = b'\xc3\xbc...' — lanes must be 0xFFFFFFC3, 0xFFFFFFBC
+    assert prefix("über", 50) == murmur_hash3_128_u32x4(
+        0xFFFFFFC3, 0xFFFFFFBC, ord("b"), 50
+    )
+    assert prefix("über", 50) == (
+        5125904855703891363,
+        10899319191235150596,
+    )
+    assert suffix("née", 51) == (
+        381910330686498207,
+        16450096332482455117,
+    )
+    # pure ASCII unchanged
+    assert prefix("abc", 7) == murmur_hash3_128_u32x4(97, 98, 99, 7)
