@@ -11,8 +11,8 @@ a match is reported once per occurrence, not deduplicated.
 
 And of word_morphology_feature_extractor.h:52-148 (T8): the morphological
 feature vector of a word is the sum of rows of a (8192×D) projection matrix
-indexed by the substring hits (``feats = morph_transᵀ · hits``), then the
-word is lowercased before lookup (h:95-100).
+indexed by the substring hits (``feats = morph_transᵀ · hits``), with no
+case folding anywhere (the reference's morph path never lowercases).
 """
 
 from __future__ import annotations
@@ -104,7 +104,8 @@ class ApproximateSubstringSet:
 
 class MorphologyFeatureExtractor:
     """word → morph vector = Σ morph_trans[hit] over substring hits
-    (word_morphology_feature_extractor.h:52-148; lowercase first, h:95-100)."""
+    (word_morphology_feature_extractor.h:52-148; CASE-SENSITIVE — no
+    tolower anywhere in the reference's morph path)."""
 
     def __init__(self, substrings: ApproximateSubstringSet, morph_trans: np.ndarray):
         self.substrings = substrings
@@ -115,7 +116,7 @@ class MorphologyFeatureExtractor:
         return self.morph_trans.shape[1]
 
     def get_feature_vector(self, word: str) -> np.ndarray:
-        hits = self.substrings.find_substrings(word.lower())
+        hits = self.substrings.find_substrings(word)
         out = np.zeros(self.dims, dtype=np.float32)
         for h in hits:
             if h < self.morph_trans.shape[0]:

@@ -708,6 +708,20 @@ class NerModel:
                 wv_morph_trans=wv.morph_trans,
                 wv_cca_dim=np.array([wv.cca_dim]),
             )
+        elif self.fs.kind == "dlib":
+            arrays.update(
+                dl_words=np.array(self.fs.words),
+                dl_vectors=self.fs.vectors,
+                dl_non_morph=np.array([self.fs.non_morph_feats]),
+                dl_hash_table=self.fs.substring_set.hash_table,
+                dl_max_substr_len=np.array(
+                    [self.fs.substring_set.max_substr_len]
+                ),
+                dl_morph_trans=self.fs.morph_trans,
+            )
+            arrays["fingerprint"] = np.array(
+                [self.fs.fingerprint], dtype=np.uint64
+            )
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -730,6 +744,31 @@ class NerModel:
             )
             if kind == "wordvec+shape":
                 fs = ShapeAugmentedWordVectors(fs)
+        elif kind == "dlib":
+            from mitie_spark.sources.dlib_models import (
+                DlibTotalWordFeatureExtractor,
+            )
+            from mitie_spark.functions import morphology as _morph
+
+            fs = DlibTotalWordFeatureExtractor(
+                {
+                    "fingerprint": int(z["fingerprint"][0]),
+                    "non_morph_feats": int(z["dl_non_morph"][0]),
+                    "words": [str(w) for w in z["dl_words"]],
+                    "vectors": z["dl_vectors"],
+                    "morph": {
+                        "substrings": {
+                            "mask": _morph._MASK,
+                            "mask_bits": _morph._MASK_BITS,
+                            "init_hash": _morph._INIT_HASH,
+                            "max_substr_len": int(z["dl_max_substr_len"][0]),
+                            "hash_table": z["dl_hash_table"],
+                            "crc_table": _morph._CRC,
+                        },
+                        "morph_trans": z["dl_morph_trans"],
+                    },
+                }
+            )
         else:
             fs = DEFAULT_FS
         if "fingerprint" in z and int(z["fingerprint"][0]) != fs.fingerprint:

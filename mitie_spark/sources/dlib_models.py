@@ -1,0 +1,717 @@
+"""dlib binary model (de)serialization — load real MITIE ``.dat``/``.svm``
+files into the engine's weight schema.
+
+The reference's user base arrives with ``ner_model.dat`` /
+``total_word_feature_extractor.dat`` / ``rel_classifier_*.svm`` artifacts
+(fetched by ``/root/reference/makefile:13-17``). This module implements the
+dlib serialization format from scratch so those files load without the C++
+library:
+
+- integer packing: [size byte | 0x80 if negative] + minimal little-endian
+  magnitude bytes (/root/reference/dlib/dlib/serialize.h:170-400)
+- bool: one ASCII byte '0'/'1' (serialize.h:126-127,730-755)
+- float/double: float_details = packed int64 mantissa + packed int16
+  exponent, value = mantissa·2^exponent, low zero bytes shifted into the
+  exponent (serialize.h:470-610; float_details.h:120-160)
+- std::string: packed u32 length + raw bytes (serialize.h:1041-1070)
+- std::vector<T>/std::map<K,V>: packed u32 size + elements (serialize.h:794+)
+- dlib::matrix<T>: packed signed -nr, -nc, then row-major elements
+  (dlib/matrix/matrix.h:1700-1725)
+
+Object graphs implemented (file:line per the reference):
+
+- mitie::total_word_feature_extractor — version 2, fingerprint u64,
+  non_morph_feats, map<string, matrix<float,0,1>>, morph_fe
+  (total_word_feature_extractor.h:169-189)
+- mitie::word_morphology_feature_extractor — version 1, substrings,
+  morph_trans (word_morphology_feature_extractor.h: serialize)
+- mitie::approximate_substring_set — version 1, mask/mask_bits/init_hash
+  u32, max_substr_len, hash_table vector<u16>, crc_table vector<u32>
+  (approximate_substring_set.h:165-189)
+- mitie::named_entity_extractor — classname string, version 2, fingerprint,
+  tag_name_strings, fe, sequence_segmenter (version 1, use_BIO bool,
+  use_high_order bool, total feature count, labeler = ner_feature_extractor
+  num_feats + weights matrix<double,0,1>), multiclass df (weights matrix,
+  b vector, labels vector<ulong>) (named_entity_extractor.h:223-245;
+  dlib/svm/sequence_segmenter.h:411-424; sequence_labeler.h:303-313;
+  dlib/svm/function.h:835-853)
+- mitie::binary_relation_detector — version 1, relation_type, fingerprint,
+  decision_function<sparse_linear_kernel> (alpha, b, kernel (empty), basis
+  vectors of sparse vectors) (binary_relation_detector.h:80-104;
+  dlib/svm/function.h:82-98)
+
+A symmetric writer exists so round-trips are testable without the C++
+binaries (they are not vendored in the reference snapshot), and so our own
+trained extractors can be exported for the reference to consume.
+
+The segmenter weight vector decodes into this engine's (W_seg, T_seg)
+layout via sequence_segmenter.h:208-253: 3 window blocks × 5 labels ×
+num_feats dims, then 25 transition weights indexed prev·5+cur, then 5
+per-label biases; dlib label ids (BEGIN=0, INSIDE=1, OUTSIDE=2, LAST=3,
+UNIT=4 — sequence_segmenter.h:20-24) are remapped to this engine's
+O,B,I,L,U = 0..4.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+FD_IS_INF = 32000
+FD_IS_NINF = 32001
+FD_IS_NAN = 32002
+
+# dlib label ids (sequence_segmenter.h:20-24) → ner_model O,B,I,L,U ids
+DLIB_BEGIN, DLIB_INSIDE, DLIB_OUTSIDE, DLIB_LAST, DLIB_UNIT = 0, 1, 2, 3, 4
+DLIB_TO_OURS = {
+    DLIB_OUTSIDE: 0,  # O
+    DLIB_BEGIN: 1,  # B
+    DLIB_INSIDE: 2,  # I
+    DLIB_LAST: 3,  # L
+    DLIB_UNIT: 4,  # U
+}
+
+
+class DlibReader:
+    """Sequential reader over a dlib-serialized byte buffer."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError("dlib stream truncated")
+        self.pos += n
+        return b
+
+    def u(self) -> int:
+        """Packed unsigned integer (serialize.h:348-400)."""
+        size = self._take(1)[0] & 0x8F
+        if size > 8:
+            raise ValueError(f"bad integer control byte {size}")
+        return int.from_bytes(self._take(size), "little")
+
+    def s(self) -> int:
+        """Packed signed integer (serialize.h:230-296)."""
+        ctrl = self._take(1)[0]
+        neg = bool(ctrl & 0x80)
+        size = ctrl & 0x0F
+        if size > 8:
+            raise ValueError(f"bad integer control byte {ctrl}")
+        v = int.from_bytes(self._take(size), "little")
+        return -v if neg else v
+
+    def boolean(self) -> bool:
+        c = self._take(1)
+        if c not in (b"0", b"1"):
+            raise ValueError(f"bad bool byte {c!r}")
+        return c == b"1"
+
+    def f(self) -> float:
+        """float/double via float_details (serialize.h:470-610)."""
+        mantissa = self.s()
+        exponent = self.s()
+        if exponent == FD_IS_INF:
+            return math.inf
+        if exponent == FD_IS_NINF:
+            return -math.inf
+        if exponent == FD_IS_NAN:
+            return math.nan
+        return math.ldexp(float(mantissa), exponent)
+
+    def string(self) -> str:
+        return self._take(self.u()).decode("utf-8")
+
+    def vector_u(self, n: int | None = None) -> np.ndarray:
+        n = self.u() if n is None else n
+        return np.array([self.u() for _ in range(n)], dtype=np.uint64)
+
+    def vector_f(self) -> np.ndarray:
+        n = self.u()
+        return np.array([self.f() for _ in range(n)], dtype=np.float64)
+
+    def vector_str(self) -> list[str]:
+        return [self.string() for _ in range(self.u())]
+
+    def matrix(self, dtype=np.float64) -> np.ndarray:
+        """dlib::matrix — packed -nr, -nc, row-major elements
+        (matrix.h:1700-1725)."""
+        nr = -self.s()
+        nc = -self.s()
+        if nr < 0 or nc < 0:
+            raise ValueError("legacy matrix format not supported")
+        out = np.empty((nr, nc), dtype=np.float64)
+        flat = out.reshape(-1)
+        for i in range(nr * nc):
+            flat[i] = self.f()
+        return out.astype(dtype)
+
+    def sparse_vector(self) -> list[tuple[int, float]]:
+        """std::vector<std::pair<uint32,double>>."""
+        return [(self.u(), self.f()) for _ in range(self.u())]
+
+
+class DlibWriter:
+    """Symmetric writer (byte-compatible with dlib::serialize)."""
+
+    def __init__(self):
+        self.parts: list[bytes] = []
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+    def u(self, v: int) -> None:
+        if v < 0:
+            raise ValueError("unsigned")
+        mag = v.to_bytes(max((v.bit_length() + 7) // 8, 1), "little")
+        self.parts.append(bytes([len(mag)]) + mag)
+
+    def s(self, v: int) -> None:
+        neg = 0x80 if v < 0 else 0
+        v = abs(v)
+        mag = v.to_bytes(max((v.bit_length() + 7) // 8, 1), "little")
+        self.parts.append(bytes([len(mag) | neg]) + mag)
+
+    def boolean(self, v: bool) -> None:
+        self.parts.append(b"1" if v else b"0")
+
+    def f(self, v: float, digits: int = 53) -> None:
+        """float_details encoding; digits=53 for double, 24 for float32
+        sources (float_details.h:120-160)."""
+        v = float(v)
+        if math.isinf(v):
+            self.s(0)
+            self.s(FD_IS_INF if v > 0 else FD_IS_NINF)
+            return
+        if math.isnan(v):
+            self.s(0)
+            self.s(FD_IS_NAN)
+            return
+        m, e = math.frexp(v)
+        mantissa = int(m * (1 << digits))
+        exponent = e - digits
+        for _ in range(8):
+            if mantissa & 0xFF:
+                break
+            mantissa >>= 8
+            exponent += 8
+        self.s(mantissa)
+        self.s(exponent)
+
+    def string(self, v: str) -> None:
+        b = v.encode("utf-8")
+        self.u(len(b))
+        self.parts.append(b)
+
+    def vector_u(self, vs) -> None:
+        self.u(len(vs))
+        for v in vs:
+            self.u(int(v))
+
+    def vector_str(self, vs) -> None:
+        self.u(len(vs))
+        for v in vs:
+            self.string(v)
+
+    def matrix(self, M: np.ndarray, digits: int = 53) -> None:
+        M = np.atleast_2d(M)
+        self.s(-M.shape[0])
+        self.s(-M.shape[1])
+        for v in M.reshape(-1):
+            self.f(float(v), digits=digits)
+
+    def sparse_vector(self, pairs) -> None:
+        self.u(len(pairs))
+        for i, v in pairs:
+            self.u(int(i))
+            self.f(float(v))
+
+
+# ---------------------------------------------------------------------------
+# mitie object graphs
+# ---------------------------------------------------------------------------
+
+
+def _read_substring_set(r: DlibReader):
+    version = self_version = r.s()
+    if self_version != 1:
+        raise ValueError(f"approximate_substring_set version {version}")
+    mask = r.u()
+    mask_bits = r.u()
+    init_hash = r.u()
+    max_substr_len = r.u()
+    hash_table = r.vector_u().astype(np.uint16)
+    crc_table = r.vector_u().astype(np.uint32)
+    return {
+        "mask": mask,
+        "mask_bits": mask_bits,
+        "init_hash": init_hash,
+        "max_substr_len": max_substr_len,
+        "hash_table": hash_table,
+        "crc_table": crc_table,
+    }
+
+
+def _write_substring_set(w: DlibWriter, ss: dict) -> None:
+    w.s(1)
+    w.u(ss["mask"])
+    w.u(ss["mask_bits"])
+    w.u(ss["init_hash"])
+    w.u(ss["max_substr_len"])
+    w.vector_u(ss["hash_table"])
+    w.vector_u(ss["crc_table"])
+
+
+def _read_morph_fe(r: DlibReader):
+    version = r.s()
+    if version != 1:
+        raise ValueError(f"word_morphology_feature_extractor version {version}")
+    substrings = _read_substring_set(r)
+    morph_trans = r.matrix(np.float32)
+    return {"substrings": substrings, "morph_trans": morph_trans}
+
+
+def _write_morph_fe(w: DlibWriter, m: dict) -> None:
+    w.s(1)
+    _write_substring_set(w, m["substrings"])
+    w.matrix(m["morph_trans"], digits=24)
+
+
+def _read_twfe_body(r: DlibReader):
+    version = r.s()
+    if version != 2:
+        raise ValueError(f"total_word_feature_extractor version {version}")
+    fingerprint = r.u()
+    non_morph_feats = r.u()
+    n = r.u()
+    words = []
+    vecs = []
+    for _ in range(n):
+        words.append(r.string())
+        vecs.append(r.matrix(np.float32).reshape(-1))
+    morph = _read_morph_fe(r)
+    V = (
+        np.stack(vecs)
+        if vecs
+        else np.zeros((0, non_morph_feats + morph["morph_trans"].shape[1]), np.float32)
+    )
+    return {
+        "fingerprint": fingerprint,
+        "non_morph_feats": non_morph_feats,
+        "words": words,
+        "vectors": V,
+        "morph": morph,
+    }
+
+
+def _write_twfe_body(w: DlibWriter, fe: dict) -> None:
+    w.s(2)
+    w.u(fe["fingerprint"])
+    w.u(fe["non_morph_feats"])
+    order = sorted(range(len(fe["words"])), key=lambda i: fe["words"][i])
+    w.u(len(order))
+    for i in order:  # std::map iterates keys in sorted order
+        w.string(fe["words"][i])
+        w.matrix(np.asarray(fe["vectors"][i]).reshape(-1, 1), digits=24)
+    _write_morph_fe(w, fe["morph"])
+
+
+def read_total_word_feature_extractor(path: str) -> dict:
+    r = DlibReader(open(path, "rb").read())
+    classname = r.string()
+    if classname != "mitie::total_word_feature_extractor":
+        raise ValueError(f"not a total_word_feature_extractor file: {classname}")
+    return _read_twfe_body(r)
+
+
+def write_total_word_feature_extractor(path: str, fe: dict) -> None:
+    w = DlibWriter()
+    w.string("mitie::total_word_feature_extractor")
+    _write_twfe_body(w, fe)
+    open(path, "wb").write(w.getvalue())
+
+
+def _read_segmenter(r: DlibReader):
+    version = r.s()
+    if version != 1:
+        raise ValueError(f"sequence_segmenter version {version}")
+    use_bio = r.boolean()
+    use_high_order = r.boolean()
+    total_feats = r.u()
+    num_feats = r.u()  # labeler → feature_extractor → ner_feature_extractor
+    weights = r.matrix(np.float64).reshape(-1)
+    if len(weights) != total_feats:
+        raise ValueError("segmenter weight size mismatch")
+    return {
+        "use_BIO_model": use_bio,
+        "use_high_order_features": use_high_order,
+        "num_feats": num_feats,
+        "weights": weights,
+    }
+
+
+def _write_segmenter(w: DlibWriter, seg: dict) -> None:
+    w.s(1)
+    w.boolean(seg["use_BIO_model"])
+    w.boolean(seg["use_high_order_features"])
+    w.u(len(seg["weights"]))
+    w.u(seg["num_feats"])
+    w.matrix(np.asarray(seg["weights"]).reshape(-1, 1))
+
+
+def _read_multiclass_df(r: DlibReader):
+    weights = r.matrix(np.float64)
+    b = r.matrix(np.float64).reshape(-1)
+    labels = [r.u() for _ in range(r.u())]
+    return {"weights": weights, "b": b, "labels": labels}
+
+
+def _write_multiclass_df(w: DlibWriter, df: dict) -> None:
+    w.matrix(df["weights"])
+    w.matrix(np.asarray(df["b"]).reshape(-1, 1))
+    w.vector_u(df["labels"])
+
+
+def read_named_entity_extractor(path: str) -> dict:
+    r = DlibReader(open(path, "rb").read())
+    classname = r.string()
+    if classname != "mitie::named_entity_extractor":
+        raise ValueError(f"not a named_entity_extractor file: {classname}")
+    version = r.s()
+    if version != 2:
+        raise ValueError(f"named_entity_extractor version {version}")
+    fingerprint = r.u()
+    tags = r.vector_str()
+    fe = _read_twfe_body(r)
+    seg = _read_segmenter(r)
+    df = _read_multiclass_df(r)
+    return {
+        "fingerprint": fingerprint,
+        "tags": tags,
+        "fe": fe,
+        "segmenter": seg,
+        "df": df,
+    }
+
+
+def write_named_entity_extractor(path: str, ner: dict) -> None:
+    w = DlibWriter()
+    w.string("mitie::named_entity_extractor")
+    w.s(2)
+    w.u(ner["fingerprint"])
+    w.vector_str(ner["tags"])
+    _write_twfe_body(w, ner["fe"])
+    _write_segmenter(w, ner["segmenter"])
+    _write_multiclass_df(w, ner["df"])
+    open(path, "wb").write(w.getvalue())
+
+
+def read_binary_relation_detector(path: str) -> dict:
+    r = DlibReader(open(path, "rb").read())
+    classname = r.string()
+    if classname != "mitie::binary_relation_detector":
+        raise ValueError(f"not a binary_relation_detector file: {classname}")
+    version = r.s()
+    if version != 1:
+        raise ValueError(f"binary_relation_detector version {version}")
+    relation_type = r.string()
+    fingerprint = r.u()
+    alpha = r.matrix(np.float64).reshape(-1)
+    b = r.f()
+    # sparse_linear_kernel serializes nothing (sparse_kernel.h:300-312)
+    nbasis = -r.s()
+    nbasis_c = -r.s()
+    if nbasis_c != 1 and nbasis != 0:
+        raise ValueError("unexpected basis_vectors shape")
+    basis = [r.sparse_vector() for _ in range(nbasis * max(nbasis_c, 1))]
+    return {
+        "relation_type": relation_type,
+        "fingerprint": fingerprint,
+        "alpha": alpha,
+        "b": b,
+        "basis_vectors": basis,
+    }
+
+
+def write_binary_relation_detector(path: str, det: dict) -> None:
+    w = DlibWriter()
+    w.string("mitie::binary_relation_detector")
+    w.s(1)
+    w.string(det["relation_type"])
+    w.u(det["fingerprint"])
+    w.matrix(np.asarray(det["alpha"]).reshape(-1, 1))
+    w.f(det["b"])
+    w.s(-len(det["basis_vectors"]))
+    w.s(-1)
+    for sv in det["basis_vectors"]:
+        w.sparse_vector(sv)
+    open(path, "wb").write(w.getvalue())
+
+
+def relation_weights_from_detector(det: dict, n_dims: int) -> tuple[np.ndarray, float]:
+    """Collapse the linear-kernel decision function into one weight vector:
+    f(x) = Σ alpha_i·<basis_i, x> − b  ⇒  w = Σ alpha_i·basis_i
+    (binary_relation_detector.h:68-77; dlib decision_function semantics)."""
+    w = np.zeros(n_dims, dtype=np.float64)
+    for a, sv in zip(det["alpha"], det["basis_vectors"]):
+        for i, v in sv:
+            w[i] += a * v
+    return w, float(det["b"])
+
+
+# ---------------------------------------------------------------------------
+# feature source + NerModel conversion
+# ---------------------------------------------------------------------------
+
+
+class DlibTotalWordFeatureExtractor:
+    """Word-feature source backed by a loaded dlib extractor: dictionary
+    hit → the stored total vector; miss → [1, 0…0, morph(word)] with
+    digits folded to '#' before the probe
+    (total_word_feature_extractor.h:34-45,107-137)."""
+
+    kind = "dlib"
+
+    def __init__(self, fe: dict):
+        from mitie_spark.functions import morphology as _morph
+
+        self.words = list(fe["words"])
+        self.vectors = np.asarray(fe["vectors"], dtype=np.float32)
+        self.non_morph_feats = int(fe["non_morph_feats"])
+        self.file_fingerprint = int(fe["fingerprint"])
+        self.morph_trans = np.asarray(
+            fe["morph"]["morph_trans"], dtype=np.float32
+        )
+        ss = fe["morph"]["substrings"]
+        if (
+            int(ss["mask"]) != _morph._MASK
+            or int(ss["mask_bits"]) != _morph._MASK_BITS
+        ):
+            raise ValueError("substring-set geometry mismatch vs the port")
+        if not np.array_equal(
+            np.asarray(ss["crc_table"], dtype=np.uint32), _morph._CRC
+        ):
+            raise ValueError(
+                "CRC table mismatch — dlib file disagrees with the ported "
+                "rolling hash (functions/morphology.py)"
+            )
+        sset = _morph.ApproximateSubstringSet()
+        sset.hash_table = np.asarray(ss["hash_table"], dtype=np.uint16)
+        sset.max_substr_len = int(ss["max_substr_len"])
+        self.substring_set = sset
+        self._wid = {w: i for i, w in enumerate(self.words)}
+        self._cache: dict[str, np.ndarray] = {}
+
+    @property
+    def dims(self) -> int:
+        return self.non_morph_feats + self.morph_trans.shape[1]
+
+    @property
+    def fingerprint(self) -> int:
+        return self.file_fingerprint
+
+    def token_features(self, word: str) -> np.ndarray:
+        v = self._cache.get(word)
+        if v is None:
+            from mitie_spark.functions.tokenizer import fold_digits
+
+            folded = fold_digits(word)
+            i = self._wid.get(folded)
+            if i is not None:
+                v = self.vectors[i]
+            else:
+                v = np.zeros(self.dims, dtype=np.float32)
+                v[0] = 1.0
+                for h in self.substring_set.find_substrings(folded):
+                    v[self.non_morph_feats :] += self.morph_trans[h]
+            if len(self._cache) < 500_000:
+                self._cache[word] = v
+        return v
+
+    def to_dict(self) -> dict:
+        from mitie_spark.functions import morphology as _morph
+
+        sset = self.substring_set
+        return {
+            "fingerprint": self.file_fingerprint,
+            "non_morph_feats": self.non_morph_feats,
+            "words": self.words,
+            "vectors": self.vectors,
+            "morph": {
+                "substrings": {
+                    "mask": _morph._MASK,
+                    "mask_bits": _morph._MASK_BITS,
+                    "init_hash": _morph._INIT_HASH,
+                    "max_substr_len": sset.max_substr_len,
+                    "hash_table": sset.hash_table,
+                    "crc_table": _morph._CRC,
+                },
+                "morph_trans": self.morph_trans,
+            },
+        }
+
+
+def ner_model_from_dlib(path: str):
+    """Load a real MITIE ``ner_model.dat`` into a ready-to-run NerModel:
+    the embedded extractor becomes the word-feature source, the segmenter
+    weight vector decodes into (W_seg, T_seg), and the multiclass df rows
+    (reordered by label id) become the chunk classifier
+    (named_entity_extractor.cpp:35-118 semantics)."""
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import N_STATES, NerModel
+
+    ner = read_named_entity_extractor(path)
+    fs = DlibTotalWordFeatureExtractor(ner["fe"])
+    d = fs.dims
+    seg = ner["segmenter"]
+    if seg["use_BIO_model"] or seg["use_high_order_features"]:
+        raise NotImplementedError(
+            "only the BILOU, first-order configuration MITIE ships is "
+            "supported (use_BIO_model=false, use_high_order_features=false)"
+        )
+    if seg["num_feats"] != d:
+        raise ValueError("segmenter dims disagree with the extractor")
+    w = seg["weights"]
+    base = N_STATES * d
+    if len(w) != 3 * base + N_STATES * N_STATES + N_STATES:
+        raise ValueError("unexpected segmenter weight layout")
+    # decode per sequence_segmenter.h:208-253 with label remapping
+    W_seg = np.zeros((N_STATES, 3 * d + 1))
+    T_seg = np.zeros((N_STATES, N_STATES))
+    for dl, ours in DLIB_TO_OURS.items():
+        for slot in range(3):
+            W_seg[ours, slot * d : (slot + 1) * d] = w[
+                slot * base + dl * d : slot * base + (dl + 1) * d
+            ]
+        W_seg[ours, -1] = w[3 * base + N_STATES * N_STATES + dl]
+    for dp, op in DLIB_TO_OURS.items():
+        for dc, oc in DLIB_TO_OURS.items():
+            T_seg[op, oc] = w[3 * base + dp * N_STATES + dc]
+
+    df = ner["df"]
+    K, F = df["weights"].shape
+    if F != MAX_FEAT + 5 * d:
+        raise ValueError(
+            f"df feature dims {F} != MAX_FEAT + 5·{d} — extractor mismatch"
+        )
+    W = np.zeros((K, F))
+    b = np.zeros(K)
+    for row, label in enumerate(df["labels"]):
+        W[label] = df["weights"][row]
+        b[label] = -df["b"][row]  # dlib argmax of w·x − b
+    return NerModel(
+        W_seg=W_seg,
+        T_seg=T_seg,
+        W_cls_sparse=W[:, :MAX_FEAT],
+        W_cls_dense=W[:, MAX_FEAT:],
+        b_cls=b,
+        tags=ner["tags"],
+        fs=fs,
+    )
+
+
+def ner_model_to_dlib(model) -> dict:
+    """Inverse of ``ner_model_from_dlib`` — render a NerModel whose
+    word-feature source is a DlibTotalWordFeatureExtractor back into the
+    reference's serializable object graph (the shape-augmented CCA sources
+    are NOT expressible: dlib's OOV path is [1, 0…0, morph] with no shape
+    block)."""
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import N_STATES
+
+    fs = model.fs
+    if fs.kind != "dlib":
+        raise ValueError(
+            "only dlib-kind word-feature sources are expressible in the "
+            f"reference format (got {fs.kind})"
+        )
+    d = fs.dims
+    base = N_STATES * d
+    w = np.zeros(3 * base + N_STATES * N_STATES + N_STATES)
+    for dl, ours in DLIB_TO_OURS.items():
+        for slot in range(3):
+            w[slot * base + dl * d : slot * base + (dl + 1) * d] = model.W_seg[
+                ours, slot * d : (slot + 1) * d
+            ]
+        w[3 * base + N_STATES * N_STATES + dl] = model.W_seg[ours, -1]
+    for dp, op in DLIB_TO_OURS.items():
+        for dc, oc in DLIB_TO_OURS.items():
+            w[3 * base + dp * N_STATES + dc] = model.T_seg[op, oc]
+    K = model.b_cls.shape[0]
+    weights = np.concatenate(
+        [model.W_cls_sparse, model.W_cls_dense], axis=1
+    )
+    assert weights.shape[1] == MAX_FEAT + 5 * d
+    return {
+        "fingerprint": fs.fingerprint,
+        "tags": list(model.tags),
+        "fe": fs.to_dict(),
+        "segmenter": {
+            "use_BIO_model": False,
+            "use_high_order_features": False,
+            "num_feats": d,
+            "weights": w,
+        },
+        "df": {
+            "weights": weights,
+            "b": -model.b_cls,
+            "labels": list(range(K)),
+        },
+    }
+
+
+def relation_model_from_dlib(paths: list[str], expected_fingerprint: int | None = None):
+    """Load MITIE ``rel_classifier_*.svm`` detector files into one
+    RelationModel over the REFERENCE feature space. Note the reference's
+    relation features hash into 100k dims + 2·271 dense; this engine's
+    relation pipeline uses its own hashed space, so dlib-loaded detectors
+    are exposed for scoring pre-extracted reference-style vectors, not
+    plugged into extract_kg."""
+    dets = [read_binary_relation_detector(p) for p in paths]
+    for det in dets:
+        if (
+            expected_fingerprint is not None
+            and det["fingerprint"] != expected_fingerprint
+        ):
+            raise ValueError(
+                f"detector {det['relation_type']} was trained against a "
+                "different total_word_feature_extractor "
+                "(binary_relation_detector.h:70-77 guard)"
+            )
+    n_dims = 1 + max(
+        (i for det in dets for sv in det["basis_vectors"] for i, _ in sv),
+        default=0,
+    )
+    rows = [relation_weights_from_detector(det, n_dims) for det in dets]
+    return {
+        "preds": [det["relation_type"] for det in dets],
+        "W": np.stack([r[0] for r in rows]),
+        "b": np.array([r[1] for r in rows]),
+        "fingerprints": [det["fingerprint"] for det in dets],
+    }
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert MITIE dlib-binary models to .npz artifacts"
+    )
+    ap.add_argument("command", choices=["convert-ner"])
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    args = ap.parse_args()
+    if args.command == "convert-ner":
+        model = ner_model_from_dlib(args.src)
+        model.save(args.dst)
+        print(
+            f"converted {args.src}: tags={model.tags} dims={model.fs.dims} "
+            f"fingerprint={model.fs.fingerprint}"
+        )
+
+
+if __name__ == "__main__":
+    main()

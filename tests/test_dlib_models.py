@@ -1,0 +1,219 @@
+"""dlib binary model (de)serialization tests (S5 — the reference's users
+arrive with .dat/.svm artifacts; sources/dlib_models.py loads them without
+the C++ library). The reference's binaries are not vendored, so round-trips
+go through our byte-compatible writer."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from mitie_spark.functions.morphology import ApproximateSubstringSet
+from mitie_spark.sources.dlib_models import (
+    DlibReader,
+    DlibTotalWordFeatureExtractor,
+    DlibWriter,
+    ner_model_from_dlib,
+    ner_model_to_dlib,
+    read_binary_relation_detector,
+    read_named_entity_extractor,
+    read_total_word_feature_extractor,
+    relation_model_from_dlib,
+    relation_weights_from_detector,
+    write_binary_relation_detector,
+    write_named_entity_extractor,
+    write_total_word_feature_extractor,
+)
+
+
+def test_primitive_roundtrip():
+    w = DlibWriter()
+    floats = [0.0, 1.5, -1.5, 0.1, 1e-300, -2.5e18, math.inf, -math.inf, 1e38]
+    for v in floats:
+        w.f(v)
+    w.f(math.nan)
+    ints = [0, 1, -1, 255, 256, -65536, 2**62, -(2**62)]
+    for v in ints:
+        w.s(v)
+    w.u(2**63)
+    w.string("héllo wörld")
+    w.boolean(True)
+    w.boolean(False)
+    M = np.array([[1.25, -3.5], [0.0, 7e-3]])
+    w.matrix(M)
+    r = DlibReader(w.getvalue())
+    for v in floats:
+        assert r.f() == v
+    assert math.isnan(r.f())
+    for v in ints:
+        assert r.s() == v
+    assert r.u() == 2**63
+    assert r.string() == "héllo wörld"
+    assert r.boolean() is True
+    assert r.boolean() is False
+    assert np.array_equal(r.matrix(), M)
+
+
+def _synthetic_fe(seed=5, non_morph=5, morph_dim=3):
+    rng = np.random.default_rng(seed)
+    words = ["Alice", "Bob", "the", "visited", "."]
+    sset = ApproximateSubstringSet()
+    for s in ["*Al", "ce*", "Bo", "*th", "ed*", "isi"]:
+        sset.add_substring(s)
+    dims = non_morph + morph_dim
+    return {
+        "fingerprint": 1234567890123456789,
+        "non_morph_feats": non_morph,
+        "words": words,
+        "vectors": rng.standard_normal((len(words), dims)).astype(np.float32),
+        "morph": {
+            "substrings": {
+                "mask": 0x1FFF,
+                "mask_bits": 13,
+                "init_hash": 0xFFFFFFFF,
+                "max_substr_len": sset.max_substr_len,
+                "hash_table": sset.hash_table,
+                "crc_table": np.zeros(0, np.uint32),  # filled below
+            },
+            "morph_trans": rng.standard_normal((0x1FFF + 1, morph_dim)).astype(
+                np.float32
+            ),
+        },
+    }
+
+
+def _with_crc(fe):
+    from mitie_spark.functions import morphology as _morph
+
+    fe["morph"]["substrings"]["crc_table"] = _morph._CRC
+    return fe
+
+
+def test_total_word_feature_extractor_roundtrip(tmp_path):
+    fe = _with_crc(_synthetic_fe())
+    p = str(tmp_path / "twfe.dat")
+    write_total_word_feature_extractor(p, fe)
+    got = read_total_word_feature_extractor(p)
+    assert got["fingerprint"] == fe["fingerprint"]
+    assert got["non_morph_feats"] == fe["non_morph_feats"]
+    assert sorted(got["words"]) == sorted(fe["words"])
+    # map order is sorted; realign and compare vectors exactly
+    idx = {w: i for i, w in enumerate(fe["words"])}
+    for w_, v in zip(got["words"], got["vectors"]):
+        assert np.array_equal(v, fe["vectors"][idx[w_]])
+    assert np.array_equal(
+        got["morph"]["morph_trans"], fe["morph"]["morph_trans"]
+    )
+    assert np.array_equal(
+        got["morph"]["substrings"]["hash_table"],
+        fe["morph"]["substrings"]["hash_table"],
+    )
+    src = DlibTotalWordFeatureExtractor(got)
+    # dictionary hit returns the stored vector
+    assert np.array_equal(src.token_features("Alice"), fe["vectors"][0])
+    # digit folding happens before the probe (convert_numbers)
+    v12 = src.token_features("a12b")
+    assert np.array_equal(v12, src.token_features("a90b"))
+    # OOV: flag at 0, zeros, morph tail
+    oov = src.token_features("Zzz")
+    assert oov[0] == 1.0
+    assert np.all(oov[1 : src.non_morph_feats] == 0)
+
+
+def test_ner_model_dlib_roundtrip(tmp_path):
+    from mitie_spark.functions.hashing import MAX_FEAT
+
+    rng = np.random.default_rng(7)
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    from mitie_spark.models.ner_model import N_STATES, NerModel
+
+    K = 3  # 2 real tags + not-entity
+    W_cls = np.zeros((K, MAX_FEAT))
+    cols = rng.integers(0, MAX_FEAT, 400)
+    W_cls[:, cols] = rng.standard_normal((K, 400))
+    model = NerModel(
+        W_seg=rng.standard_normal((N_STATES, 3 * d + 1)),
+        T_seg=rng.standard_normal((N_STATES, N_STATES)),
+        W_cls_sparse=W_cls,
+        W_cls_dense=rng.standard_normal((K, 5 * d)),
+        b_cls=rng.standard_normal(K),
+        tags=["PERSON", "LOCATION"],
+        fs=fs,
+    )
+    p = str(tmp_path / "ner_model.dat")
+    write_named_entity_extractor(p, ner_model_to_dlib(model))
+    raw = read_named_entity_extractor(p)
+    assert raw["tags"] == ["PERSON", "LOCATION"]
+    got = ner_model_from_dlib(p)
+    # float_details round-trips doubles exactly → bit-equal weights
+    assert np.array_equal(got.W_seg, model.W_seg)
+    assert np.array_equal(got.T_seg, model.T_seg)
+    assert np.array_equal(got.W_cls_sparse, model.W_cls_sparse)
+    assert np.array_equal(got.W_cls_dense, model.W_cls_dense)
+    assert np.array_equal(got.b_cls, model.b_cls)
+    assert got.fs.fingerprint == fs.fingerprint
+    # end-to-end behavior identical (segmentation + classification + scores)
+    for text in [
+        "Alice visited Bob .",
+        "the visited Alice",
+        "Bob Bob Bob",
+        "Zzz unseen w0rds",
+    ]:
+        toks = text.split()
+        assert got.extract_entities(toks) == model.extract_entities(toks)
+    # npz save/load preserves the dlib feature source
+    pz = str(tmp_path / "ner.npz")
+    got.save(pz)
+    again = NerModel.load(pz)
+    assert again.fs.kind == "dlib"
+    assert again.fs.fingerprint == fs.fingerprint
+    toks = "Alice visited Bob .".split()
+    assert again.extract_entities(toks) == model.extract_entities(toks)
+
+
+def test_ner_model_from_dlib_validates_layout(tmp_path):
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    from mitie_spark.models.ner_model import NerModel
+
+    model = NerModel(tags=["PERSON", "LOCATION", "ORGANIZATION"], fs=fs)
+    blob = ner_model_to_dlib(model)
+    blob["segmenter"]["use_BIO_model"] = True
+    p = str(tmp_path / "bio.dat")
+    write_named_entity_extractor(p, blob)
+    with pytest.raises(NotImplementedError):
+        ner_model_from_dlib(p)
+
+
+def test_binary_relation_detector_roundtrip(tmp_path):
+    det = {
+        "relation_type": "location.location.contains",
+        "fingerprint": 987654321,
+        "alpha": np.array([2.0, -0.5]),
+        "b": 1.25,
+        "basis_vectors": [
+            [(3, 1.5), (10, -1.5)],
+            [(3, 0.5), (99, 2.0)],
+        ],
+    }
+    p = str(tmp_path / "rel.svm")
+    write_binary_relation_detector(p, det)
+    got = read_binary_relation_detector(p)
+    assert got["relation_type"] == det["relation_type"]
+    assert got["fingerprint"] == det["fingerprint"]
+    assert np.array_equal(got["alpha"], det["alpha"])
+    assert got["b"] == det["b"]
+    assert got["basis_vectors"] == det["basis_vectors"]
+    # collapse to a single weight vector: w = Σ alpha_i · basis_i
+    w, b = relation_weights_from_detector(got, 100)
+    assert b == 1.25
+    assert w[3] == 2.0 * 1.5 + (-0.5) * 0.5
+    assert w[10] == 2.0 * -1.5
+    assert w[99] == -0.5 * 2.0
+    rm = relation_model_from_dlib([p], expected_fingerprint=987654321)
+    assert rm["preds"] == ["location.location.contains"]
+    with pytest.raises(ValueError):
+        relation_model_from_dlib([p], expected_fingerprint=1)

@@ -60,6 +60,10 @@ def test_morphology_feature_extractor():
     trans = np.zeros((8192, 4), dtype=np.float32)
     trans[hid] = [1.0, 2.0, 3.0, 4.0]
     m = MorphologyFeatureExtractor(s, trans)
-    v = m.get_feature_vector("RUNNING")  # lowercased before lookup (h:95-100)
+    # CASE-SENSITIVE like the reference (no tolower anywhere in the
+    # word_morphology_feature_extractor path): the upper-case query must
+    # miss, the exact-case one must hit
+    assert np.allclose(m.get_feature_vector("RUNNING"), [0, 0, 0, 0])
+    v = m.get_feature_vector("running")
     assert np.allclose(v, [1, 2, 3, 4])
     assert np.allclose(m.get_feature_vector("runner"), 0)
