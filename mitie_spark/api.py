@@ -209,8 +209,22 @@ class ner_trainer:
 
     def __init__(self, filename: str | None = None):
         self._instances: list[ner_training_instance] = []
+        # the reference solver's hyperparameter surface
+        # (ner_trainer.cpp:498-572 + class defaults): segmenter C=20,
+        # eps=0.01, max 2000 iterations, loss-per-missed-segment 3.0,
+        # chunk-classifier C=300 (:360-405), F-beta 0.5, 4 threads.
+        # Mapped to the averaged-perceptron analogs documented on
+        # models/ner_model.train_segmenter / train_chunk_classifier;
+        # num_threads is accepted for drop-in compatibility (Spark-level
+        # parallelism replaces the reference's thread pool) and beta is
+        # used only by the reference's internal CV tuning.
         self.beta = 0.5
         self.num_threads = 4
+        self.C = 20.0
+        self.eps = 0.01
+        self.max_iterations = 2000
+        self.loss_per_missed_segment = 3.0
+        self.classifier_C = 300.0
 
     @property
     def size(self) -> int:
@@ -259,9 +273,18 @@ class ner_trainer:
                 e = min(s + rng.randint(1, 2), len(inst.tokens))
                 if not (set(range(s, e)) & occupied):
                     cls_examples.append((inst.tokens, s, e, not_entity))
-        W_seg, T_seg = train_segmenter(seg_sents)
+        W_seg, T_seg = train_segmenter(
+            seg_sents,
+            C=self.C,
+            eps=self.eps,
+            max_iterations=int(self.max_iterations),
+            loss_per_missed_segment=self.loss_per_missed_segment,
+        )
         Ws, Wd, b = train_chunk_classifier(
-            cls_examples, epochs=12, n_classes=not_entity + 1
+            cls_examples,
+            epochs=12,
+            n_classes=not_entity + 1,
+            C=self.classifier_C,
         )
         model = NerModel(W_seg, T_seg, Ws, Wd, b, tags)
         return named_entity_extractor(_model=model)
@@ -277,6 +300,10 @@ class binary_relation_detector_trainer:
         self._neg: list[tuple[list[str], tuple[int, int], tuple[int, int]]] = []
         self.beta = 0.1
         self.num_threads = 4
+        # SVM-C analog (the reference BOBYQA-searches C around this —
+        # binary_relation_detector_trainer.cpp:176-238); None disables
+        # the decay-based regularization
+        self.C: float | None = None
 
     @property
     def num_positive_examples(self) -> int:
@@ -311,6 +338,7 @@ class binary_relation_detector_trainer:
             margin=2.0,
             fs=self._ner._model.fs,  # the reference trainer extracts
             # features through the NER's word-feature extractor
+            C=self.C,
         )
         return binary_relation_detector(_model=model, name=self.relation_name)
 

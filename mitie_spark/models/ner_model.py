@@ -797,8 +797,28 @@ class NerModel:
 # ---------------------------------------------------------------------------
 
 
-def train_segmenter(sentences, epochs: int = 8, seed: int = 1234, fs=None):
-    """sentences: [(tokens, chunk_ranges)]. Returns (W_seg, T_seg)."""
+def train_segmenter(
+    sentences,
+    epochs: int = 8,
+    seed: int = 1234,
+    fs=None,
+    C: float | None = None,
+    eps: float | None = None,
+    max_iterations: int | None = None,
+    loss_per_missed_segment: float | None = None,
+):
+    """sentences: [(tokens, chunk_ranges)]. Returns (W_seg, T_seg).
+
+    The reference trains this part with a structured SVM
+    (ner_trainer.cpp:498-572: C=20, eps=0.01, max 2000 iterations,
+    loss-per-missed-segment 3.0, BOBYQA-tuned). The averaged structured
+    perceptron here exposes the same surface with solver-affecting
+    analogs: ``C`` → per-example L2 weight decay 1/(C·N) (higher C fits
+    the training data harder, exactly the SVM direction), ``eps`` →
+    convergence tolerance (stop when the epoch mistake rate ≤ eps),
+    ``max_iterations`` → epoch cap (overrides ``epochs``),
+    ``loss_per_missed_segment`` → update scale at positions where a gold
+    segment token was predicted OUTSIDE (the SVM's asymmetric loss)."""
     fs = fs or DEFAULT_FS
     rng = np.random.default_rng(seed)
     W = np.zeros((N_STATES, WINDOW * fs.dims + 1))
@@ -813,24 +833,37 @@ def train_segmenter(sentences, epochs: int = 8, seed: int = 1234, fs=None):
         for toks, chunks in sentences
         if toks
     ]
+    n_epochs = max_iterations if max_iterations is not None else epochs
+    lms = loss_per_missed_segment if loss_per_missed_segment is not None else 1.0
+    decay = 1.0 - 1.0 / (C * max(len(feats), 1)) if C else 1.0
     t_step = 0
-    for _ in range(epochs):
+    for _ in range(n_epochs):
         order = rng.permutation(len(feats))
+        mistakes = 0
         for i in order:
             FX, gold = feats[i]
             em = FX @ W.T
             pred = viterbi(em, T)
+            if decay != 1.0:
+                W *= decay
+                T *= decay
             if not np.array_equal(pred, gold):
+                mistakes += 1
                 for t in range(len(gold)):
                     if pred[t] != gold[t]:
-                        W[gold[t]] += FX[t]
-                        W[pred[t]] -= FX[t]
+                        # missed-segment position: gold is inside a segment
+                        # but prediction says OUTSIDE
+                        scale = lms if (gold[t] != O and pred[t] == O) else 1.0
+                        W[gold[t]] += scale * FX[t]
+                        W[pred[t]] -= scale * FX[t]
                     if t > 0:
                         T[gold[t - 1], gold[t]] += 1.0
                         T[pred[t - 1], pred[t]] -= 1.0
             t_step += 1
             Wa += W
             Ta += T
+        if eps is not None and feats and mistakes / len(feats) <= eps:
+            break
     return Wa / max(t_step, 1), Ta / max(t_step, 1)
 
 
@@ -840,11 +873,14 @@ def train_chunk_classifier(
     seed: int = 1235,
     n_classes: int | None = None,
     fs=None,
+    C: float | None = None,
 ):
     """examples: [(tokens, start, end, class_id)] with class_id == the
     not-entity id (== number of real tags) for non-entity segments. Returns
     (W_sparse, W_dense, b). ``n_classes`` = real tags + 1; defaults to the
-    built-in TAGS vocabulary."""
+    built-in TAGS vocabulary. ``C``: SVM-C analog (reference default 300,
+    2-fold-CV-tuned — ner_trainer.cpp:360-405) mapped to per-example L2
+    weight decay 1/(C·N); None = no regularization (current default)."""
     fs = fs or DEFAULT_FS
     rng = np.random.default_rng(seed)
     k = n_classes if n_classes is not None else NOT_ENTITY + 1
@@ -859,6 +895,11 @@ def train_chunk_classifier(
         X = sentence_matrix(tokens, fs)
         idxs, vals, dense = chunk_features(tokens, X, s, e)
         cache.append((idxs, vals, dense.astype(np.float64), y))
+    # per-epoch L2 decay for the C analog: a full-matrix scale per EXAMPLE
+    # would cost O(MAX_FEAT) each (and uniform scaling never changes the
+    # argmax within one step anyway) — per epoch it shrinks old weights
+    # relative to new updates, which is the regularization effect
+    decay = max(1.0 - 1.0 / C, 0.0) if C else 1.0
     steps = 0
     for _ in range(epochs):
         order = rng.permutation(len(cache))
@@ -881,5 +922,8 @@ def train_chunk_classifier(
                 b[p] -= 1.0
                 ub[y] += steps
                 ub[p] -= steps
+        if decay != 1.0:
+            for arr in (Ws, Wd, b, Us, Ud, ub):
+                arr *= decay
     n = max(steps, 1)
     return Ws - Us / n, Wd - Ud / n, b - ub / n

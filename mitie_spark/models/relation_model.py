@@ -261,10 +261,14 @@ def train_relation_model(
     seed: int = 77,
     margin: float = 1.0,
     fs=None,
+    C: float | None = None,
 ) -> RelationModel:
     """examples: [(tokens, arg1, arg2, pos_pred | None)]; every candidate is a
     negative for all detectors except its positive predicate (if any).
-    Margin perceptron with lazy averaging."""
+    Margin perceptron with lazy averaging. ``C``: SVM-C analog (the
+    reference BOBYQA-searches C for svm_c_linear_dcd,
+    binary_relation_detector_trainer.cpp:176-238) mapped to a per-epoch L2
+    weight decay 1−1/C; None = no regularization."""
     from mitie_spark.models.ner_model import DEFAULT_FS
 
     fs = fs or DEFAULT_FS
@@ -283,6 +287,7 @@ def train_relation_model(
         if pos is not None:
             y[pid[pos]] = 1.0
         cache.append((idxs, vals, dense, y))
+    decay = max(1.0 - 1.0 / C, 0.0) if C else 1.0
     steps = 0
     for _ in range(epochs):
         for i in rng.permutation(len(cache)):
@@ -300,6 +305,9 @@ def train_relation_model(
                     Ud[d] += steps * yy * dense
                     b[d] += yy
                     ub[d] += steps * yy
+        if decay != 1.0:
+            for arr in (Ws, Wd, b, Us, Ud, ub):
+                arr *= decay
     n = max(steps, 1)
     return RelationModel(
         preds,

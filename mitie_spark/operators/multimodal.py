@@ -29,17 +29,64 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 64
 
 
-def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: real implementation would decode via PIL/opencv (not available
-    in this container). The fake path is deterministic in the payload bytes."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv; pass deterministic_fake=True "
-            "for the seeded stand-in"
+def pil_image_decoder():
+    """Import-try for the real image decode path: PIL → 8×8 grayscale
+    thumbnail → 64-dim float vector. Returns the decoder callable, or None
+    when PIL is not installed (this container). The Spark-side plumbing is
+    identical either way — a decoder is just ``fn(payload: bytes) ->
+    np.ndarray(FEATURE_DIM, float32)``."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def decode(payload: bytes) -> np.ndarray:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        return (
+            np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
         )
+
+    return decode
+
+
+def resolve_decoder(decoder=None):
+    """Decoder resolution order: explicit injection → PIL (if installed) →
+    None. The explicit argument is how a real decoder drops in on a
+    cluster: the callable is captured by the mapInPandas closure and ships
+    to executors via cloudpickle, so no module install is required on the
+    workers beyond the decode library itself."""
+    if decoder is not None:
+        return decoder
+    return pil_image_decoder()
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in: seeded by the payload bytes so downstream
+    operators (similarity, dedup) are exercised end-to-end without decode
+    libraries."""
     seed = zlib.crc32(payload or b"")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def decode_image(
+    payload: bytes, deterministic_fake: bool = False, decoder=None
+) -> np.ndarray:
+    """Decode one image payload to a FEATURE_DIM vector. Resolution:
+    injected/PIL decoder → the seeded fake (when ``deterministic_fake``) →
+    NotImplementedError (decode libraries absent and no fake requested)."""
+    fn = resolve_decoder(decoder)
+    if fn is not None:
+        return fn(payload)
+    if deterministic_fake:
+        return fake_decode(payload)
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not in this container) or an "
+        "injected decoder; pass deterministic_fake=True for the seeded "
+        "stand-in"
+    )
 
 
 def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:
@@ -50,9 +97,13 @@ def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:
 
 
 def extract_features(
-    media: DataFrame, deterministic_fake: bool = True
+    media: DataFrame, deterministic_fake: bool = True, decoder=None
 ) -> DataFrame:
     """media table → (media_id, kind, feature: array<float>, content_hash).
+
+    ``decoder``: optional real decode callable (see ``resolve_decoder``) —
+    captured by the closure and shipped to executors, so injecting one
+    switches the whole stage off the fake path with no other change.
 
     One narrow mapInPandas stage; payload bytes never shuffle (the feature
     vector and hash are the only outputs). Partitioning note: blobs are large
@@ -60,13 +111,22 @@ def extract_features(
     holds only a few payloads in memory, and never .collect() this table."""
 
     def run(batches):
+        # resolve once per task, not per payload (the PIL import-try runs
+        # on the worker, where decode-library presence actually matters)
+        fn = resolve_decoder(decoder)
         for pdf in batches:
             feats, hashes = [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                feats.append(
-                    decode_image(b, deterministic_fake=deterministic_fake).tolist()
-                )
+                if fn is not None:
+                    v = fn(b)
+                elif deterministic_fake:
+                    v = fake_decode(b)
+                else:
+                    raise NotImplementedError(
+                        "no image decoder available (see decode_image)"
+                    )
+                feats.append(np.asarray(v, dtype=np.float32).tolist())
                 hashes.append(hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
                 {

@@ -682,7 +682,7 @@ def multimodal_features(spark, sf_dir):
     computed in the same pass (deterministic fake decode — real decode is a
     clearly-marked stub, operators/multimodal.py) and dropped by the final
     projection; the oracle validates ids, kinds, and payload content hashes."""
-    from mitie_spark.operators.multimodal import extract_features
+    from mitie_spark.operators.multimodal import extract_features, fake_decode
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     media = docs.select(
@@ -693,7 +693,10 @@ def multimodal_features(spark, sf_dir):
         ).alias("kind"),
         F.col("text").cast("binary").alias("payload"),
     )
-    feats = extract_features(media, deterministic_fake=True)
+    # decoder pinned to the deterministic fake: the payloads here are text
+    # bytes, and the gate's value hash must not depend on whether a real
+    # decode library happens to be installed
+    feats = extract_features(media, decoder=fake_decode)
     return feats.select("media_id", "kind", "content_hash").orderBy("media_id")
 
 
@@ -967,3 +970,25 @@ def surface_whisper_clusters(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "cluster")
     )
+
+
+@query("conll_eval_metrics")
+def conll_eval_metrics(spark, sf_dir):
+    """CoNLL evaluation harness (reference: tools/ner_conll --test →
+    evaluate_named_entity_recognizer, ner_trainer.cpp:614-688): per-label
+    precision/recall/F1 of the committed NER model over the committed
+    CoNLL fixture. Rows-only (model-driven — the detections that feed the
+    counts are not SQL-expressible); the counting semantics are
+    unit-tested against a hand-computed fixture in test_conll_eval.py."""
+    import os
+
+    from mitie_spark.models.conll_eval import (
+        conll_sentences_df,
+        evaluate_ner_df,
+    )
+    from mitie_spark.models.train import ARTIFACT_DIR
+    from mitie_spark.queries_kg import REPO
+
+    path = os.path.join(REPO, "data", "conll", "eval.conll")
+    ner_path = os.path.join(ARTIFACT_DIR, "ner_model.npz")
+    return evaluate_ner_df(conll_sentences_df(spark, path), ner_path)

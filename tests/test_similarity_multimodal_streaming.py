@@ -152,3 +152,45 @@ def test_train_word_vectors(spark):
 
         wv2 = WordVectors.load(p)
         assert np.allclose(wv2.get_feature_vector("Lyon"), wv.get_feature_vector("Lyon"))
+
+
+def test_multimodal_real_decoder_seam(spark):
+    """A real decoder drops in without touching the stage: inject a
+    callable (as a cluster user would — it ships to executors inside the
+    mapInPandas closure) and the decode path runs WITHOUT
+    deterministic_fake. Also: with no decoder and no fake requested, the
+    stage fails loudly, and the PIL import-try resolves to None in this
+    container rather than silently falling back."""
+    import numpy as np
+    import pytest
+
+    from mitie_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        pil_image_decoder,
+        synth_media_table,
+    )
+
+    assert pil_image_decoder() is None  # no PIL here — seam stays honest
+
+    def injected_decoder(payload: bytes):
+        # stand-in for a real PIL/opencv decode: derive a vector from the
+        # payload header bytes (shape/dtype contract identical)
+        head = np.frombuffer((payload or b"\x00") * FEATURE_DIM, np.uint8)
+        return (head[:FEATURE_DIM].astype(np.float32) / 255.0)
+
+    media = synth_media_table(spark, n=12)
+    rows = extract_features(
+        media, deterministic_fake=False, decoder=injected_decoder
+    ).collect()
+    assert len(rows) == 12
+    by_id = {r["media_id"]: r for r in rows}
+    pay = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in by_id.items():
+        expect = injected_decoder(pay[mid])
+        assert np.allclose(np.array(r["feature"], np.float32), expect)
+
+    # no decoder + no fake => loud failure, not silent fake features
+    with pytest.raises(Exception) as ei:
+        extract_features(media, deterministic_fake=False).collect()
+    assert "decoder" in str(ei.value) or "NotImplemented" in str(ei.value)

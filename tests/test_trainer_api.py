@@ -119,3 +119,38 @@ def test_text_categorizer_trainer(tmp_path):
     again = text_categorizer(p)
     toks0 = held[0][0]
     assert again(toks0)[0] == cat(toks0)[0]
+
+
+def test_trainer_hyperparameter_surface_affects_solver():
+    """The reference solver's knobs (ner_trainer.cpp:498-572: C, eps,
+    max-iter, loss-per-missed-segment; classifier C :360-405) exist on the
+    facade and genuinely change the trained weights."""
+    import numpy as np
+
+    from mitie_spark.api import ner_trainer
+    from mitie_spark.models.ner_model import train_segmenter
+
+    t = ner_trainer("ignored")
+    for knob, default in [
+        ("C", 20.0), ("eps", 0.01), ("max_iterations", 2000),
+        ("loss_per_missed_segment", 3.0), ("classifier_C", 300.0),
+        ("beta", 0.5), ("num_threads", 4),
+    ]:
+        assert getattr(t, knob) == default
+
+    sents = [
+        ("Alice Smith visited Boston today".split(), [(0, 2), (3, 4)]),
+        ("the market closed early".split(), []),
+        ("Bob Jones met Alice Smith".split(), [(0, 2), (3, 5)]),
+    ] * 3
+    base = train_segmenter(sents, epochs=4)
+    strong_reg = train_segmenter(sents, epochs=4, C=1.01)
+    assert not np.allclose(base[0], strong_reg[0])  # C affects weights
+    upweighted = train_segmenter(sents, epochs=4, loss_per_missed_segment=9.0)
+    assert not np.allclose(base[0], upweighted[0])
+    one_epoch = train_segmenter(sents, max_iterations=1)
+    many = train_segmenter(sents, max_iterations=6)
+    assert not np.allclose(one_epoch[0], many[0])  # max_iterations caps epochs
+    # eps=1.0 stops after the first epoch (mistake rate is always <= 1)
+    early = train_segmenter(sents, max_iterations=6, eps=1.0)
+    assert np.allclose(early[0], one_epoch[0])
