@@ -78,6 +78,16 @@ for prev, curs in {
 _START_OK = np.array([0.0, 0.0, NEG, NEG, 0.0])  # O, B, U may start
 _END_OK = np.array([0.0, NEG, NEG, 0.0, 0.0])  # O, L, U may end
 
+# BIO variant (use_BIO_model == true, sequence_segmenter.h:137-146):
+# our ids O=0, B=1, I=2; I may not follow O and may not start; no end rule
+N_STATES_BIO = 3
+_ALLOWED_BIO = np.full((N_STATES_BIO, N_STATES_BIO), NEG)
+for prev, curs in {O: (0, 1), 1: (0, 1, 2), 2: (0, 1, 2)}.items():
+    for c in curs:
+        _ALLOWED_BIO[prev, c] = 0.0
+_START_OK_BIO = np.array([0.0, 0.0, NEG])
+_END_OK_BIO = np.zeros(N_STATES_BIO)
+
 EMB_DIM = 32
 SHAPE_DIM = 6
 D = EMB_DIM + SHAPE_DIM  # per-token width of the DEFAULT (hashed) source
@@ -207,20 +217,28 @@ def window_matrix(X: np.ndarray) -> np.ndarray:
     return W
 
 
-def viterbi(emissions: np.ndarray, trans: np.ndarray) -> np.ndarray:
-    """Exact first-order decode with BILOU constraints
-    (find_max_factor_graph_viterbi.h:59; O(n·25))."""
-    n = emissions.shape[0]
+def viterbi(
+    emissions: np.ndarray,
+    trans: np.ndarray,
+    allowed: np.ndarray | None = None,
+    start_ok: np.ndarray | None = None,
+    end_ok: np.ndarray | None = None,
+) -> np.ndarray:
+    """Exact first-order decode with BILOU (default) or BIO constraints
+    (find_max_factor_graph_viterbi.h:59; O(n·S²))."""
+    n, S = emissions.shape
+    if allowed is None:
+        allowed, start_ok, end_ok = _ALLOWED, _START_OK, _END_OK
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    T = trans + _ALLOWED
-    dp = emissions[0] + _START_OK
-    back = np.zeros((n, N_STATES), dtype=np.int8)
+    T = trans + allowed
+    dp = emissions[0] + start_ok
+    back = np.zeros((n, S), dtype=np.int8)
     for t in range(1, n):
         cand = dp[:, None] + T  # (prev, cur)
         back[t] = np.argmax(cand, axis=0)
-        dp = cand[back[t], np.arange(N_STATES)] + emissions[t]
-    dp = dp + _END_OK
+        dp = cand[back[t], np.arange(S)] + emissions[t]
+    dp = dp + end_ok
     path = np.zeros(n, dtype=np.int64)
     path[-1] = int(np.argmax(dp))
     for t in range(n - 1, 0, -1):
@@ -229,30 +247,37 @@ def viterbi(emissions: np.ndarray, trans: np.ndarray) -> np.ndarray:
 
 
 def viterbi_batch(
-    emissions_list: list[np.ndarray], trans: np.ndarray
+    emissions_list: list[np.ndarray],
+    trans: np.ndarray,
+    allowed: np.ndarray | None = None,
+    start_ok: np.ndarray | None = None,
+    end_ok: np.ndarray | None = None,
 ) -> list[np.ndarray]:
     """Decode a batch of sequences in one vectorized DP: identical
     arithmetic and argmax tie-breaking to per-doc ``viterbi`` (equivalence
     unit-tested), but the python-level loop runs max_len times per Arrow
-    batch instead of sum(len) times — the per-step (B, 5, 5) NumPy ops
+    batch instead of sum(len) times — the per-step (B, S, S) NumPy ops
     amortize the interpreter overhead across documents."""
     B = len(emissions_list)
     if B == 0:
         return []
-    T = trans + _ALLOWED
+    if allowed is None:
+        allowed, start_ok, end_ok = _ALLOWED, _START_OK, _END_OK
+    S = trans.shape[0]
+    T = trans + allowed
     lens = np.array([e.shape[0] for e in emissions_list], dtype=np.int64)
     Lmax = int(lens.max())
     if Lmax == 0:
         return [np.zeros(0, dtype=np.int64) for _ in range(B)]
     NEG = -1e30
-    E = np.full((B, Lmax, N_STATES), 0.0)
+    E = np.full((B, Lmax, S), 0.0)
     for b, e in enumerate(emissions_list):
         if lens[b]:
             E[b, : lens[b]] = e
-    dp = np.full((B, N_STATES), NEG)
+    dp = np.full((B, S), NEG)
     nz = lens > 0
-    dp[nz] = E[nz, 0] + _START_OK
-    back = np.zeros((B, Lmax, N_STATES), dtype=np.int8)
+    dp[nz] = E[nz, 0] + start_ok
+    back = np.zeros((B, Lmax, S), dtype=np.int8)
     for t in range(1, Lmax):
         active = lens > t
         if not active.any():
@@ -269,7 +294,7 @@ def viterbi_batch(
         back[active, t] = bt
     # batched backtrack: one assignment per time step over the active docs
     path_arr = np.zeros((B, Lmax), dtype=np.int64)
-    final = dp + _END_OK
+    final = dp + end_ok
     last_state = np.argmax(final, axis=1)
     idx = np.nonzero(nz)[0]
     path_arr[idx, lens[idx] - 1] = last_state[idx]
@@ -311,6 +336,32 @@ def chunks_to_labels(n: int, chunks: list[tuple[int, int]]) -> np.ndarray:
             path[s] = B
             path[s + 1 : e - 1] = I
             path[e - 1] = L
+    return path
+
+
+def labels_to_chunks_bio(path: np.ndarray) -> list[tuple[int, int]]:
+    """BIO label path (O=0, B=1, I=2) → half-open ranges: a B starts a
+    segment that consumes following I's (sequence_segmenter.h:372-387)."""
+    chunks = []
+    i = 0
+    n = len(path)
+    while i < n:
+        if path[i] == 1:
+            begin = i
+            i += 1
+            while i < n and path[i] == 2:
+                i += 1
+            chunks.append((begin, i))
+        else:
+            i += 1
+    return chunks
+
+
+def chunks_to_labels_bio(n: int, chunks: list[tuple[int, int]]) -> np.ndarray:
+    path = np.zeros(n, dtype=np.int64)
+    for s, e in chunks:
+        path[s] = 1
+        path[s + 1 : e] = 2
     return path
 
 
@@ -507,14 +558,31 @@ class NerModel:
         b_cls: np.ndarray | None = None,
         tags: list[str] | None = None,
         fs=None,
+        use_bio: bool = False,
     ):
         self.fs = fs or DEFAULT_FS
         d = self.fs.dims
         k = NOT_ENTITY + 1
+        # use_BIO_model option (sequence_segmenter.h; MITIE ships BILOU —
+        # ner_feature_extraction.h:35 — but the reference supports both)
+        self.use_bio = bool(use_bio)
+        if self.use_bio:
+            self._n_states = N_STATES_BIO
+            self._allowed, self._start_ok, self._end_ok = (
+                _ALLOWED_BIO, _START_OK_BIO, _END_OK_BIO,
+            )
+            self._to_chunks = labels_to_chunks_bio
+        else:
+            self._n_states = N_STATES
+            self._allowed, self._start_ok, self._end_ok = (
+                _ALLOWED, _START_OK, _END_OK,
+            )
+            self._to_chunks = labels_to_chunks
+        ns = self._n_states
         self.W_seg = (
-            W_seg if W_seg is not None else np.zeros((N_STATES, WINDOW * d + 1))
+            W_seg if W_seg is not None else np.zeros((ns, WINDOW * d + 1))
         )
-        self.T_seg = T_seg if T_seg is not None else np.zeros((N_STATES, N_STATES))
+        self.T_seg = T_seg if T_seg is not None else np.zeros((ns, ns))
         self.W_cls_sparse = (
             W_cls_sparse if W_cls_sparse is not None else np.zeros((k, MAX_FEAT))
         )
@@ -535,8 +603,14 @@ class NerModel:
         if X is None:
             X = self.X(tokens)
         em = window_matrix(X) @ self.W_seg.T.astype(np.float32)
-        path = viterbi(em.astype(np.float64), self.T_seg)
-        return labels_to_chunks(path), X
+        path = viterbi(
+            em.astype(np.float64),
+            self.T_seg,
+            self._allowed,
+            self._start_ok,
+            self._end_ok,
+        )
+        return self._to_chunks(path), X
 
     def _score_feature_rows(self, rows):
         """Batched multiclass scoring of feature rows [(idxs, vals, dense)]
@@ -597,21 +671,24 @@ class NerModel:
             for i in range(len(Ws))
         ]
         out: list = [None] * len(Xs)
+        vb = lambda group: viterbi_batch(  # noqa: E731
+            [ems[j] for j in group],
+            self.T_seg,
+            self._allowed,
+            self._start_ok,
+            self._end_ok,
+        )
         order = sorted(range(len(Xs)), key=lambda i: ems[i].shape[0])
         group: list[int] = []
         for i in order:
             n = ems[i].shape[0]  # ascending: n is the group max
             if group and (len(group) + 1) * max(n, 1) > max_padded_cells:
-                for j, p in zip(
-                    group, viterbi_batch([ems[j] for j in group], self.T_seg)
-                ):
-                    out[j] = labels_to_chunks(p)
+                for j, p in zip(group, vb(group)):
+                    out[j] = self._to_chunks(p)
                 group = []
             group.append(i)
-        for j, p in zip(
-            group, viterbi_batch([ems[j] for j in group], self.T_seg)
-        ):
-            out[j] = labels_to_chunks(p)
+        for j, p in zip(group, vb(group)):
+            out[j] = self._to_chunks(p)
         return out
 
     _CHUNK_CACHE_MAX = 500_000
@@ -694,6 +771,7 @@ class NerModel:
             b_cls=self.b_cls,
             tags=np.array(self.tags),
             fs_kind=np.array([self.fs.kind]),
+            use_bio=np.array([self.use_bio]),
             fingerprint=np.array([self.fs.fingerprint], dtype=np.int64),
         )
         if self.fs.kind in ("wordvec", "wordvec+shape"):
@@ -787,6 +865,7 @@ class NerModel:
             b_cls=z["b_cls"],
             tags=[str(t) for t in z["tags"]],
             fs=fs,
+            use_bio=bool(z["use_bio"][0]) if "use_bio" in z else False,
         )
 
 
@@ -806,6 +885,7 @@ def train_segmenter(
     eps: float | None = None,
     max_iterations: int | None = None,
     loss_per_missed_segment: float | None = None,
+    use_bio: bool = False,
 ):
     """sentences: [(tokens, chunk_ranges)]. Returns (W_seg, T_seg).
 
@@ -821,14 +901,22 @@ def train_segmenter(
     segment token was predicted OUTSIDE (the SVM's asymmetric loss)."""
     fs = fs or DEFAULT_FS
     rng = np.random.default_rng(seed)
-    W = np.zeros((N_STATES, WINDOW * fs.dims + 1))
-    T = np.zeros((N_STATES, N_STATES))
+    if use_bio:
+        ns = N_STATES_BIO
+        allowed, start_ok, end_ok = _ALLOWED_BIO, _START_OK_BIO, _END_OK_BIO
+        encode = chunks_to_labels_bio
+    else:
+        ns = N_STATES
+        allowed, start_ok, end_ok = _ALLOWED, _START_OK, _END_OK
+        encode = chunks_to_labels
+    W = np.zeros((ns, WINDOW * fs.dims + 1))
+    T = np.zeros((ns, ns))
     Wa = np.zeros_like(W)
     Ta = np.zeros_like(T)
     feats = [
         (
             window_matrix(sentence_matrix(toks, fs)),
-            chunks_to_labels(len(toks), chunks),
+            encode(len(toks), chunks),
         )
         for toks, chunks in sentences
         if toks
@@ -843,7 +931,7 @@ def train_segmenter(
         for i in order:
             FX, gold = feats[i]
             em = FX @ W.T
-            pred = viterbi(em, T)
+            pred = viterbi(em, T, allowed, start_ok, end_ok)
             if decay != 1.0:
                 W *= decay
                 T *= decay

@@ -71,6 +71,12 @@ DLIB_TO_OURS = {
     DLIB_LAST: 3,  # L
     DLIB_UNIT: 4,  # U
 }
+# BIO configuration (use_BIO_model == true): 3 labels, same dlib ids
+DLIB_TO_OURS_BIO = {
+    DLIB_OUTSIDE: 0,  # O
+    DLIB_BEGIN: 1,  # B
+    DLIB_INSIDE: 2,  # I
+}
 
 
 class DlibReader:
@@ -561,35 +567,38 @@ def ner_model_from_dlib(path: str):
     (reordered by label id) become the chunk classifier
     (named_entity_extractor.cpp:35-118 semantics)."""
     from mitie_spark.functions.hashing import MAX_FEAT
-    from mitie_spark.models.ner_model import N_STATES, NerModel
+    from mitie_spark.models.ner_model import NerModel
 
     ner = read_named_entity_extractor(path)
     fs = DlibTotalWordFeatureExtractor(ner["fe"])
     d = fs.dims
     seg = ner["segmenter"]
-    if seg["use_BIO_model"] or seg["use_high_order_features"]:
+    if seg["use_high_order_features"]:
         raise NotImplementedError(
-            "only the BILOU, first-order configuration MITIE ships is "
-            "supported (use_BIO_model=false, use_high_order_features=false)"
+            "high-order segmenter features are not supported (MITIE ships "
+            "use_high_order_features=false)"
         )
+    use_bio = bool(seg["use_BIO_model"])
+    label_map = DLIB_TO_OURS_BIO if use_bio else DLIB_TO_OURS
+    NL = len(label_map)
     if seg["num_feats"] != d:
         raise ValueError("segmenter dims disagree with the extractor")
     w = seg["weights"]
-    base = N_STATES * d
-    if len(w) != 3 * base + N_STATES * N_STATES + N_STATES:
+    base = NL * d
+    if len(w) != 3 * base + NL * NL + NL:
         raise ValueError("unexpected segmenter weight layout")
     # decode per sequence_segmenter.h:208-253 with label remapping
-    W_seg = np.zeros((N_STATES, 3 * d + 1))
-    T_seg = np.zeros((N_STATES, N_STATES))
-    for dl, ours in DLIB_TO_OURS.items():
+    W_seg = np.zeros((NL, 3 * d + 1))
+    T_seg = np.zeros((NL, NL))
+    for dl, ours in label_map.items():
         for slot in range(3):
             W_seg[ours, slot * d : (slot + 1) * d] = w[
                 slot * base + dl * d : slot * base + (dl + 1) * d
             ]
-        W_seg[ours, -1] = w[3 * base + N_STATES * N_STATES + dl]
-    for dp, op in DLIB_TO_OURS.items():
-        for dc, oc in DLIB_TO_OURS.items():
-            T_seg[op, oc] = w[3 * base + dp * N_STATES + dc]
+        W_seg[ours, -1] = w[3 * base + NL * NL + dl]
+    for dp, op in label_map.items():
+        for dc, oc in label_map.items():
+            T_seg[op, oc] = w[3 * base + dp * NL + dc]
 
     df = ner["df"]
     K, F = df["weights"].shape
@@ -610,6 +619,7 @@ def ner_model_from_dlib(path: str):
         b_cls=b,
         tags=ner["tags"],
         fs=fs,
+        use_bio=use_bio,
     )
 
 
@@ -620,7 +630,6 @@ def ner_model_to_dlib(model) -> dict:
     are NOT expressible: dlib's OOV path is [1, 0…0, morph] with no shape
     block)."""
     from mitie_spark.functions.hashing import MAX_FEAT
-    from mitie_spark.models.ner_model import N_STATES
 
     fs = model.fs
     if fs.kind != "dlib":
@@ -629,17 +638,19 @@ def ner_model_to_dlib(model) -> dict:
             f"reference format (got {fs.kind})"
         )
     d = fs.dims
-    base = N_STATES * d
-    w = np.zeros(3 * base + N_STATES * N_STATES + N_STATES)
-    for dl, ours in DLIB_TO_OURS.items():
+    label_map = DLIB_TO_OURS_BIO if model.use_bio else DLIB_TO_OURS
+    NL = len(label_map)
+    base = NL * d
+    w = np.zeros(3 * base + NL * NL + NL)
+    for dl, ours in label_map.items():
         for slot in range(3):
             w[slot * base + dl * d : slot * base + (dl + 1) * d] = model.W_seg[
                 ours, slot * d : (slot + 1) * d
             ]
-        w[3 * base + N_STATES * N_STATES + dl] = model.W_seg[ours, -1]
-    for dp, op in DLIB_TO_OURS.items():
-        for dc, oc in DLIB_TO_OURS.items():
-            w[3 * base + dp * N_STATES + dc] = model.T_seg[op, oc]
+        w[3 * base + NL * NL + dl] = model.W_seg[ours, -1]
+    for dp, op in label_map.items():
+        for dc, oc in label_map.items():
+            w[3 * base + dp * NL + dc] = model.T_seg[op, oc]
     K = model.b_cls.shape[0]
     weights = np.concatenate(
         [model.W_cls_sparse, model.W_cls_dense], axis=1
@@ -650,7 +661,7 @@ def ner_model_to_dlib(model) -> dict:
         "tags": list(model.tags),
         "fe": fs.to_dict(),
         "segmenter": {
-            "use_BIO_model": False,
+            "use_BIO_model": model.use_bio,
             "use_high_order_features": False,
             "num_feats": d,
             "weights": w,

@@ -181,11 +181,69 @@ def test_ner_model_from_dlib_validates_layout(tmp_path):
 
     model = NerModel(tags=["PERSON", "LOCATION", "ORGANIZATION"], fs=fs)
     blob = ner_model_to_dlib(model)
-    blob["segmenter"]["use_BIO_model"] = True
-    p = str(tmp_path / "bio.dat")
+    blob["segmenter"]["use_high_order_features"] = True
+    p = str(tmp_path / "high_order.dat")
     write_named_entity_extractor(p, blob)
     with pytest.raises(NotImplementedError):
         ner_model_from_dlib(p)
+
+
+def test_ner_model_dlib_bio_roundtrip(tmp_path):
+    """The use_BIO_model=true configuration (3-label segmenter) loads and
+    round-trips; MITIE ships BILOU but the reference supports both."""
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import NerModel
+
+    rng = np.random.default_rng(11)
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    K = 2
+    model = NerModel(
+        W_seg=rng.standard_normal((3, 3 * d + 1)),
+        T_seg=rng.standard_normal((3, 3)),
+        W_cls_sparse=np.zeros((K, MAX_FEAT)),
+        W_cls_dense=rng.standard_normal((K, 5 * d)),
+        b_cls=rng.standard_normal(K),
+        tags=["PERSON"],
+        fs=fs,
+        use_bio=True,
+    )
+    p = str(tmp_path / "ner_bio.dat")
+    write_named_entity_extractor(p, ner_model_to_dlib(model))
+    got = ner_model_from_dlib(p)
+    assert got.use_bio is True
+    assert np.array_equal(got.W_seg, model.W_seg)
+    assert np.array_equal(got.T_seg, model.T_seg)
+    for text in ["Alice visited Bob .", "Bob Bob", "the the the"]:
+        toks = text.split()
+        assert got.extract_entities(toks) == model.extract_entities(toks)
+
+
+def test_bio_segmenter_trains_and_decodes():
+    """BIO training path: the 3-state segmenter learns planted chunks and
+    the BIO decode (B consumes following I's) recovers them."""
+    from mitie_spark.models.ner_model import (
+        NerModel,
+        chunks_to_labels_bio,
+        labels_to_chunks_bio,
+        train_segmenter,
+    )
+
+    assert labels_to_chunks_bio(chunks_to_labels_bio(6, [(1, 3), (4, 5)])) == [
+        (1, 3),
+        (4, 5),
+    ]
+    sents = [
+        ("Alice Smith visited Boston today".split(), [(0, 2), (3, 4)]),
+        ("the market closed early".split(), []),
+        ("Bob Jones met Alice Smith".split(), [(0, 2), (3, 5)]),
+    ] * 4
+    W, T = train_segmenter(sents, epochs=8, use_bio=True)
+    model = NerModel(W_seg=W, T_seg=T, use_bio=True)
+    for toks, chunks in sents[:3]:
+        got, _ = model.segment(toks)
+        assert got == chunks
 
 
 def test_binary_relation_detector_roundtrip(tmp_path):
