@@ -225,6 +225,17 @@ class ner_trainer:
         self.max_iterations = 2000
         self.loss_per_missed_segment = 3.0
         self.classifier_C = 300.0
+        # "svm" = the reference's solver family: max-margin structured SVM
+        # on the exact dlib objective/loss (models/svm_train.py), with the
+        # C/eps/max_iterations/loss_per_missed_segment knobs carrying their
+        # reference meanings. "perceptron" (default) = the fast averaged-
+        # perceptron analog used for the committed artifacts.
+        self.solver = "perceptron"
+        # auto_tune mirrors ner_trainer.cpp's BOBYQA/CV parameter search
+        # (segmenter (C, loss) + classifier C); off by default — the
+        # reference always runs it, but it multiplies training cost by the
+        # CV-eval budget, so it is opt-in here.
+        self.auto_tune = False
 
     @property
     def size(self) -> int:
@@ -273,18 +284,43 @@ class ner_trainer:
                 e = min(s + rng.randint(1, 2), len(inst.tokens))
                 if not (set(range(s, e)) & occupied):
                     cls_examples.append((inst.tokens, s, e, not_entity))
-        W_seg, T_seg = train_segmenter(
-            seg_sents,
-            C=self.C,
-            eps=self.eps,
-            max_iterations=int(self.max_iterations),
-            loss_per_missed_segment=self.loss_per_missed_segment,
-        )
+        seg_C = self.C
+        seg_loss = self.loss_per_missed_segment
+        cls_C = self.classifier_C
+        if self.auto_tune and len(seg_sents) > 1:
+            from mitie_spark.models.svm_train import (
+                tune_classifier_C,
+                tune_segmenter_params,
+            )
+
+            seg_C, seg_loss, _ = tune_segmenter_params(seg_sents)
+            if len(cls_examples) > 1:
+                cls_C, _ = tune_classifier_C(
+                    cls_examples, num_labels=len(tags), beta=self.beta
+                )
+        if self.solver == "svm":
+            from mitie_spark.models.svm_train import train_segmenter_svm
+
+            W_seg, T_seg = train_segmenter_svm(
+                seg_sents,
+                C=seg_C,
+                eps=self.eps,
+                max_iterations=int(self.max_iterations),
+                loss_per_missed_segment=seg_loss,
+            )
+        else:
+            W_seg, T_seg = train_segmenter(
+                seg_sents,
+                C=seg_C,
+                eps=self.eps,
+                max_iterations=int(self.max_iterations),
+                loss_per_missed_segment=seg_loss,
+            )
         Ws, Wd, b = train_chunk_classifier(
             cls_examples,
             epochs=12,
             n_classes=not_entity + 1,
-            C=self.classifier_C,
+            C=cls_C,
         )
         model = NerModel(W_seg, T_seg, Ws, Wd, b, tags)
         return named_entity_extractor(_model=model)

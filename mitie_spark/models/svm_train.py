@@ -1,0 +1,504 @@
+"""Max-margin structured-SVM training for the sequence segmenter.
+
+Reference solver: dlib ``structural_sequence_segmentation_trainer`` driven by
+``ner_trainer.cpp:498-572`` (C=20, eps=0.01, max 2000 iterations,
+loss_per_missed_segment=3.0, BOBYQA-tuned over C∈[0.1,100] × loss∈[1,10]
+maximizing 2-fold CV recall). The dlib objective
+(``structural_svm_sequence_labeling_problem.h``) is
+
+    min_w  0.5·||w||² + (C/N) · Σ_i ξ_i
+    ξ_i = max_y [ Δ(y_i, y) + w·ψ(x_i, y) ] − w·ψ(x_i, y_i)
+
+with margin-rescaled per-token loss Δ(y*, y) = Σ_t [y_t ≠ y*_t] ·
+loss_values[y*_t]: the loss charged at a mislabeled token depends only on
+the GOLD label there (``structural_svm_sequence_labeling_problem.h:232-240``),
+and ``structural_sequence_segmentation_trainer.h:158-170`` sets
+loss_values = loss_per_missed_segment for every in-segment label
+(B/I/L/U under BILOU, B/I under BIO) and 1 for OUTSIDE.
+
+The separation oracle — loss-augmented Viterbi — is exact here too (the
+per-token loss folds into the emission scores). The QP is solved by
+deterministic Pegasos-style stochastic subgradient (λ = 1/C after scaling
+the dlib objective by 1/C, step 1/(λt); Shalev-Shwartz et al., ICML'07)
+instead of dlib's OCA cutting planes: same objective, same oracle, same
+hyperparameter semantics, different (simpler, distributable) optimizer.
+``eps`` maps to the relative primal-objective improvement per epoch (dlib
+stops at duality gap ≤ eps); ``max_iterations`` caps epochs.
+
+``train_segmenter_svm_spark`` runs the same objective as distributed
+full-batch subgradient descent: each round broadcasts (W, T), executors
+decode the loss-augmented argmax for their partition of sentences and emit
+partial subgradients (one small row per partition — the model is tiny, the
+data is what scales), the driver aggregates and steps. This is the trainer
+that survives a 100 TB corpus: per-round cost is one narrow mapInPandas
+over the cached feature table plus an O(partitions) collect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mitie_spark.models.ner_model import (
+    _ALLOWED,
+    _ALLOWED_BIO,
+    _END_OK,
+    _END_OK_BIO,
+    _START_OK,
+    _START_OK_BIO,
+    DEFAULT_FS,
+    N_STATES,
+    N_STATES_BIO,
+    O,
+    WINDOW,
+    chunks_to_labels,
+    chunks_to_labels_bio,
+    labels_to_chunks,
+    labels_to_chunks_bio,
+    sentence_matrix,
+    viterbi,
+    window_matrix,
+)
+
+__all__ = [
+    "train_segmenter_svm",
+    "train_segmenter_svm_spark",
+    "evaluate_segmenter",
+    "cross_validate_segmenter",
+    "tune_segmenter_params",
+    "compute_fscore",
+    "tune_classifier_C",
+]
+
+
+def _layout(use_bio: bool):
+    if use_bio:
+        return (
+            N_STATES_BIO,
+            _ALLOWED_BIO,
+            _START_OK_BIO,
+            _END_OK_BIO,
+            chunks_to_labels_bio,
+            labels_to_chunks_bio,
+        )
+    return N_STATES, _ALLOWED, _START_OK, _END_OK, chunks_to_labels, labels_to_chunks
+
+
+def loss_values(use_bio: bool, loss_per_missed_segment: float) -> np.ndarray:
+    """Per-GOLD-label loss vector (structural_sequence_segmentation_trainer.h:
+    158-170): every in-segment label costs ``loss_per_missed_segment`` when
+    mislabeled, OUTSIDE costs 1."""
+    ns = N_STATES_BIO if use_bio else N_STATES
+    lv = np.full(ns, float(loss_per_missed_segment))
+    lv[O] = 1.0
+    return lv
+
+
+def _augmented_emissions(em: np.ndarray, gold: np.ndarray, lv: np.ndarray):
+    """em[t,s] + (s != gold_t)·lv[gold_t] — the margin-rescaled node scores
+    (map_prob in structural_svm_sequence_labeling_problem.h:232-240)."""
+    aug = em + lv[gold][:, None]
+    aug[np.arange(len(gold)), gold] -= lv[gold]
+    return aug
+
+
+def _featurize(sentences, fs, encode):
+    """[(tokens, chunks)] → [(FX, gold)] with FX the window-3 emission
+    feature matrix and gold the encoded label path."""
+    return [
+        (window_matrix(sentence_matrix(toks, fs)), encode(len(toks), chunks))
+        for toks, chunks in sentences
+        if toks
+    ]
+
+
+def _example_terms(FX, gold, W, T, allowed, start_ok, end_ok, lv):
+    """One separation-oracle call: returns (slack, pred) for the current w."""
+    em = FX @ W.T
+    aug = _augmented_emissions(em, gold, lv)
+    pred = viterbi(aug, T, allowed, start_ok, end_ok)
+    if np.array_equal(pred, gold):
+        return 0.0, pred
+    wrong = pred != gold
+    delta = float(lv[gold[wrong]].sum())
+    score_pred = float(em[np.arange(len(pred)), pred].sum())
+    score_gold = float(em[np.arange(len(gold)), gold].sum())
+    if len(gold) > 1:
+        score_pred += float(T[pred[:-1], pred[1:]].sum())
+        score_gold += float(T[gold[:-1], gold[1:]].sum())
+    return max(0.0, delta + score_pred - score_gold), pred
+
+
+def train_segmenter_svm(
+    sentences,
+    C: float = 20.0,
+    eps: float = 0.01,
+    max_iterations: int = 2000,
+    loss_per_missed_segment: float = 3.0,
+    seed: int = 1234,
+    fs=None,
+    use_bio: bool = False,
+    return_info: bool = False,
+):
+    """Structured-SVM segmenter (Pegasos on the dlib objective). Returns
+    (W, T) like ``train_segmenter``; with ``return_info`` also returns a
+    dict with epochs_run and the final primal objective estimate."""
+    fs = fs or DEFAULT_FS
+    ns, allowed, start_ok, end_ok, encode, _ = _layout(use_bio)
+    lv = loss_values(use_bio, loss_per_missed_segment)
+    feats = _featurize(sentences, fs, encode)
+    N = max(len(feats), 1)
+    lam = 1.0 / float(C)  # dlib obj / C → λ/2·||w||² + (1/N)·Σξ
+    W = np.zeros((ns, WINDOW * fs.dims + 1))
+    T = np.zeros((ns, ns))
+    rng = np.random.default_rng(seed)
+    t = 0
+    prev_obj = None
+    epochs_run = 0
+    obj = 0.0
+    for _ in range(int(max_iterations)):
+        epochs_run += 1
+        slack_sum = 0.0
+        for i in rng.permutation(len(feats)):
+            t += 1
+            FX, gold = feats[i]
+            slack, pred = _example_terms(
+                FX, gold, W, T, allowed, start_ok, end_ok, lv
+            )
+            slack_sum += slack
+            # w ← (1 − 1/t)·w + (1/(λt))·δψ  (Pegasos; δψ = ψ(gold) − ψ(pred))
+            shrink = 1.0 - 1.0 / t
+            W *= shrink
+            T *= shrink
+            if slack > 0.0:
+                eta = 1.0 / (lam * t)
+                wrong = np.nonzero(pred != gold)[0]
+                np.add.at(W, gold[wrong], eta * FX[wrong])
+                np.add.at(W, pred[wrong], -eta * FX[wrong])
+                if len(gold) > 1:
+                    np.add.at(T, (gold[:-1], gold[1:]), eta)
+                    np.add.at(T, (pred[:-1], pred[1:]), -eta)
+        # primal objective in dlib units: 0.5||w||² + (C/N)·Σξ (ξ observed
+        # at visit time — the standard online estimate)
+        obj = 0.5 * (float((W * W).sum()) + float((T * T).sum())) + (
+            C / N
+        ) * slack_sum
+        if prev_obj is not None and abs(prev_obj - obj) <= eps * max(
+            abs(prev_obj), 1.0
+        ):
+            break
+        prev_obj = obj
+    if return_info:
+        return W, T, {"epochs_run": epochs_run, "objective": obj}
+    return W, T
+
+
+# ---------------------------------------------------------------------------
+# distributed full-batch subgradient (same objective, Spark-sized)
+# ---------------------------------------------------------------------------
+
+
+def train_segmenter_svm_spark(
+    spark,
+    sentences,
+    C: float = 20.0,
+    rounds: int = 60,
+    loss_per_missed_segment: float = 3.0,
+    fs=None,
+    use_bio: bool = False,
+    n_partitions: int = 8,
+):
+    """Distributed structured-SVM training: full-batch subgradient on the
+    dlib objective. Per round: broadcast (W, T) → executors run the
+    loss-augmented oracle over their sentences (mapInPandas, Arrow) and
+    emit ONE partial-subgradient row per partition → driver sums
+    O(partitions) small rows and steps w ← w − η_r·(λw − ḡ), η_r = 1/(λr).
+
+    At 100 TB the per-round cost is a narrow scan of the cached token
+    corpus; only the (states × window·dims) model and per-partition
+    gradient rows ever move. Sentences: [(tokens, chunks)] or a DataFrame
+    with columns (tokens: array<string>, starts: array<int>,
+    ends: array<int>)."""
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+    fs = fs or DEFAULT_FS
+    ns, allowed, start_ok, end_ok, encode, _ = _layout(use_bio)
+    lv = loss_values(use_bio, loss_per_missed_segment)
+    dim = WINDOW * fs.dims + 1
+    if not isinstance(sentences, DataFrame):
+        pdf = pd.DataFrame(
+            {
+                "tokens": [list(t) for t, _ in sentences],
+                "starts": [[s for s, _ in ch] for _, ch in sentences],
+                "ends": [[e for _, e in ch] for _, ch in sentences],
+            }
+        )
+        df = spark.createDataFrame(
+            pdf, "tokens:array<string>,starts:array<int>,ends:array<int>"
+        )
+    else:
+        df = sentences
+    df = df.repartition(n_partitions).persist()
+    N = df.count()
+    lam = 1.0 / float(C)
+    W = np.zeros((ns, dim))
+    T = np.zeros((ns, ns))
+
+    grad_schema = (
+        "gw:array<double>,gt:array<double>,slack:double,n:bigint"
+    )
+
+    for r in range(1, int(rounds) + 1):
+        bW = spark.sparkContext.broadcast((W, T))
+
+        def part_grad(batches, _bW=bW):
+            Wc, Tc = _bW.value
+            gW = np.zeros_like(Wc)
+            gT = np.zeros_like(Tc)
+            slack_sum = 0.0
+            n = 0
+            for pdf_b in batches:
+                for toks, ss, ee in zip(
+                    pdf_b["tokens"], pdf_b["starts"], pdf_b["ends"]
+                ):
+                    toks = list(toks)
+                    if not toks:
+                        continue
+                    n += 1
+                    gold = encode(len(toks), list(zip(ss, ee)))
+                    FX = window_matrix(sentence_matrix(toks, fs))
+                    slack, pred = _example_terms(
+                        FX, gold, Wc, Tc, allowed, start_ok, end_ok, lv
+                    )
+                    if slack > 0.0:
+                        slack_sum += slack
+                        wrong = np.nonzero(pred != gold)[0]
+                        np.add.at(gW, gold[wrong], FX[wrong])
+                        np.add.at(gW, pred[wrong], -FX[wrong])
+                        if len(gold) > 1:
+                            np.add.at(gT, (gold[:-1], gold[1:]), 1.0)
+                            np.add.at(gT, (pred[:-1], pred[1:]), -1.0)
+            yield pd.DataFrame(
+                {
+                    "gw": [gW.ravel().tolist()],
+                    "gt": [gT.ravel().tolist()],
+                    "slack": [slack_sum],
+                    "n": [n],
+                }
+            )
+
+        parts = df.mapInPandas(part_grad, schema=grad_schema).collect()
+        bW.unpersist()
+        gW = np.zeros_like(W)
+        gT = np.zeros_like(T)
+        for row in parts:
+            gW += np.asarray(row["gw"]).reshape(W.shape)
+            gT += np.asarray(row["gt"]).reshape(T.shape)
+        # subgradient of λ/2||w||² + (1/N)Σξ is λw − ḡ where ḡ = Σδψ/N
+        eta = 1.0 / (lam * r)
+        W = (1.0 - eta * lam) * W + (eta / N) * gW
+        T = (1.0 - eta * lam) * T + (eta / N) * gT
+    df.unpersist()
+    return W, T
+
+
+# ---------------------------------------------------------------------------
+# evaluation / cross-validation / BOBYQA-analog tuning
+# ---------------------------------------------------------------------------
+
+
+def evaluate_segmenter(W, T, sentences, fs=None, use_bio: bool = False):
+    """Exact-range segment (precision, recall, f1) — the semantics of
+    dlib's test_sequence_segmenter (a predicted segment counts iff its
+    exact (start, end) range is in the gold set)."""
+    fs = fs or DEFAULT_FS
+    _, allowed, start_ok, end_ok, _, decode = _layout(use_bio)
+    tp = n_pred = n_gold = 0
+    for toks, chunks in sentences:
+        if not toks:
+            continue
+        FX = window_matrix(sentence_matrix(toks, fs))
+        path = viterbi(FX @ W.T, T, allowed, start_ok, end_ok)
+        pred = set(decode(path))
+        gold = set((int(s), int(e)) for s, e in chunks)
+        tp += len(pred & gold)
+        n_pred += len(pred)
+        n_gold += len(gold)
+    p = tp / n_pred if n_pred else 1.0
+    r = tp / n_gold if n_gold else 1.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return p, r, f1
+
+
+def cross_validate_segmenter(
+    sentences, folds: int = 2, seed: int = 99, **train_kw
+):
+    """k-fold CV (precision, recall, f1) of the SVM segmenter —
+    cross_validate_sequence_segmenter semantics (ner_trainer.cpp:470-488
+    uses the recall component as the BOBYQA objective)."""
+    sents = [s for s in sentences if s[0]]
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(sents))
+    ps, rs, fs_ = [], [], []
+    for k in range(folds):
+        test_idx = set(order[k::folds].tolist())
+        train = [sents[i] for i in range(len(sents)) if i not in test_idx]
+        test = [sents[i] for i in sorted(test_idx)]
+        if not train or not test:
+            continue
+        W, T = train_segmenter_svm(train, **train_kw)
+        p, r, f1 = evaluate_segmenter(
+            W, T, test, fs=train_kw.get("fs"), use_bio=train_kw.get("use_bio", False)
+        )
+        ps.append(p)
+        rs.append(r)
+        fs_.append(f1)
+    return (
+        float(np.mean(ps)) if ps else 1.0,
+        float(np.mean(rs)) if rs else 1.0,
+        float(np.mean(fs_)) if fs_ else 0.0,
+    )
+
+
+def tune_segmenter_params(
+    sentences,
+    folds: int = 2,
+    max_evals: int = 20,
+    max_iterations: int = 40,
+    **train_kw,
+):
+    """Derivative-free 2-D search over (C, loss_per_missed_segment)
+    maximizing k-fold CV recall — the BOBYQA analog of
+    ner_trainer.cpp:535-560 (bounds C∈[0.1,100], loss∈[1,10], start at the
+    defaults (20, 3)). Deterministic compass search on (log10 C, loss):
+    like BOBYQA it needs only objective values, respects bounds, and runs
+    on a fixed evaluation budget. Returns (best_C, best_loss, best_recall).
+    """
+    lo = np.array([np.log10(0.1), 1.0])
+    hi = np.array([np.log10(100.0), 10.0])
+    x = np.array([np.log10(20.0), 3.0])
+    step = np.array([0.5, 2.0])
+    cache: dict[tuple, float] = {}
+
+    def f(pt):
+        key = (round(float(pt[0]), 6), round(float(pt[1]), 6))
+        if key not in cache:
+            _, rec, _ = cross_validate_segmenter(
+                sentences,
+                folds=folds,
+                C=10.0 ** float(pt[0]),
+                loss_per_missed_segment=float(pt[1]),
+                max_iterations=max_iterations,
+                **train_kw,
+            )
+            cache[key] = rec
+        return cache[key]
+
+    best = f(x)
+    evals = 1
+    while evals < max_evals and step.max() > 0.05:
+        improved = False
+        for d in range(2):
+            for sgn in (+1.0, -1.0):
+                if evals >= max_evals:
+                    break
+                cand = x.copy()
+                cand[d] = np.clip(cand[d] + sgn * step[d], lo[d], hi[d])
+                if np.array_equal(cand, x):
+                    continue
+                v = f(cand)
+                evals += 1
+                if v > best:
+                    best, x, improved = v, cand, True
+        if not improved:
+            step = step / 2.0
+    return float(10.0 ** x[0]), float(x[1]), float(best)
+
+
+def compute_fscore(res: np.ndarray, num_labels: int, beta: float = 0.5):
+    """F-beta from a confusion matrix res[truth, pred] with the reference's
+    exact semantics (ner_trainer.cpp:311-327): predictions with label ≥
+    num_labels are "not an entity" and are excluded from the precision
+    denominator; micro P/R over the entity classes."""
+    res = np.asarray(res, dtype=float)
+    correct = np.trace(res[:num_labels, :num_labels])
+    total_pred = res[:, :num_labels].sum()
+    total_truth = res[:num_labels, :].sum()
+    precision = correct / total_pred if total_pred else 0.0
+    recall = correct / total_truth if total_truth else 0.0
+    denom = beta * beta * precision + recall
+    if denom == 0:
+        return 0.0
+    return (1 + beta * beta) * precision * recall / denom
+
+
+def tune_classifier_C(
+    examples,
+    num_labels: int,
+    folds: int = 2,
+    beta: float = 0.5,
+    min_C: float = 0.01,
+    max_C: float = 5000.0,
+    max_evals: int = 12,
+    epochs: int = 6,
+    seed: int = 99,
+):
+    """1-D derivative-free search over C maximizing k-fold CV F-beta of
+    the chunk classifier — find_max_single_variable analog of
+    ner_trainer.cpp:372-393 (start C=300, bounds [0.01, 5000]). Golden
+    -section on log10 C. Returns (best_C, best_fscore)."""
+    from mitie_spark.models.ner_model import (
+        NerModel,
+        train_chunk_classifier,
+    )
+
+    exs = list(examples)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(exs))
+    k = num_labels + 1
+
+    def cv_score(C):
+        res = np.zeros((k, k))
+        for fold in range(folds):
+            test_idx = set(order[fold::folds].tolist())
+            train = [exs[i] for i in range(len(exs)) if i not in test_idx]
+            test = [exs[i] for i in sorted(test_idx)]
+            if not train or not test:
+                continue
+            Ws, Wd, b = train_chunk_classifier(
+                train, epochs=epochs, n_classes=k, C=C
+            )
+            m = NerModel(
+                np.zeros((N_STATES, WINDOW * DEFAULT_FS.dims + 1)),
+                np.zeros((N_STATES, N_STATES)),
+                Ws,
+                Wd,
+                b,
+                ["L%d" % i for i in range(num_labels)],
+            )
+            for tokens, s, e, y in test:
+                X = sentence_matrix(tokens)
+                pred, _ = m.classify_chunk(tokens, X, s, e)
+                res[y, pred] += 1
+        return compute_fscore(res, num_labels, beta)
+
+    # golden-section over log10 C
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b_ = np.log10(min_C), np.log10(max_C)
+    c = b_ - gr * (b_ - a)
+    d = a + gr * (b_ - a)
+    fc, fd = cv_score(10.0**c), cv_score(10.0**d)
+    evals = 2
+    while evals < max_evals:
+        if fc >= fd:
+            b_, d, fd = d, c, fc
+            c = b_ - gr * (b_ - a)
+            fc = cv_score(10.0**c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + gr * (b_ - a)
+            fd = cv_score(10.0**d)
+        evals += 1
+    if fc >= fd:
+        return float(10.0**c), float(fc)
+    return float(10.0**d), float(fd)

@@ -1,0 +1,291 @@
+"""Pure-NumPy media codecs: real decode for BMP / PGM / PPM / WAV.
+
+The container has no PIL/opencv/ffmpeg, but several real formats need no
+codec library at all — BMP (BI_RGB), binary PNM (P5/P6), and RIFF/WAVE PCM
+are plain headers over raw sample arrays. These decoders make the
+multimodal path (operators/multimodal.py) REAL for those formats: payload
+bytes → pixel/sample arrays → deterministic feature vectors, with
+compressed formats (PNG/JPEG/MP4) still routed to an injected decoder or
+the documented fallback.
+
+Everything is deterministic and vectorized (header parse in ``struct``,
+pixel/sample math in NumPy) — safe inside Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FEATURE_DIM = 64
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is not a format the built-in codecs handle."""
+
+
+# ---------------------------------------------------------------------------
+# format sniffing
+# ---------------------------------------------------------------------------
+
+
+def sniff_kind(payload: bytes) -> str | None:
+    """Magic-byte detection: 'bmp' | 'pnm' | 'wav' | 'png' | 'jpeg' |
+    'mp4' | None."""
+    if not payload or len(payload) < 12:
+        return None
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P5", b"P6") and payload[2:3] in b" \t\r\n":
+        return "pnm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, BI_RGB uncompressed; 8-bit palette / 24 / 32 bpp)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """→ (H, W, 3) uint8 RGB. Handles bottom-up (positive height) and
+    top-down (negative height) rows, 4-byte row padding, 8-bit palette,
+    24-bit BGR and 32-bit BGRA."""
+    if payload[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP payload")
+    if len(payload) < 54:
+        raise UnsupportedMediaError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise UnsupportedMediaError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:  # BI_RGB only
+        raise UnsupportedMediaError(f"compressed BMP (method {compression})")
+    if bpp not in (8, 24, 32):
+        raise UnsupportedMediaError(f"unsupported BMP bpp {bpp}")
+    top_down = height < 0
+    H, W = abs(height), width
+    if H == 0 or W <= 0:
+        raise UnsupportedMediaError("empty BMP")
+    row_bytes = (W * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + row_bytes * H
+    if len(payload) < need:
+        raise UnsupportedMediaError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * H, offset=data_off)
+    rows = raw.reshape(H, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)
+        idx = rows[:, :W]
+        bgr = pal[idx, :3]  # palette entries are BGRA
+        return bgr[..., ::-1].copy()
+    ch = bpp // 8
+    px = rows[:, : W * ch].reshape(H, W, ch)
+    return px[..., 2::-1].copy()  # BGR(A) → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (bottom-up)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    H, W, _ = arr.shape
+    row_bytes = (W * 3 + 3) & ~3
+    img = np.zeros((H, row_bytes), dtype=np.uint8)
+    img[:, : W * 3] = arr[::-1, :, ::-1].reshape(H, W * 3)  # bottom-up BGR
+    data = img.tobytes()
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return hdr + info + data
+
+
+# ---------------------------------------------------------------------------
+# binary PNM (P5 grayscale / P6 RGB)
+# ---------------------------------------------------------------------------
+
+
+def _pnm_header(payload: bytes):
+    """Parse magic + dims + maxval, skipping '#' comments; returns
+    (magic, W, H, maxval, data_offset)."""
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise UnsupportedMediaError("truncated PNM header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    return payload[:2], vals[0], vals[1], vals[2], pos
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """P5 → (H, W) uint8/uint16; P6 → (H, W, 3). 16-bit samples are
+    big-endian per the spec."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise UnsupportedMediaError("not a binary PNM payload")
+    magic, W, H, maxval, off = _pnm_header(payload)
+    ch = 3 if magic == b"P6" else 1
+    dt = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = W * H * ch
+    data = np.frombuffer(payload, dtype=dt, count=n, offset=off)
+    arr = data.reshape((H, W, 3)) if ch == 3 else data.reshape((H, W))
+    return arr.astype(np.uint16) if maxval > 255 else arr.copy()
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """(H, W) → P5, (H, W, 3) → P6 (8-bit)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        magic, (H, W) = b"P5", arr.shape
+    else:
+        magic, (H, W, _) = b"P6", arr.shape
+    return magic + b"\n%d %d\n255\n" % (W, H) + arr.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE (PCM 8/16-bit + IEEE float32; any channel count → mono)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """→ (mono float32 samples in [-1, 1], sample_rate). Walks RIFF chunks
+    (skips LIST/fact/etc.), supports PCM (format 1) u8/s16 and IEEE float
+    (format 3) f32."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise UnsupportedMediaError("WAVE missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise UnsupportedMediaError(f"WAVE format {audio_fmt}/{bits}bit")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """mono float32 [-1, 1] → 16-bit PCM WAV bytes."""
+    x = np.clip(np.asarray(samples, dtype=np.float32), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (decode output → FEATURE_DIM vector)
+# ---------------------------------------------------------------------------
+
+
+def _area_pool(gray: np.ndarray, out: int = 8) -> np.ndarray:
+    """Exact area-average pooling of a (H, W) float array to (out, out):
+    each output cell averages its (possibly fractional) source rectangle —
+    the deterministic analog of a box-filter resize."""
+    H, W = gray.shape
+    ye = np.linspace(0, H, out + 1)
+    xe = np.linspace(0, W, out + 1)
+
+    def rect_sum(y0, y1, x0, x1):
+        # fractional rectangle via weighted whole-pixel sums
+        y0f, y1f, x0f, x1f = (
+            int(np.floor(y0)), int(np.ceil(y1)), int(np.floor(x0)), int(np.ceil(x1)),
+        )
+        sub = gray[y0f:y1f, x0f:x1f].astype(np.float64)
+        wy = np.ones(y1f - y0f)
+        wy[0] -= y0 - y0f
+        wy[-1] -= y1f - y1
+        wx = np.ones(x1f - x0f)
+        wx[0] -= x0 - x0f
+        wx[-1] -= x1f - x1
+        return float(wy @ sub @ wx)
+
+    outv = np.empty((out, out), dtype=np.float64)
+    for i in range(out):
+        for j in range(out):
+            area = (ye[i + 1] - ye[i]) * (xe[j + 1] - xe[j])
+            outv[i, j] = rect_sum(ye[i], ye[i + 1], xe[j], xe[j + 1]) / area
+    return outv
+
+
+def image_feature(arr: np.ndarray) -> np.ndarray:
+    """pixels → 64-dim: ITU-R 601 luma → 8×8 area-average pool → /255
+    (mirrors the PIL decoder's convert('L').resize((8, 8)) layout)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        gray = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
+    else:
+        gray = a
+    if gray.size and gray.max() > 255:
+        gray = gray / 257.0  # 16-bit → 8-bit scale
+    return (_area_pool(gray, 8).reshape(FEATURE_DIM) / 255.0).astype(np.float32)
+
+
+def audio_feature(samples: np.ndarray) -> np.ndarray:
+    """mono samples → 64-dim RMS energy profile over equal time segments."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    edges = np.linspace(0, len(x), FEATURE_DIM + 1).astype(np.int64)
+    sq = np.concatenate([[0.0], np.cumsum(x * x)])
+    seg = sq[edges[1:]] - sq[edges[:-1]]
+    n = np.maximum(edges[1:] - edges[:-1], 1)
+    return np.sqrt(seg / n).astype(np.float32)
+
+
+def builtin_decoder(payload: bytes) -> np.ndarray:
+    """Format-dispatching real decoder: BMP/PNM → image feature, WAV →
+    audio feature. Raises UnsupportedMediaError for formats that need a
+    codec library (PNG/JPEG/MP4/unknown) — callers fall back to an injected
+    decoder or the documented stub path."""
+    kind = sniff_kind(payload or b"")
+    if kind == "bmp":
+        return image_feature(decode_bmp(payload))
+    if kind == "pnm":
+        return image_feature(decode_pnm(payload))
+    if kind == "wav":
+        return audio_feature(decode_wav(payload)[0])
+    raise UnsupportedMediaError(f"no built-in codec for {kind or 'unknown'} payload")

@@ -53,13 +53,35 @@ def pil_image_decoder():
 
 def resolve_decoder(decoder=None):
     """Decoder resolution order: explicit injection → PIL (if installed) →
-    None. The explicit argument is how a real decoder drops in on a
-    cluster: the callable is captured by the mapInPandas closure and ships
-    to executors via cloudpickle, so no module install is required on the
-    workers beyond the decode library itself."""
+    the pure-NumPy built-in codecs (BMP/PGM/PPM/WAV — operators/
+    media_codecs.py; real decode, no libraries needed). The explicit
+    argument is how an additional decoder drops in on a cluster: the
+    callable is captured by the mapInPandas closure and ships to executors
+    via cloudpickle, so no module install is required on the workers beyond
+    the decode library itself. The resolved callable raises
+    media_codecs.UnsupportedMediaError for formats it cannot handle
+    (PNG/JPEG/MP4 without PIL) — per-payload fallback happens in
+    ``extract_features``."""
     if decoder is not None:
         return decoder
-    return pil_image_decoder()
+    pil = pil_image_decoder()
+    from mitie_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        builtin_decoder,
+    )
+
+    if pil is None:
+        return builtin_decoder
+
+    def decode(payload: bytes) -> np.ndarray:
+        # raw-container formats decode bit-deterministically in NumPy;
+        # compressed formats go to PIL
+        try:
+            return builtin_decoder(payload)
+        except UnsupportedMediaError:
+            return pil(payload)
+
+    return decode
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
@@ -74,19 +96,22 @@ def fake_decode(payload: bytes) -> np.ndarray:
 def decode_image(
     payload: bytes, deterministic_fake: bool = False, decoder=None
 ) -> np.ndarray:
-    """Decode one image payload to a FEATURE_DIM vector. Resolution:
-    injected/PIL decoder → the seeded fake (when ``deterministic_fake``) →
-    NotImplementedError (decode libraries absent and no fake requested)."""
+    """Decode one payload to a FEATURE_DIM vector. Resolution: injected →
+    PIL → built-in NumPy codecs (BMP/PNM/WAV decode for real); an
+    unsupported compressed format falls to the seeded fake (when
+    ``deterministic_fake``) or raises NotImplementedError."""
+    from mitie_spark.operators.media_codecs import UnsupportedMediaError
+
     fn = resolve_decoder(decoder)
-    if fn is not None:
+    try:
         return fn(payload)
-    if deterministic_fake:
-        return fake_decode(payload)
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv (not in this container) or an "
-        "injected decoder; pass deterministic_fake=True for the seeded "
-        "stand-in"
-    )
+    except UnsupportedMediaError as e:
+        if deterministic_fake:
+            return fake_decode(payload)
+        raise NotImplementedError(
+            f"{e}; compressed formats need PIL/opencv or an injected "
+            "decoder — pass deterministic_fake=True for the seeded stand-in"
+        ) from e
 
 
 def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:
@@ -113,19 +138,23 @@ def extract_features(
     def run(batches):
         # resolve once per task, not per payload (the PIL import-try runs
         # on the worker, where decode-library presence actually matters)
+        from mitie_spark.operators.media_codecs import UnsupportedMediaError
+
         fn = resolve_decoder(decoder)
         for pdf in batches:
             feats, hashes = [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                if fn is not None:
+                try:
                     v = fn(b)
-                elif deterministic_fake:
-                    v = fake_decode(b)
-                else:
-                    raise NotImplementedError(
-                        "no image decoder available (see decode_image)"
-                    )
+                except UnsupportedMediaError:
+                    if deterministic_fake:
+                        v = fake_decode(b)
+                    else:
+                        raise NotImplementedError(
+                            "no decoder for this payload format "
+                            "(see decode_image)"
+                        )
                 feats.append(np.asarray(v, dtype=np.float32).tolist())
                 hashes.append(hashlib.md5(b).hexdigest())
             yield pd.DataFrame(
@@ -144,10 +173,15 @@ def extract_features(
 
 
 def synth_media_table(spark, n: int = 50, seed: int = 3):
-    """Deterministic fake media table for tests (built via the Arrow
-    local-data path — a plain row list goes through the separate pickle
-    worker pool; see operators/graph.py)."""
+    """Deterministic media table for tests: REAL payloads where the
+    built-in codecs reach (images are actual BMP files, audio is actual
+    16-bit PCM WAV — operators/media_codecs.py), plus mp4-magic video
+    blobs that exercise the unsupported-format fallback. Built via the
+    Arrow local-data path — a plain row list goes through the separate
+    pickle worker pool; see operators/graph.py."""
     import pandas as pd
+
+    from mitie_spark.operators.media_codecs import encode_bmp, encode_wav
 
     rng = np.random.default_rng(seed)
     mids, kinds, payloads, metas = [], [], [], []
@@ -155,11 +189,25 @@ def synth_media_table(spark, n: int = 50, seed: int = 3):
         kind = ["image", "audio", "video"][i % 3]
         mids.append(i)
         kinds.append(kind)
-        payloads.append(rng.integers(0, 256, size=256, dtype=np.uint8).tobytes())
+        if kind == "image":
+            px = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(px))
+        elif kind == "audio":
+            t = np.arange(8000) / 16000.0
+            f = float(rng.integers(200, 2000))
+            payloads.append(
+                encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate=16000)
+            )
+        else:
+            blob = bytearray(
+                rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+            )
+            blob[4:8] = b"ftyp"  # mp4 magic → routed to the fallback path
+            payloads.append(bytes(blob))
         metas.append(
             {
                 "mime": {
-                    "image": "image/png",
+                    "image": "image/bmp",
                     "audio": "audio/wav",
                     "video": "video/mp4",
                 }[kind],

@@ -1,0 +1,199 @@
+"""Pure-NumPy media codecs (operators/media_codecs.py): real BMP/PNM/WAV
+decode with round-trip, padding, and dispatch coverage — this is the real
+(non-stub) multimodal decode path."""
+
+import numpy as np
+import pytest
+
+from mitie_spark.operators.media_codecs import (
+    FEATURE_DIM,
+    UnsupportedMediaError,
+    audio_feature,
+    builtin_decoder,
+    decode_bmp,
+    decode_pnm,
+    decode_wav,
+    encode_bmp,
+    encode_pnm,
+    encode_wav,
+    image_feature,
+    sniff_kind,
+)
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    for w in (8, 5, 7, 64):  # widths exercising 4-byte row padding
+        px = rng.integers(0, 256, size=(6, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_topdown_and_palette():
+    # top-down: negative height in an otherwise identical header
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    b = bytearray(encode_bmp(px))
+    import struct
+
+    h = struct.unpack_from("<i", b, 22)[0]
+    struct.pack_into("<i", b, 22, -h)
+    # rows were written bottom-up; flagging top-down must flip them back
+    assert np.array_equal(decode_bmp(bytes(b)), px[::-1])
+
+    # 8-bit palette BMP built by hand: 2×2, palette of 4 gray levels
+    pal = b"".join(bytes([v, v, v, 0]) for v in (0, 85, 170, 255))
+    rows = bytes([0, 1, 0, 0]) + bytes([2, 3, 0, 0])  # padded to 4
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8, 0, 0, 4, 0)
+    off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    img = decode_bmp(hdr + info + pal + rows)
+    # bottom-up: file row 0 is image row 1
+    assert img[1, 0, 0] == 0 and img[1, 1, 0] == 85
+    assert img[0, 0, 0] == 170 and img[0, 1, 0] == 255
+
+
+def test_bmp_rejects_compressed():
+    import struct
+
+    b = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<I", b, 30, 1)  # BI_RLE8
+    with pytest.raises(UnsupportedMediaError):
+        decode_bmp(bytes(b))
+
+
+def test_pnm_roundtrip_and_comments():
+    rng = np.random.default_rng(2)
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(gray)), gray)
+    rgb = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(rgb)), rgb)
+    # header comments per the spec
+    with_comment = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    assert decode_pnm(with_comment).shape == (2, 3)
+
+
+def test_pnm_16bit_big_endian():
+    payload = b"P5\n2 1\n65535\n" + (1000).to_bytes(2, "big") + (
+        65535
+    ).to_bytes(2, "big")
+    arr = decode_pnm(payload)
+    assert arr.dtype == np.uint16 and arr[0, 0] == 1000 and arr[0, 1] == 65535
+
+
+def test_wav_roundtrip_and_stereo_mean():
+    t = np.arange(1600) / 16000.0
+    x = 0.25 * np.sin(2 * np.pi * 440 * t)
+    y, rate = decode_wav(encode_wav(x, rate=16000))
+    assert rate == 16000
+    assert np.max(np.abs(y - x)) < 1e-3  # 16-bit quantization only
+
+    # hand-built stereo PCM: channels [0.5, -0.5] average to ~0
+    import struct
+
+    frames = b"".join(
+        struct.pack("<hh", 16384, -16384) for _ in range(100)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(frames))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(frames))
+        + frames
+    )
+    mono, rate = decode_wav(wav)
+    assert rate == 8000 and len(mono) == 100
+    assert np.allclose(mono, 0.0, atol=1e-4)
+
+
+def test_wav_skips_foreign_chunks():
+    base = encode_wav(np.zeros(10), rate=8000)
+    # splice a LIST chunk between WAVE and fmt
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = base[:12] + extra + base[12:]
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    y, rate = decode_wav(spliced)
+    assert rate == 8000 and len(y) == 10
+
+
+def test_sniff_kinds():
+    assert sniff_kind(encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"
+    assert sniff_kind(encode_pnm(np.zeros((2, 2), np.uint8))) == "pnm"
+    assert sniff_kind(encode_wav(np.zeros(4))) == "wav"
+    assert sniff_kind(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) == "png"
+    assert sniff_kind(b"\xff\xd8\xff\xe0" + b"\x00" * 8) == "jpeg"
+    assert sniff_kind(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8) == "mp4"
+    assert sniff_kind(b"plain text here") is None
+
+
+def test_image_feature_constant_image():
+    # constant gray image pools to a constant vector regardless of size
+    for shape in ((8, 8), (17, 23), (64, 64)):
+        arr = np.full(shape + (3,), 128, dtype=np.uint8)
+        f = image_feature(arr)
+        assert f.shape == (FEATURE_DIM,)
+        assert np.allclose(f, 128.0 / 255.0, atol=1e-6)
+
+
+def test_image_feature_area_pool_is_exact_for_divisible():
+    # 16×16 → 8×8: each cell is the mean of a 2×2 block
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    f = image_feature(g)
+    expect = g.reshape(8, 2, 8, 2).mean(axis=(1, 3)).reshape(64) / 255.0
+    assert np.allclose(f, expect, atol=1e-9)
+
+
+def test_audio_feature_energy_profile():
+    # first half silent, second half loud → energy concentrated in the
+    # trailing segments
+    x = np.concatenate([np.zeros(3200), 0.5 * np.ones(3200)])
+    f = audio_feature(x)
+    assert f.shape == (FEATURE_DIM,)
+    assert np.allclose(f[:32], 0.0)
+    assert np.allclose(f[32:], 0.5, atol=1e-6)
+
+
+def test_builtin_decoder_dispatch():
+    assert builtin_decoder(
+        encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    ).shape == (FEATURE_DIM,)
+    assert builtin_decoder(encode_wav(np.zeros(100))).shape == (FEATURE_DIM,)
+    with pytest.raises(UnsupportedMediaError):
+        builtin_decoder(b"\x89PNG\r\n\x1a\n" + b"\x00" * 100)
+    with pytest.raises(UnsupportedMediaError):
+        builtin_decoder(b"")
+
+
+def test_extract_features_real_decode_no_fake(spark):
+    """The REAL decode path end-to-end: BMP/WAV payloads in the media table
+    decode via the built-in codecs with deterministic_fake *off* — only the
+    mp4 video blobs need the fallback, so filtering them out must succeed
+    without any fake."""
+    from pyspark.sql import functions as F
+
+    from mitie_spark.operators.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=30).filter(F.col("kind") != "video")
+    rows = extract_features(media, deterministic_fake=False).collect()
+    assert len(rows) == 20
+    # decode is real: re-decode one payload locally and compare
+    pay = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    by_id = {r["media_id"]: np.array(r["feature"], np.float32) for r in rows}
+    for mid in list(by_id)[:4]:
+        assert np.allclose(by_id[mid], builtin_decoder(pay[mid]), atol=1e-6)
+    # image features are bounded pixel means; audio features are RMS ≤ 1
+    for v in by_id.values():
+        assert np.all(v >= 0.0) and np.all(v <= 1.0)
