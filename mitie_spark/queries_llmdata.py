@@ -1,0 +1,237 @@
+"""LLM-training-data pipeline queries: repetition filters, sequence
+packing, BPE. First-class additions beyond the reference (SURVEY.md §2.8),
+each with a DuckDB oracle where SQL can express the semantics.
+
+Oracle-parity rules honored here (CLAUDE.md): single-space tokenization
+with empty-token filtering on BOTH sides, COALESCE for short-doc edge
+cases, identical ROUND()s and column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mitie_spark.queries import query
+from mitie_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1 use character
+# fractions in repeated n-grams as quality filters; these are the
+# token-level analogs on the single-line documents table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_repetition_filters",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, tok,
+             LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+             LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, tok || ' ' || t1 AS g, COUNT(*) AS c
+      FROM grams WHERE t1 IS NOT NULL GROUP BY doc_id, g
+    ),
+    bg_top AS (SELECT doc_id, MAX(c) AS top_c FROM bg GROUP BY doc_id),
+    tg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tri,
+             COUNT(DISTINCT tok || ' ' || t1 || ' ' || t2) AS n_tri_d
+      FROM grams WHERE t2 IS NOT NULL GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.l) AS n_tokens,
+           ROUND(COALESCE(2.0 * bg_top.top_c / len(b.l), 0.0), 4)
+             AS top_bigram_frac,
+           ROUND(COALESCE(1.0 - CAST(tg.n_tri_d AS DOUBLE) / tg.n_tri, 0.0),
+                 4) AS dup_trigram_frac,
+           CAST(COALESCE(2.0 * bg_top.top_c / len(b.l), 0.0) > 0.2
+                OR COALESCE(1.0 - CAST(tg.n_tri_d AS DOUBLE) / tg.n_tri,
+                            0.0) > 0.3 AS BOOLEAN) AS flagged
+    FROM base b
+    LEFT JOIN bg_top ON b.doc_id = bg_top.doc_id
+    LEFT JOIN tg ON b.doc_id = tg.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def doc_repetition_filters(spark, sf_dir):
+    """Per-doc repetition quality signals: fraction of tokens covered by
+    the most frequent bigram + duplicate-trigram fraction, with the
+    Gopher-style keep/drop flag. Plan: one explode, then every stage —
+    window lead, both gram aggregates, the final joins — is keyed by
+    doc_id, so after the first shuffle everything is co-partitioned; at
+    100 TB the n-gram keys are (doc_id, gram) pairs whose cardinality is
+    bounded per doc (no global hot key — contrast a corpus-wide gram
+    count)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("l").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    )
+    bg_top = (
+        grams.filter(F.col("t1").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "tok", "t1").alias("g"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    tg = (
+        grams.filter(F.col("t2").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.countDistinct(
+                F.concat_ws(" ", "tok", "t1", "t2")
+            ).alias("n_tri_d"),
+        )
+    )
+    top_frac = F.coalesce(
+        2.0 * F.col("top_c") / F.size("l"), F.lit(0.0)
+    )
+    dup_frac = F.coalesce(
+        1.0 - F.col("n_tri_d").cast("double") / F.col("n_tri"), F.lit(0.0)
+    )
+    return (
+        base.join(bg_top, "doc_id", "left")
+        .join(tg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("l").alias("n_tokens"),
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+            F.round(dup_frac, 4).alias("dup_trigram_frac"),
+            ((top_frac > 0.2) | (dup_frac > 0.3)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (greedy contiguous fill of fixed-size training windows)
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 256  # tokens per training sequence
+_PACK_SHARD = 100  # docs per shard; shards pack independently
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH docs_t AS (
+      SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+                   - n_tok) // {_PACK_CTX} AS BIGINT) AS pack_id
+      FROM docs_t
+    )
+    SELECT shard, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, pack_id
+    ORDER BY shard, pack_id
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Greedy contiguous packing of documents into fixed-size training
+    sequences: a doc starts in the window its running token offset falls
+    into. Packing is per shard (fixed doc_id ranges) exactly as a real
+    pipeline packs per output shard — which is what makes it scale: the
+    running-sum window partitions by shard, so there is no global
+    single-partition prefix scan; every stage is a shard-keyed shuffle."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs_t = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _PACK_SHARD).cast("bigint").alias("shard"),
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs_t.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_CTX),
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE (iterative trainer — not SQL-expressible; rows-only + equivalence
+# unit tests vs the local reference implementation)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 30
+
+
+@query("bpe_merges")
+def bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (rank, left, right) — genuinely iterative
+    (each merge depends on the last), so no SQL oracle; the driver records
+    the rows-only check and tests/test_bpe.py pins determinism plus
+    local==distributed strategy equivalence. Corpus-sized work is one
+    groupBy(word); the merge loop sees only the vocabulary."""
+    import pandas as pd
+
+    from mitie_spark.operators.bpe import train_bpe
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges = train_bpe(docs, n_merges=_BPE_MERGES, min_freq=2)
+    pdf = pd.DataFrame(
+        {
+            "rank": range(len(merges)),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+    return spark.createDataFrame(pdf, "rank:bigint,left:string,right:string")
+
+
+@query("bpe_token_counts")
+def bpe_token_counts(spark, sf_dir):
+    """Tokenize the corpus with the learned merges → per-doc BPE token
+    counts (rows-only: depends on the iterative merge table). The merge
+    table broadcasts in the UDF closure; the corpus never shuffles."""
+    from mitie_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    merges = train_bpe(docs, n_merges=_BPE_MERGES, min_freq=2)
+    return bpe_tokenize(docs, merges).orderBy("doc_id")
