@@ -195,6 +195,188 @@ def sequence_packing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing. The synthetic corpus contains no natural PII, so the query
+# deterministically injects doc_id-derived PII with the SAME expression in
+# both engines (the task's sanctioned small-scale synthesis) — the gate
+# then verifies the detector/scrubber regex semantics end to end: per-class
+# match counts AND redacted-character totals must agree.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pii_scrub_by_source",
+    r"""
+    WITH injected AS (
+      SELECT source, n_chars,
+        text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id // 256) % 256 AS VARCHAR) || '.1'
+                ELSE '' END AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT source,
+        len(regexp_extract_all(
+          t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        len(regexp_extract_all(
+          t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni,
+        len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+        len(t) - len(
+          regexp_replace(regexp_replace(regexp_replace(
+            t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS delta
+      FROM injected
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(np) AS BIGINT) AS n_phones,
+           CAST(SUM(ni) AS BIGINT) AS n_ips,
+           CAST(SUM(delta) AS BIGINT) AS chars_redacted
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+)
+def pii_scrub_by_source(spark, sf_dir):
+    """Detect + redact emails / phones / IPv4s per source partition,
+    reporting match counts and characters redacted. One narrow codegen'd
+    pass over the text (regexp_count/regexp_replace, no UDF), then a
+    20-key aggregate — at 100 TB the scan dominates and parallelizes
+    perfectly; nothing shuffles except 6 numbers per source."""
+    from mitie_spark.functions.pii import pii_counts, scrub_pii
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (F.expr("doc_id div 256") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(""),
+    )
+    t = injected.alias("t")
+    counts = pii_counts(F.col("t"))
+    base = docs.select("source", t).select(
+        "source",
+        counts["email"].alias("ne"),
+        counts["ipv4"].alias("ni"),
+        counts["phone"].alias("np"),
+        (F.length("t") - F.length(scrub_pii(F.col("t")))).alias("delta"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+            F.sum("ni").alias("n_ips"),
+            F.sum("delta").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing: deterministic per-source weighted sampling (the data-mixture
+# step of a training pipeline) — md5 bucketing, no RNG state to coordinate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "domain_mixture_sample",
+    """
+    WITH rated AS (
+      SELECT source, n_chars,
+             (1 + CAST(substr(source, 4) AS INT) % 4) * 2500 AS rate_bp,
+             ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4))
+               ::INT % 10000 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           ROUND(ANY_VALUE(rate_bp) / 10000.0, 4) AS rate,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_bp THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM rated GROUP BY source ORDER BY source
+    """,
+)
+def domain_mixture_sample(spark, sf_dir):
+    """Per-domain sampling at source-dependent rates (the mixture-weights
+    step): a doc is kept iff its md5 bucket falls under the source's rate.
+    Membership is a pure function of doc_id — reruns, repartitions, and
+    scale changes reproduce the same sample, and at 100 TB the filter is a
+    narrow codegen'd scan (the md5 never shuffles)."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    rate_bp = (1 + F.substring("source", 4, 10).cast("int") % 4) * 2500
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10000
+    )
+    rated = docs.select(
+        "source",
+        "n_chars",
+        rate_bp.alias("rate_bp"),
+        bucket.alias("bucket"),
+    )
+    kept = F.col("bucket") < F.col("rate_bp")
+    return (
+        rated.groupBy("source")
+        .agg(
+            F.round(F.any_value("rate_bp") / 10000.0, 4).alias("rate"),
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .select(
+            "source", "rate", "n_docs", "n_kept", "kept_chars"
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE (iterative trainer — not SQL-expressible; rows-only + equivalence
 # unit tests vs the local reference implementation)
 # ---------------------------------------------------------------------------
