@@ -1,7 +1,9 @@
 """End-to-end KG construction pipeline: pages → canonical triples.
 
-Stages (north rule order; each materializes to parquet with lineage and is
-skipped on re-run if complete — see plans/lineage.py):
+Stages (north rule order; each materializes through
+sources/catalog.write_table — a partitioned Iceberg table when a catalog is
+configured at submit time, a parquet directory otherwise — with lineage,
+and is skipped on re-run if complete — see plans/lineage.py):
 
 1. verify_text — recompute html→text distributively and count byte
    mismatches vs the stored text (input_hint invariant; must be 0);
@@ -16,7 +18,9 @@ skipped on re-run if complete — see plans/lineage.py):
 6. triples — canonical (subj_id, pred, obj_id) edges with counts
    (skew-resistant two-phase aggregate), partitioned by pred.
 
-Cluster launch (real deployment):
+Cluster launch (real deployment; add the iceberg-spark-runtime package and
+a spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog conf to
+write stages as Iceberg tables — see sources/catalog.py):
     spark-submit --py-files mitie_spark.zip \
         --files ner_model.npz,relation_model.npz \
         -m mitie_spark.plans.pipeline -- --pages ... --out ...
@@ -66,26 +70,32 @@ def run_pipeline(
     )
     from mitie_spark.operators.linking import canonical_components, link_mentions
 
+    from mitie_spark.sources.catalog import iceberg_catalog, read_table
+
     ner_path = ner_path or os.path.join(ARTIFACT_DIR, "ner_model.npz")
     rel_path = rel_path or os.path.join(ARTIFACT_DIR, "relation_model.npz")
     os.makedirs(out_dir, exist_ok=True)
     report: dict[str, dict] = {}
+    catalog = iceberg_catalog(spark)  # None here → partitioned parquet
 
     def stage(name: str, conf: dict, build, partition_by=None, input_rows=None):
         out = os.path.join(out_dir, name)
         ch = config_hash(conf)
-        if not force and stage_is_complete(out, ch):
+        if not force and stage_is_complete(out, ch, spark=spark):
             rec = read_lineage(out)
             rec["skipped"] = True
             report[name] = rec
-            return spark.read.parquet(out)
-        df = build()
-        rec = write_stage(
-            df, out, name, conf, partition_by=partition_by, input_rows=input_rows
+        else:
+            df = build()
+            rec = write_stage(
+                df, out, name, conf, partition_by=partition_by,
+                input_rows=input_rows, catalog=catalog,
+            )
+            rec["skipped"] = False
+            report[name] = rec
+        return read_table(
+            spark, rec.get("kind", "parquet"), rec.get("location", out)
         )
-        rec["skipped"] = False
-        report[name] = rec
-        return spark.read.parquet(out)
 
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
@@ -129,14 +139,13 @@ def run_pipeline(
         lambda: mentions_table(kg),
         input_rows=report["kg"]["output_rows"],
     )
-    stage(
+    triples_raw = stage(
         "triples_raw",
         {"from": report["kg"]["config_hash"], "rows": report["kg"]["output_rows"]},
         lambda: triples_table(kg),
         partition_by=PRED_PARTITIONS,
         input_rows=report["kg"]["output_rows"],
     )
-    triples_raw = spark.read.parquet(os.path.join(out_dir, "triples_raw"))
 
     # 4. linking
     alias = spark.read.parquet(alias_path)
