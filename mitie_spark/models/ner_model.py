@@ -270,7 +270,10 @@ def viterbi_batch(
     if Lmax == 0:
         return [np.zeros(0, dtype=np.int64) for _ in range(B)]
     NEG = -1e30
-    E = np.full((B, Lmax, S), 0.0)
+    # np.zeros (calloc -> zero pages), not np.full(0.0) (eager fill): one
+    # long doc pads every row to Lmax (~30x padding at median doc length)
+    # and the eager fill alone cost ~30% of segment_batch wall.
+    E = np.zeros((B, Lmax, S))
     for b, e in enumerate(emissions_list):
         if lens[b]:
             E[b, : lens[b]] = e
