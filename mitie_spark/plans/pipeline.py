@@ -124,11 +124,20 @@ def run_pipeline(
     if bad:
         raise RuntimeError(f"html→text invariant violated for {bad} pages")
 
-    # 2. fused extraction
+    # 2. fused extraction — tasks sized by compute, not input bytes: the
+    # corpus compresses ~10x, so byte-based parquet splits chronically
+    # under-partition this CPU-bound stage (measured 7 tasks on 32 cores =
+    # 4x wall; same sizing rule as queries_kg._kg and bench_scaling)
+    # (parallelism stays out of the config hash: rows are invariant to the
+    # task layout, so resuming under a different --master must not
+    # invalidate a completed extraction)
+    kg_par = spark.sparkContext.defaultParallelism * 4
     kg = stage(
         "kg",
         {"ner": ner_path, "rel": rel_path, "lang": lang, "pages": pages_path},
-        lambda: extract_kg(pages, ner_path, rel_path, lang_filter=lang),
+        lambda: extract_kg(
+            pages, ner_path, rel_path, lang_filter=lang, parallelism=kg_par
+        ),
         input_rows=n_pages,
     )
 
