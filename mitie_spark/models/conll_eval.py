@@ -98,8 +98,6 @@ def evaluate_ner_df(
     reduces to at most a few label rows, so the shuffle is label-sized."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mitie_spark.models.ner_model import NerModel
-
         model = _cached_model(ner_path)
         for pdf in batches:
             toks = [list(t) for t in pdf["tokens"]]

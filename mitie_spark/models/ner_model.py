@@ -775,7 +775,11 @@ class NerModel:
             tags=np.array(self.tags),
             fs_kind=np.array([self.fs.kind]),
             use_bio=np.array([self.use_bio]),
-            fingerprint=np.array([self.fs.fingerprint], dtype=np.int64),
+            # uint64, not int64: dlib murmur fingerprints are unsigned and
+            # ~half of real models have the high bit set — an int64 array
+            # here is built eagerly inside this dict literal and would
+            # OverflowError before any branch below could override it
+            fingerprint=np.array([self.fs.fingerprint], dtype=np.uint64),
         )
         if self.fs.kind in ("wordvec", "wordvec+shape"):
             wv = self.fs.wv if self.fs.kind == "wordvec+shape" else self.fs
@@ -799,9 +803,6 @@ class NerModel:
                     [self.fs.substring_set.max_substr_len]
                 ),
                 dl_morph_trans=self.fs.morph_trans,
-            )
-            arrays["fingerprint"] = np.array(
-                [self.fs.fingerprint], dtype=np.uint64
             )
         np.savez_compressed(path, **arrays)
 

@@ -239,7 +239,10 @@ class RelationModel:
             W_sparse=self.W_sparse,
             W_dense=self.W_dense,
             b=self.b,
-            fingerprint=np.array([self.fingerprint], dtype=np.int64),
+            # uint64: a detector trained against a dlib-loaded NER carries
+            # that model's unsigned murmur fingerprint, which can exceed
+            # int64 range (load() round-trips via int())
+            fingerprint=np.array([self.fingerprint], dtype=np.uint64),
         )
 
     @classmethod

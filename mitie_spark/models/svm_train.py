@@ -239,7 +239,6 @@ def train_segmenter_svm_spark(
     else:
         df = sentences
     df = df.repartition(n_partitions).persist()
-    N = df.count()
     lam = 1.0 / float(C)
     W = np.zeros((ns, dim))
     T = np.zeros((ns, ns))
@@ -291,10 +290,19 @@ def train_segmenter_svm_spark(
         bW.unpersist()
         gW = np.zeros_like(W)
         gT = np.zeros_like(T)
+        N = 0
         for row in parts:
             gW += np.asarray(row["gw"]).reshape(W.shape)
             gT += np.asarray(row["gt"]).reshape(T.shape)
-        # subgradient of λ/2||w||² + (1/N)Σξ is λw − ḡ where ḡ = Σδψ/N
+            N += int(row["n"])
+        if N == 0:
+            raise ValueError(
+                "train_segmenter_svm_spark: no non-empty sentences"
+            )
+        # subgradient of λ/2||w||² + (1/N)Σξ is λw − ḡ where ḡ = Σδψ/N.
+        # N = Σ per-partition n (the examples part_grad actually scored):
+        # df.count() would include empty-token rows the workers skip,
+        # under-scaling the step vs the local solver's objective
         eta = 1.0 / (lam * r)
         W = (1.0 - eta * lam) * W + (eta / N) * gW
         T = (1.0 - eta * lam) * T + (eta / N) * gT

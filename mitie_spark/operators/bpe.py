@@ -58,6 +58,20 @@ def _merge_word(syms: list[str], pair: tuple[str, str]) -> list[str]:
     return out
 
 
+def _make_apply_merge(pair: tuple[str, str]):
+    """Fresh-closure factory for one merge round's UDF. The UDFs of earlier
+    rounds stay reachable through the lineage of every later ``cur`` (a
+    lost cached partition recomputes through them), so each must pin ITS
+    round's pair — a closure over the loop variable would late-bind and
+    silently apply the current merge in replayed rounds."""
+
+    @F.pandas_udf("array<string>")
+    def apply_merge(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: _merge_word(list(s), pair))
+
+    return apply_merge
+
+
 def train_bpe_local(
     words: list[tuple[str, int]], n_merges: int, min_freq: int = 2
 ) -> list[tuple[str, str]]:
@@ -145,11 +159,9 @@ def _train_bpe_distributed(
         pair = (top[0]["a"], top[0]["b"])
         merges.append(pair)
 
-        @F.pandas_udf("array<string>")
-        def apply_merge(col: pd.Series) -> pd.Series:
-            return col.map(lambda s: _merge_word(list(s), pair))
-
-        nxt = cur.select(apply_merge("syms").alias("syms"), "cnt").persist()
+        nxt = cur.select(
+            _make_apply_merge(pair)("syms").alias("syms"), "cnt"
+        ).persist()
         nxt.count()
         cur.unpersist()
         cur = nxt

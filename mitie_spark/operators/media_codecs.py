@@ -149,9 +149,13 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     if magic not in (b"P5", b"P6"):
         raise UnsupportedMediaError("not a binary PNM payload")
     magic, W, H, maxval, off = _pnm_header(payload)
+    if W <= 0 or H <= 0:
+        raise UnsupportedMediaError("empty PNM")
     ch = 3 if magic == b"P6" else 1
-    dt = np.dtype(">u2") if maxval > 255 else np.uint8
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     n = W * H * ch
+    if len(payload) - off < n * dt.itemsize:
+        raise UnsupportedMediaError("truncated PNM pixel data")
     data = np.frombuffer(payload, dtype=dt, count=n, offset=off)
     arr = data.reshape((H, W, 3)) if ch == 3 else data.reshape((H, W))
     return arr.astype(np.uint16) if maxval > 255 else arr.copy()
@@ -186,6 +190,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         sz = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise UnsupportedMediaError("truncated WAVE fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -282,10 +288,18 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
     codec library (PNG/JPEG/MP4/unknown) — callers fall back to an injected
     decoder or the documented stub path."""
     kind = sniff_kind(payload or b"")
-    if kind == "bmp":
-        return image_feature(decode_bmp(payload))
-    if kind == "pnm":
-        return image_feature(decode_pnm(payload))
-    if kind == "wav":
-        return audio_feature(decode_wav(payload)[0])
+    try:
+        if kind == "bmp":
+            return image_feature(decode_bmp(payload))
+        if kind == "pnm":
+            return image_feature(decode_pnm(payload))
+        if kind == "wav":
+            return audio_feature(decode_wav(payload)[0])
+    except UnsupportedMediaError:
+        raise
+    except (ValueError, IndexError, struct.error, OverflowError) as e:
+        # safety net for web-scale garbage: any parse failure a decoder
+        # guard missed must degrade to the fallback path, not kill the
+        # Spark task (callers only catch UnsupportedMediaError)
+        raise UnsupportedMediaError(f"malformed {kind} payload: {e}") from e
     raise UnsupportedMediaError(f"no built-in codec for {kind or 'unknown'} payload")

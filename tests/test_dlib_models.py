@@ -275,3 +275,39 @@ def test_binary_relation_detector_roundtrip(tmp_path):
     assert rm["preds"] == ["location.location.contains"]
     with pytest.raises(ValueError):
         relation_model_from_dlib([p], expected_fingerprint=1)
+
+
+def test_high_bit_fingerprint_save_roundtrip(tmp_path):
+    """~half of real MITIE murmur fingerprints have the u64 high bit set;
+    save() must not overflow an int64 array (the convert-ner CLI path)."""
+    import numpy as np
+
+    from mitie_spark.models.relation_model import RelationModel
+
+    fp = 2**63 + 12345
+    m = RelationModel(
+        preds=["p"],
+        W_sparse=np.zeros((1, 8)),
+        W_dense=np.zeros((1, 4)),
+        b=np.zeros(1),
+        fingerprint=fp,
+    )
+    p = str(tmp_path / "rel_u64.npz")
+    m.save(p)
+    assert RelationModel.load(p).fingerprint == fp
+
+
+def test_ner_model_npz_save_with_high_bit_dlib_fingerprint(tmp_path):
+    """NerModel.save must handle a dlib fingerprint above int64 range: the
+    fingerprint entry is built eagerly in the arrays dict, so it must be
+    uint64 from the start (a later dlib-branch override comes too late)."""
+    from mitie_spark.models.ner_model import NerModel
+
+    fe = _synthetic_fe()
+    fe["fingerprint"] = 2**63 + 424242  # high bit set
+    fs = DlibTotalWordFeatureExtractor(_with_crc(fe))
+    m = NerModel(fs=fs)
+    p = str(tmp_path / "ner_u64.npz")
+    m.save(p)
+    got = NerModel.load(p)
+    assert got.fs.fingerprint == 2**63 + 424242

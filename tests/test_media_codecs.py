@@ -197,3 +197,33 @@ def test_extract_features_real_decode_no_fake(spark):
     # image features are bounded pixel means; audio features are RMS ≤ 1
     for v in by_id.values():
         assert np.all(v >= 0.0) and np.all(v <= 1.0)
+
+
+def test_malformed_payloads_degrade_to_unsupported():
+    """Web-scale garbage: any parse failure must surface as
+    UnsupportedMediaError (the only exception callers catch before the
+    fallback path), never IndexError/struct.error/ValueError that would
+    kill a Spark task."""
+    import struct
+
+    from mitie_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        builtin_decoder,
+    )
+
+    bad = [
+        b"P5\n3 0\n255\n" + b"\x00" * 16,  # zero height -> empty pool
+        b"P5\n0 3\n255\n" + b"\x00" * 16,  # zero width
+        b"P5\n9 9\n255\n" + b"\x00" * 3,  # truncated pixel data
+        b"P6\n70000 70000\n255\n",  # body far smaller than W*H*3
+        # fmt chunk shorter than the 16-byte header it declares
+        b"RIFF"
+        + struct.pack("<I", 20)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 4)
+        + b"\x01\x00\x01\x00",
+    ]
+    for payload in bad:
+        with pytest.raises(UnsupportedMediaError):
+            builtin_decoder(payload)
