@@ -37,6 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # still gated locally against DuckDB at sf0.01 by
 # tests/test_queries_vs_oracle.py.
 _LOW_EVIDENCE_GATED = [
+    # the 50 in-cap slots are taken by one query per distinct operator
+    # shape (incl. the three the round-1 verdict demanded rows for);
+    # substring-span dedup is fully gated locally and its operator is
+    # additionally unit-tested on planted spans
+    "dedup_substring_spans",
     # empty result at sf0.01: its green row only hashes an empty frame
     "dedup_exact_groups",
 ]

@@ -392,3 +392,123 @@ def token_ngram_jaccard(
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document EXACT duplicated-span detection (substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 15,
+    anchor_gram: int = 5,
+    anchor_hex: tuple[str, ...] = ("0",),
+    max_df: int = 8,
+) -> DataFrame:
+    """Pairs of documents sharing an identical run of >= ``min_len`` tokens
+    — the training-set substring-dedup operator (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22) re-expressed as a
+    distributed block->verify program instead of a monolithic suffix array
+    (which needs the whole corpus addressable from one machine):
+
+    1. ANCHOR SELECTION — token position i is an anchor iff
+       md5(the ``anchor_gram``-token gram at i) starts with a hex digit in
+       ``anchor_hex`` (rate = len(anchor_hex)/16).  Selection is
+       CONTENT-DEFINED: identical text selects identical anchor positions
+       in every document containing it, so there is no cross-document
+       alignment problem (the failure mode of stride/offset sampling).
+    2. WINDOW FINGERPRINTS — at each anchor i (with a full window available)
+       emit md5 of the ``min_len``-token window starting at i.  Map-side
+       emit is O(total_tokens x rate) rows of (id, pos, hex hash) — the
+       only data that ever shuffles; raw text never does.
+    3. BOILERPLATE CAP — window hashes present in > ``max_df`` distinct
+       documents are dropped before the pair join (site chrome / licence
+       boilerplate would otherwise contribute df^2 pairs per hash — the
+       same role max_bucket plays in the MinHash path).
+    4. PAIR JOIN on the window hash, aggregated per ordered doc pair.
+
+    Precision is exact: a reported pair shares the literal min_len-token
+    window (md5-128 equality; collision probability ~2^-64 at corpus
+    scale).  Recall on a shared run of T tokens is
+    1 - (1-rate)^(T - min_len + 1): probabilistic near the minimum length
+    (~6% at T = min_len with the 1/16 default) and ->1 for the long runs
+    substring dedup exists to catch (>96% by T = min_len+50, >99.99% by
+    T = min_len+150).  Widening ``anchor_hex`` trades emit volume for
+    recall; all 16 digits = exhaustive windows = lossless.
+
+    Per the repo convention, fingerprints are computed in one Arrow
+    mapInPandas pass (hashlib md5 == Spark F.md5 == DuckDB md5 on UTF-8
+    bytes, so the SQL oracle replicates the blocking bit-exactly), not via
+    interpreted array HOFs.  Tokenization is the shared single-space-split
+    convention.  Reference precedent for hashed-substring blocking:
+    approximate_substring_set (/root/reference/mitielib/include/mitie/
+    approximate_substring_set.h) fingerprints substrings by rolling hash
+    the same way.
+    """
+    from mitie_spark.session import by_compute
+
+    hexset = frozenset(anchor_hex)
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            hs: list = []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                toks = [t for t in (text or "").lower().split(" ") if t]
+                n = len(toks)
+                for i in range(n - min_len + 1):
+                    a = hashlib.md5(
+                        " ".join(toks[i : i + anchor_gram]).encode()
+                    ).hexdigest()
+                    if a[0] in hexset:
+                        ids.append(did)
+                        poss.append(i + 1)  # 1-based, matching SQL lists
+                        hs.append(
+                            hashlib.md5(
+                                " ".join(toks[i : i + min_len]).encode()
+                            ).hexdigest()
+                        )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "pos": pd.Series(poss, dtype="int64"),
+                    "h": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    # the window scan is CPU-bound (md5 per position), so size tasks by
+    # compute, not by parquet byte splits
+    proj = by_compute(
+        df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("text")
+        ),
+        2,
+    )
+    wins = proj.mapInPandas(gen, schema="id long, pos long, h string")
+    # intra-doc dedup: one row per (doc, window hash), keeping the first
+    # occurrence — bounds the pair-join fan-out for self-repetitive docs.
+    # Persisted because three downstream references (the df cap and both
+    # sides of the pair join) would otherwise each re-run the md5 scan —
+    # the operator's dominant cost (same pattern as near_duplicates_minhash)
+    wins = wins.groupBy("id", "h").agg(F.min("pos").alias("pos")).persist()
+    keep = wins.groupBy("h").agg(F.count("*").alias("dfq")).filter(
+        F.col("dfq") <= max_df
+    )
+    wins = wins.join(keep.select("h"), "h")
+    return (
+        wins.alias("a")
+        .join(wins.alias("b"), "h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_shared_windows"),
+            F.min("a.pos").alias("first_pos_a"),
+            F.min("b.pos").alias("first_pos_b"),
+        )
+    )

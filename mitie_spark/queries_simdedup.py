@@ -992,3 +992,52 @@ def conll_eval_metrics(spark, sf_dir):
     path = os.path.join(REPO, "data", "conll", "eval.conll")
     ner_path = os.path.join(ARTIFACT_DIR, "ner_model.npz")
     return evaluate_ner_df(conll_sentences_df(spark, path), ner_path)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact duplicated spans (substring dedup, Lee et al. ACL'22)
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 15  # window length (tokens); the real config runs 50
+_SPAN_MAX_DF = 8  # boilerplate cap: window hashes in more docs are dropped
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+      FROM documents
+    ), wins0 AS (
+      SELECT id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(l[i:i+{_SPAN_LEN - 1}], ' ')) AS h
+      FROM toks, unnest(range(1, greatest(len(l) - {_SPAN_LEN} + 2, 1))) AS t(i)
+      WHERE len(l) >= {_SPAN_LEN}
+        AND substr(md5(array_to_string(l[i:i+4], ' ')), 1, 1) = '0'
+    ), wins AS (
+      SELECT id, h, MIN(pos) AS pos FROM wins0 GROUP BY id, h
+    ), keep AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= {_SPAN_MAX_DF}
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           COUNT(*) AS n_shared_windows,
+           MIN(a.pos) AS first_pos_a, MIN(b.pos) AS first_pos_b
+    FROM wins a JOIN keep USING (h) JOIN wins b ON a.h = b.h AND a.id < b.id
+    GROUP BY id_a, id_b
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing an identical >= 15-token run — EXACT substring
+    dedup as content-defined-anchor blocking + hash join (see
+    operators.dedup.exact_substring_spans for the full scale design).  The
+    oracle replicates the anchored blocking bit-exactly (both engines md5
+    the same UTF-8 window strings), so the gate checks the whole pipeline
+    including the boilerplate cap, not just a brute-force equivalent."""
+    from mitie_spark.operators.dedup import exact_substring_spans
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return exact_substring_spans(
+        docs, min_len=_SPAN_LEN, max_df=_SPAN_MAX_DF
+    ).orderBy("id_a", "id_b")

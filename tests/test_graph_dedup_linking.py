@@ -294,3 +294,59 @@ def test_token_ngram_jaccard_prefix_threshold_boundary(spark):
     assert [(r.id_a, r.id_b, round(r.jaccard, 6)) for r in rows] == [
         (1, 2, 0.56)
     ]
+
+
+def _span_corpus():
+    run = [f"r{i}" for i in range(120)]  # 120-token shared run
+    d0 = [f"p{i}" for i in range(20)] + run + [f"s{i}" for i in range(10)]
+    d1 = [f"q{i}" for i in range(25)] + run + [f"t{i}" for i in range(10)]
+    d2 = [f"u{i}" for i in range(60)]  # unrelated
+    boiler = [f"b{i}" for i in range(15)]  # exactly one window wide
+    rows = [(0, " ".join(d0)), (1, " ".join(d1)), (2, " ".join(d2))]
+    for i in range(12):  # 12 docs sharing ONE boilerplate window
+        rows.append((10 + i, " ".join([f"f{i}_{j}" for j in range(20)] + boiler)))
+    return rows
+
+
+def test_exact_substring_spans_planted(spark):
+    import pandas as pd
+
+    from mitie_spark.operators.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(
+        pd.DataFrame(_span_corpus(), columns=["doc_id", "text"])
+    )
+    all_hex = tuple("0123456789abcdef")  # lossless: every position anchors
+
+    out = {
+        (r.id_a, r.id_b): r
+        for r in exact_substring_spans(df, anchor_hex=all_hex).collect()
+    }
+    # the planted run: all 120-15+1 interior windows shared, nothing else
+    # (prefixes/suffixes are disjoint); boilerplate window df=12 > 8 capped
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    assert r.n_shared_windows == 106
+    assert r.first_pos_a == 21 and r.first_pos_b == 26  # 1-based run starts
+
+    # cap lifted: the 12 boilerplate docs pair up on their one shared window
+    out2 = {
+        (r.id_a, r.id_b): r
+        for r in exact_substring_spans(
+            df, anchor_hex=all_hex, max_df=100
+        ).collect()
+    }
+    boiler_pairs = {(a, b) for a in range(10, 22) for b in range(a + 1, 22)}
+    assert set(out2) == {(0, 1)} | boiler_pairs
+    assert all(out2[p].n_shared_windows == 1 for p in boiler_pairs)
+
+    # default 1/16 content-defined anchor rate: a deterministic subset of
+    # the lossless result — same pair, fewer (sampled) windows, positions
+    # drawn from the same run
+    out3 = {
+        (r.id_a, r.id_b): r for r in exact_substring_spans(df).collect()
+    }
+    assert set(out3) == {(0, 1)}
+    r3 = out3[(0, 1)]
+    assert 1 <= r3.n_shared_windows <= 106
+    assert 21 <= r3.first_pos_a <= 126 and 26 <= r3.first_pos_b <= 131

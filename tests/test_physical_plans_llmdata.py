@@ -77,3 +77,18 @@ def test_bpe_word_counts_single_corpus_shuffle(spark):
     # corpus-sized shuffle in BPE training
     assert _n_nodes(plan, "HashAggregate") >= 2
     assert _n_nodes(plan, "Exchange") == 1
+
+
+def test_substring_spans_shuffles_hashes_not_text(spark):
+    plan = _plan(_q(spark, "dedup_substring_spans"))
+    # never all-pairs: the pair join is a keyed join on the window hash
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one Arrow pass computes the fingerprints; everything after
+    # shuffles only (id, pos, hash) rows — the raw text never reaches an
+    # exchange
+    assert _n_nodes(plan, "MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "text" not in line
