@@ -56,9 +56,22 @@ class named_entity_extractor:
         word-feature space is code + fingerprint, not a bundled blob)."""
         self._model.save(filename)
 
-    def extract_entities(self, tokens: list[str]):
+    def extract_entities(self, tokens: list[str], feature_extractor=None):
         """→ [(range, tag, score)] with range = python range object, exactly
-        like the binding (mitie.py:299-315)."""
+        like the binding (mitie.py:299-315). ``feature_extractor`` is the
+        binding's pure-model word-feature source; here the feature space is
+        code chained by fingerprint, so a mismatched extractor is rejected
+        and a matching one is a no-op."""
+        if feature_extractor is not None and isinstance(
+            feature_extractor, total_word_feature_extractor
+        ):
+            wv = getattr(self._model.fs, "wv", None)
+            if wv is not None and feature_extractor.fingerprint != wv.fingerprint:
+                raise ValueError(
+                    "feature_extractor fingerprint does not match the one "
+                    "this model was trained with (reference guard: "
+                    "named_entity_extractor.h:223-245)"
+                )
         return [
             (range(s, e), tag, score)
             for s, e, tag, score in self._model.extract_entities(list(tokens))
@@ -112,6 +125,14 @@ class binary_relation_detector:
     def save_to_disk(self, filename: str) -> None:
         self._model.save(filename)
 
+    def __str__(self) -> str:
+        # mitie.py:399-401
+        return "binary_relation_detector: " + self.name_string
+
+    def __repr__(self) -> str:
+        # mitie.py:403-405
+        return "<binary_relation_detector: " + self.name_string + ">"
+
     def __call__(self, relation: binary_relation) -> float:
         if relation.fingerprint != self._model.fingerprint:
             raise ValueError(
@@ -126,7 +147,12 @@ class binary_relation_detector:
 class text_categorizer:
     """mitie.py:723-779 — __call__(tokens) -> (label, score)."""
 
-    def __init__(self, filename: str | None = None, _model=None):
+    def __init__(
+        self, filename: str | None = None, fe_filename: str | None = None, _model=None
+    ):
+        """``fe_filename`` (pure-model word-feature blob, mitie.py:724-736)
+        is accepted for drop-in compatibility and ignored — the feature
+        space is code chained by fingerprint here."""
         from mitie_spark.models.text_categorizer import TextCategorizer
 
         self._model = _model or TextCategorizer.load(
@@ -136,7 +162,9 @@ class text_categorizer:
     def save_to_disk(self, filename: str, pure_model: bool = False) -> None:
         self._model.save(filename)
 
-    def __call__(self, tokens: list[str]):
+    def __call__(self, tokens: list[str], feature_extractor=None):
+        # mitie.py:761-779; the optional extractor is the binding's
+        # pure-model source — accepted and unused (fingerprint-chained).
         return self._model(list(tokens))
 
 
@@ -154,12 +182,17 @@ class total_word_feature_extractor:
 
     @property
     def fingerprint(self) -> int:
-        import zlib
-
-        return zlib.crc32(self._wv.core.tobytes())
+        # The chained content fingerprint every dependent model verifies
+        # (total_word_feature_extractor.h fingerprint member).
+        return self._wv.fingerprint
 
     def get_feature_vector(self, word: str):
         return self._wv.get_feature_vector(word)
+
+    @property
+    def num_words_in_dictionary(self) -> int:
+        # mitie.py:870-871
+        return len(self._wv.words)
 
     def get_words_in_dictionary(self) -> list[str]:
         return list(self._wv.words)

@@ -153,6 +153,14 @@ def test_train_word_vectors(spark):
         wv2 = WordVectors.load(p)
         assert np.allclose(wv2.get_feature_vector("Lyon"), wv.get_feature_vector("Lyon"))
 
+        # reference binding facade over the same artifact (mitie.py:844-905)
+        from mitie_spark import api
+
+        fe = api.total_word_feature_extractor(p)
+        assert fe.num_dimensions == wv.dims
+        assert fe.num_words_in_dictionary == len(fe.get_words_in_dictionary())
+        assert np.allclose(fe.get_feature_vector("Lyon"), wv.get_feature_vector("Lyon"))
+
 
 def test_multimodal_real_decoder_seam(spark):
     """A real decoder drops in without touching the stage: inject a

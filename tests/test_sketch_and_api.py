@@ -78,9 +78,48 @@ def test_reference_api_surface():
     rel_rev = ner.extract_binary_relation(tokens, place, person)
     assert det(rel_rev) <= 0  # wrong argument order
 
+    assert str(det) == "binary_relation_detector: born_in"  # mitie.py:399-405
+    assert repr(det) == "<binary_relation_detector: born_in>"
+
     cat = api.text_categorizer()
     label, score = cat(tokens)
     assert label == "born"
+    # optional pure-model extractor arg (mitie.py:761) is accepted
+    label2, _ = cat(tokens, feature_extractor=None)
+    assert label2 == label
+
+
+def test_api_extract_entities_extractor_guard(tmp_path):
+    """mitie.py:299-306 — extract_entities accepts an optional
+    total_word_feature_extractor; a mismatched one is rejected like the
+    reference's fingerprint guard (named_entity_extractor.h:223-245)."""
+    import numpy as np
+
+    from mitie_spark import api
+
+    ner = api.named_entity_extractor()
+    tokens = api.tokenize("Maria Okafor was born in Lyon.")
+
+    # matching extractor: save the model's own word vectors, reload via the
+    # facade — same chained fingerprint, extraction proceeds
+    p = str(tmp_path / "wv.npz")
+    ner._model.fs.wv.save(p)
+    fe = api.total_word_feature_extractor(p)
+    assert fe.fingerprint == ner._model.fs.wv.fingerprint
+    ents = ner.extract_entities(tokens, feature_extractor=fe)
+    assert any(tag == "PERSON" for _, tag, _ in ents)
+
+    # mismatched extractor: perturb the core matrix → fingerprint changes
+    from mitie_spark.models.word_vectors import WordVectors
+
+    wv2 = WordVectors.load(p)
+    wv2.core = np.ascontiguousarray(wv2.core + np.float32(1.0))
+    p2 = str(tmp_path / "wv2.npz")
+    wv2.save(p2)
+    fe_bad = api.total_word_feature_extractor(p2)
+    assert fe_bad.fingerprint != fe.fingerprint
+    with pytest.raises(ValueError, match="fingerprint"):
+        ner.extract_entities(tokens, feature_extractor=fe_bad)
 
 
 def test_fingerprint_guard(tmp_path):
