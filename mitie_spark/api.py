@@ -32,6 +32,14 @@ def load_entire_file(filename: str) -> str:
         return f.read().decode("utf-8", errors="replace")
 
 
+def _is_npz(filename: str) -> bool:
+    """This repo's .npz artifacts are zip archives ("PK" magic); the
+    reference's dlib binaries serialize a length-prefixed class-name string
+    first and can never start with "PK"."""
+    with open(filename, "rb") as f:
+        return f.read(2) == b"PK"
+
+
 class named_entity_extractor:
     """mitie.py:250-358 — extract_entities over token lists."""
 
@@ -44,9 +52,18 @@ class named_entity_extractor:
         fingerprint, so it is ignored."""
         from mitie_spark.models.ner_model import NerModel
 
-        self._model = _model or NerModel.load(
-            filename or os.path.join(ARTIFACT_DIR, "ner_model.npz")
-        )
+        if _model is not None:
+            self._model = _model
+            return
+        path = filename or os.path.join(ARTIFACT_DIR, "ner_model.npz")
+        if _is_npz(path):
+            self._model = NerModel.load(path)
+        else:
+            # a reference user's dlib binary (ner_model.dat) — load it
+            # directly (named_entity_extractor.cpp:35-118)
+            from mitie_spark.sources.dlib_models import ner_model_from_dlib
+
+            self._model = ner_model_from_dlib(path)
 
     def get_possible_ner_tags(self) -> list[str]:
         return list(self._model.tags)
@@ -65,8 +82,13 @@ class named_entity_extractor:
         if feature_extractor is not None and isinstance(
             feature_extractor, total_word_feature_extractor
         ):
-            wv = getattr(self._model.fs, "wv", None)
-            if wv is not None and feature_extractor.fingerprint != wv.fingerprint:
+            fs = self._model.fs
+            if getattr(fs, "kind", "") == "dlib":
+                expected = fs.fingerprint
+            else:
+                wv = getattr(fs, "wv", None)
+                expected = None if wv is None else wv.fingerprint
+            if expected is not None and feature_extractor.fingerprint != expected:
                 raise ValueError(
                     "feature_extractor fingerprint does not match the one "
                     "this model was trained with (reference guard: "
@@ -172,9 +194,21 @@ class total_word_feature_extractor:
     """mitie.py:844-905 — per-word feature vectors + fingerprint."""
 
     def __init__(self, filename: str):
-        from mitie_spark.models.word_vectors import WordVectors
+        if _is_npz(filename):
+            from mitie_spark.models.word_vectors import WordVectors
 
-        self._wv = WordVectors.load(filename)
+            self._wv = WordVectors.load(filename)
+        else:
+            # a reference user's dlib binary (total_word_feature_extractor
+            # .dat, total_word_feature_extractor.h:169-189)
+            from mitie_spark.sources.dlib_models import (
+                DlibTotalWordFeatureExtractor,
+                read_total_word_feature_extractor,
+            )
+
+            self._wv = DlibTotalWordFeatureExtractor(
+                read_total_word_feature_extractor(filename)
+            )
 
     @property
     def num_dimensions(self) -> int:
@@ -187,7 +221,11 @@ class total_word_feature_extractor:
         return self._wv.fingerprint
 
     def get_feature_vector(self, word: str):
-        return self._wv.get_feature_vector(word)
+        fn = getattr(self._wv, "get_feature_vector", None)
+        # the dlib-backed source exposes the digit-folding probe the
+        # reference's get_feature_vector performs (convert_numbers first,
+        # total_word_feature_extractor.h:107-137) as token_features
+        return fn(word) if fn is not None else self._wv.token_features(word)
 
     @property
     def num_words_in_dictionary(self) -> int:

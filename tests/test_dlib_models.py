@@ -311,3 +311,67 @@ def test_ner_model_npz_save_with_high_bit_dlib_fingerprint(tmp_path):
     m.save(p)
     got = NerModel.load(p)
     assert got.fs.fingerprint == 2**63 + 424242
+
+
+def test_api_facade_loads_dlib_binaries(tmp_path):
+    """A reference user's .dat files load directly through the binding
+    facade: api.named_entity_extractor / api.total_word_feature_extractor
+    detect dlib binaries vs .npz by magic and route to sources/dlib_models
+    (mitie.py:250-269,844-866 load paths)."""
+    from mitie_spark import api
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import N_STATES, NerModel
+
+    fe = _with_crc(_synthetic_fe())
+    p_fe = str(tmp_path / "total_word_feature_extractor.dat")
+    write_total_word_feature_extractor(p_fe, fe)
+
+    twfe = api.total_word_feature_extractor(p_fe)
+    assert twfe.fingerprint == fe["fingerprint"]
+    assert twfe.num_words_in_dictionary == len(fe["words"])
+    src = DlibTotalWordFeatureExtractor(fe)
+    assert twfe.num_dimensions == src.dims
+    # dictionary hit (Alice sorts first in the serialized map)
+    assert np.array_equal(twfe.get_feature_vector("Alice"), src.token_features("Alice"))
+    # the reference folds digits before the probe (convert_numbers)
+    assert np.array_equal(
+        twfe.get_feature_vector("a12b"), twfe.get_feature_vector("a90b")
+    )
+
+    # a dlib NER over the same extractor, loaded through the facade
+    rng = np.random.default_rng(11)
+    d = src.dims
+    K = 3
+    W_cls = np.zeros((K, MAX_FEAT))
+    cols = rng.integers(0, MAX_FEAT, 400)
+    W_cls[:, cols] = rng.standard_normal((K, 400))
+    model = NerModel(
+        W_seg=rng.standard_normal((N_STATES, 3 * d + 1)),
+        T_seg=rng.standard_normal((N_STATES, N_STATES)),
+        W_cls_sparse=W_cls,
+        W_cls_dense=rng.standard_normal((K, 5 * d)),
+        b_cls=rng.standard_normal(K),
+        tags=["PERSON", "LOCATION"],
+        fs=src,
+    )
+    p_ner = str(tmp_path / "ner_model.dat")
+    write_named_entity_extractor(p_ner, ner_model_to_dlib(model))
+
+    ner = api.named_entity_extractor(p_ner)
+    assert ner.get_possible_ner_tags() == ["PERSON", "LOCATION"]
+    tokens = ["Alice", "visited", "Bob", "."]
+    # the facade path scores identically to the directly-loaded model
+    assert ner.extract_entities(tokens) == [
+        (range(s, e), t, sc)
+        for s, e, t, sc in ner_model_from_dlib(p_ner).extract_entities(tokens)
+    ]
+    # matching extractor passes the fingerprint guard; mismatched raises
+    ner.extract_entities(tokens, feature_extractor=twfe)
+    fe_bad = _with_crc(_synthetic_fe())
+    fe_bad["fingerprint"] = 42
+    p_bad = str(tmp_path / "twfe_bad.dat")
+    write_total_word_feature_extractor(p_bad, fe_bad)
+    with pytest.raises(ValueError, match="fingerprint"):
+        ner.extract_entities(
+            tokens, feature_extractor=api.total_word_feature_extractor(p_bad)
+        )
