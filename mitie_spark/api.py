@@ -47,9 +47,10 @@ class named_entity_extractor:
         self, filename: str | None = None, fe_filename: str | None = None, _model=None
     ):
         """``fe_filename`` (the separate word-feature-extractor blob of the
-        reference's pure-model path, mitie.py:251-269) is accepted for
-        drop-in compatibility; here the feature space is code chained by
-        fingerprint, so it is ignored."""
+        reference's pure-model path, mitie.py:251-269) is used when
+        ``filename`` is a dlib pure-model file; for this repo's .npz
+        artifacts the feature space is code chained by fingerprint, so it
+        is ignored."""
         from mitie_spark.models.ner_model import NerModel
 
         if _model is not None:
@@ -59,18 +60,38 @@ class named_entity_extractor:
         if _is_npz(path):
             self._model = NerModel.load(path)
         else:
-            # a reference user's dlib binary (ner_model.dat) — load it
-            # directly (named_entity_extractor.cpp:35-118)
+            # a reference user's dlib binary — either a full ner_model.dat
+            # (named_entity_extractor.cpp:35-118) or a pure model plus the
+            # separate extractor blob in fe_filename (:36-83)
             from mitie_spark.sources.dlib_models import ner_model_from_dlib
 
-            self._model = ner_model_from_dlib(path)
+            self._model = ner_model_from_dlib(path, fe_path=fe_filename)
 
     def get_possible_ner_tags(self) -> list[str]:
         return list(self._model.tags)
 
     def save_to_disk(self, filename: str, pure_model: bool = False) -> None:
-        """mitie.py:282-297 — .npz artifacts are always 'pure models' (the
-        word-feature space is code + fingerprint, not a bundled blob)."""
+        """mitie.py:282-297. A dlib-backed model (loaded from a reference
+        .dat) writes a real dlib binary back — full
+        (mitie_save_named_entity_extractor, mitie.cpp:1051-1078) or pure
+        (mitie_save_named_entity_extractor_pure_model, :1080-1100) — so the
+        reference C library can consume it. .npz-backed models save .npz
+        (their word-feature space is code + fingerprint, not a bundled
+        blob, so every .npz artifact is already a 'pure model')."""
+        if getattr(self._model.fs, "kind", "") == "dlib":
+            from mitie_spark.sources.dlib_models import (
+                ner_model_to_dlib,
+                write_named_entity_extractor,
+                write_ner_pure_model,
+            )
+
+            ner = ner_model_to_dlib(self._model)
+            if pure_model:
+                ner["tfe_fingerprint"] = ner["fe"]["fingerprint"]
+                write_ner_pure_model(filename, ner)
+            else:
+                write_named_entity_extractor(filename, ner)
+            return
         self._model.save(filename)
 
     def extract_entities(self, tokens: list[str], feature_extractor=None):
@@ -173,21 +194,83 @@ class text_categorizer:
         self, filename: str | None = None, fe_filename: str | None = None, _model=None
     ):
         """``fe_filename`` (pure-model word-feature blob, mitie.py:724-736)
-        is accepted for drop-in compatibility and ignored — the feature
-        space is code chained by fingerprint here."""
+        is used when ``filename`` is a dlib pure-model file; for .npz
+        artifacts the feature space is code chained by fingerprint, so it
+        is ignored."""
         from mitie_spark.models.text_categorizer import TextCategorizer
 
-        self._model = _model or TextCategorizer.load(
-            filename or os.path.join(ARTIFACT_DIR, "text_categorizer.npz")
-        )
+        if _model is not None:
+            self._model = _model
+            return
+        path = filename or os.path.join(ARTIFACT_DIR, "text_categorizer.npz")
+        if _is_npz(path):
+            self._model = TextCategorizer.load(path)
+        else:
+            # a reference user's dlib binary — full text_categorizer model
+            # or a pure model + separate extractor (text_categorizer.cpp:
+            # 10-113)
+            from mitie_spark.sources.dlib_models import (
+                text_categorizer_from_dlib,
+            )
+
+            self._model = text_categorizer_from_dlib(
+                path, fe_path=fe_filename
+            )
 
     def save_to_disk(self, filename: str, pure_model: bool = False) -> None:
+        """A dlib-backed categorizer writes a real dlib binary back — full
+        (mitie_save_text_categorizer, mitie.cpp:1146-1173) or pure
+        (:1175-1195); .npz-backed models save .npz."""
+        if getattr(self._model, "kind", "") == "dlib":
+            from mitie_spark.sources.dlib_models import (
+                write_text_categorizer,
+                write_text_categorizer_pure_model,
+            )
+
+            cat = self._model.to_dict()
+            if pure_model:
+                write_text_categorizer_pure_model(filename, cat)
+            else:
+                write_text_categorizer(filename, cat)
+            return
         self._model.save(filename)
 
     def __call__(self, tokens: list[str], feature_extractor=None):
         # mitie.py:761-779; the optional extractor is the binding's
-        # pure-model source — accepted and unused (fingerprint-chained).
-        return self._model(list(tokens))
+        # pure-model word-feature source. A dlib-backed categorizer loaded
+        # WITHOUT an extractor can take one per-call, with the reference's
+        # fingerprint guard (text_categorizer.cpp:173-180).
+        model = self._model
+        if feature_extractor is not None and getattr(model, "kind", "") == "dlib":
+            from mitie_spark.sources.dlib_models import (
+                DlibTextCategorizer,
+                DlibTotalWordFeatureExtractor,
+            )
+
+            wv = feature_extractor._wv
+            if not isinstance(wv, DlibTotalWordFeatureExtractor):
+                raise ValueError(
+                    "a dlib categorizer needs a dlib word-feature source"
+                )
+            if (
+                model.tfe_fingerprint
+                and wv.fingerprint != model.tfe_fingerprint
+            ):
+                raise ValueError(
+                    "Fingerprint mismatch (text_categorizer.cpp:173-180)"
+                )
+            if model.fs is None:
+                model = DlibTextCategorizer(
+                    model.tags,
+                    {
+                        "weights": model.W,
+                        "b": model.bvec,
+                        "labels": model.labels,
+                    },
+                    wv.to_dict(),
+                    model.tfe_fingerprint or None,
+                )
+        return model(list(tokens))
 
 
 class total_word_feature_extractor:

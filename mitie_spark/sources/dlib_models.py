@@ -415,6 +415,139 @@ def write_named_entity_extractor(path: str, ner: dict) -> None:
     open(path, "wb").write(w.getvalue())
 
 
+def read_text_categorizer(path: str) -> dict:
+    """mitie::text_categorizer full model — version 2, model fingerprint,
+    tag_name_strings, embedded total_word_feature_extractor, multiclass df
+    (text_categorizer.h:182-200)."""
+    r = DlibReader(open(path, "rb").read())
+    classname = r.string()
+    if classname != "mitie::text_categorizer":
+        raise ValueError(f"not a text_categorizer file: {classname}")
+    version = r.s()
+    if version != 2:
+        raise ValueError(f"text_categorizer version {version}")
+    fingerprint = r.u()
+    tags = r.vector_str()
+    fe = _read_twfe_body(r)
+    df = _read_multiclass_df(r)
+    return {"fingerprint": fingerprint, "tags": tags, "fe": fe, "df": df}
+
+
+def write_text_categorizer(path: str, cat: dict) -> None:
+    w = DlibWriter()
+    w.string("mitie::text_categorizer")
+    w.s(2)
+    w.u(cat["fingerprint"])
+    w.vector_str(cat["tags"])
+    _write_twfe_body(w, cat["fe"])
+    _write_multiclass_df(w, cat["df"])
+    open(path, "wb").write(w.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# pure models (df-only files; the word-feature extractor ships separately)
+# ---------------------------------------------------------------------------
+
+
+def _read_pure_model_version(r: DlibReader, base: str) -> int:
+    """Shared header: legacy classname ⇒ version 0, `_with_version`
+    classname ⇒ explicit int (named_entity_extractor.cpp:40-50;
+    text_categorizer.cpp:37-46)."""
+    classname = r.string()
+    if classname == f"mitie::{base}_pure_model":
+        return 0
+    if classname == f"mitie::{base}_pure_model_with_version":
+        return r.s()
+    raise ValueError(f"not a mitie::{base}_pure_model file: {classname}")
+
+
+def read_ner_pure_model(path: str) -> dict:
+    """named_entity_extractor pure model: df, segmenter, tag_name_strings
+    [, tfe_fingerprint at version ≥ 1] (named_entity_extractor.cpp:52-68)."""
+    r = DlibReader(open(path, "rb").read())
+    version = _read_pure_model_version(r, "named_entity_extractor")
+    if version not in (0, 1):
+        raise ValueError(f"unsupported pure model version {version}")
+    df = _read_multiclass_df(r)
+    seg = _read_segmenter(r)
+    tags = r.vector_str()
+    tfe_fp = r.u() if version >= 1 else None
+    return {"df": df, "segmenter": seg, "tags": tags, "tfe_fingerprint": tfe_fp}
+
+
+def write_ner_pure_model(path: str, ner: dict) -> None:
+    """Always the `_with_version` form at max version 1, like
+    mitie_save_named_entity_extractor_pure_model (mitie.cpp:1080-1100)."""
+    w = DlibWriter()
+    w.string("mitie::named_entity_extractor_pure_model_with_version")
+    w.s(1)
+    _write_multiclass_df(w, ner["df"])
+    _write_segmenter(w, ner["segmenter"])
+    w.vector_str(ner["tags"])
+    w.u(int(ner["tfe_fingerprint"]))
+    open(path, "wb").write(w.getvalue())
+
+
+def read_text_categorizer_pure_model(path: str) -> dict:
+    """text_categorizer pure model: df, tag_name_strings [, tfe_fingerprint
+    at version ≥ 1] (text_categorizer.cpp:48-64)."""
+    r = DlibReader(open(path, "rb").read())
+    version = _read_pure_model_version(r, "text_categorizer")
+    if version not in (0, 1):
+        raise ValueError(f"unsupported pure model version {version}")
+    df = _read_multiclass_df(r)
+    tags = r.vector_str()
+    tfe_fp = r.u() if version >= 1 else None
+    return {"df": df, "tags": tags, "tfe_fingerprint": tfe_fp}
+
+
+def write_text_categorizer_pure_model(path: str, cat: dict) -> None:
+    """mitie_save_text_categorizer_pure_model (mitie.cpp:1175-1195)."""
+    w = DlibWriter()
+    w.string("mitie::text_categorizer_pure_model_with_version")
+    w.s(1)
+    _write_multiclass_df(w, cat["df"])
+    w.vector_str(cat["tags"])
+    w.u(int(cat["tfe_fingerprint"]))
+    open(path, "wb").write(w.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# model fingerprints (murmur3-128 over a component-serialization buffer)
+# ---------------------------------------------------------------------------
+
+
+def compute_ner_fingerprint(
+    tags: list[str], tfe_fingerprint: int, seg: dict, df: dict
+) -> int:
+    """named_entity_extractor.h:266-277 — murmur_hash3_128bit over
+    "fingerprint" (raw bytes, ostream <<, no length prefix) + serialized
+    tag_name_strings + tfe fingerprint u64 + segmenter + df; .first half."""
+    from mitie_spark.functions.hashing import murmur_hash3_128
+
+    w = DlibWriter()
+    w.parts.append(b"fingerprint")
+    w.vector_str(tags)
+    w.u(int(tfe_fingerprint))
+    _write_segmenter(w, seg)
+    _write_multiclass_df(w, df)
+    return murmur_hash3_128(w.getvalue())[0]
+
+
+def compute_text_categorizer_fingerprint(
+    tags: list[str], tfe_fingerprint: int, df: dict
+) -> int:
+    """text_categorizer.h:215-227 — same buffer minus the segmenter."""
+    from mitie_spark.functions.hashing import murmur_hash3_128
+
+    w = DlibWriter()
+    w.parts.append(b"fingerprint")
+    w.vector_str(tags)
+    w.u(int(tfe_fingerprint))
+    _write_multiclass_df(w, df)
+    return murmur_hash3_128(w.getvalue())[0]
+
+
 def read_binary_relation_detector(path: str) -> dict:
     r = DlibReader(open(path, "rb").read())
     classname = r.string()
@@ -560,16 +693,224 @@ class DlibTotalWordFeatureExtractor:
         }
 
 
-def ner_model_from_dlib(path: str):
+class DlibTextCategorizer:
+    """Scoring port of a loaded mitie::text_categorizer.
+
+    Features follow text_feature_extraction.cpp exactly: hashed BoW pairs
+    ``make_feat(shash(word, 0))`` + ``make_feat(shash(stem_word(word), 10))``
+    (:39-60, duplicates index-sorted and summed per
+    make_sparse_vector_inplace), and — when the extractor has nonzero
+    dimensions — the mean word vector at indices MAX_FEAT+i (:11-35).
+    Prediction is argmax_k w_k·x − b_k with first-max tie-breaking (dlib
+    function.h:781-813); an out-of-range class id labels the document
+    "Unseen" (text_categorizer.cpp:152-155)."""
+
+    UNSEEN = "Unseen"
+    kind = "dlib"
+
+    def __init__(
+        self,
+        tags: list[str],
+        df: dict,
+        fe: dict | None,
+        tfe_fingerprint: int | None = None,
+    ):
+        self.tags = list(tags)
+        self.W = np.asarray(df["weights"], dtype=np.float64)
+        self.bvec = np.asarray(df["b"], dtype=np.float64).reshape(-1)
+        self.labels = [int(l) for l in df["labels"]]
+        fe_dims = (
+            0
+            if fe is None
+            else int(fe["non_morph_feats"]) + fe["morph"]["morph_trans"].shape[1]
+        )
+        # fe.get_num_dimensions() == 0 ⇒ BoW-only scoring
+        # (text_categorizer.cpp:144-149)
+        self.fs = DlibTotalWordFeatureExtractor(fe) if fe_dims > 0 else None
+        if (
+            tfe_fingerprint is not None
+            and self.fs is not None
+            and self.fs.fingerprint != tfe_fingerprint
+        ):
+            raise ValueError(
+                "feature extractor must be same as the one used for "
+                "training the model (text_categorizer.cpp:72-75 guard)"
+            )
+        self.tfe_fingerprint = (
+            tfe_fingerprint
+            if tfe_fingerprint is not None
+            else (self.fs.fingerprint if self.fs is not None else 0)
+        )
+        self.fingerprint = compute_text_categorizer_fingerprint(
+            self.tags, self.tfe_fingerprint, df
+        )
+
+    def _bow_pairs(self, tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        from mitie_spark.functions.hashing import make_feat, shash
+        from mitie_spark.functions.stemmer import stem_word
+
+        idxs = np.empty(2 * len(tokens), dtype=np.int64)
+        vals = np.empty(2 * len(tokens), dtype=np.float64)
+        for j, word in enumerate(tokens):
+            i, v = make_feat(shash(word, 0))
+            idxs[2 * j], vals[2 * j] = i, v
+            i, v = make_feat(shash(stem_word(word), 10))
+            idxs[2 * j + 1], vals[2 * j + 1] = i, v
+        # make_sparse_vector_inplace: sort by index, sum duplicates (values
+        # are ±1.5 so the merged sums are exact in binary)
+        order = np.argsort(idxs, kind="stable")
+        idxs, vals = idxs[order], vals[order]
+        uniq, starts = np.unique(idxs, return_index=True)
+        return uniq, np.add.reduceat(vals, starts)
+
+    def __call__(self, tokens: list[str]) -> tuple[str, float]:
+        from mitie_spark.functions.hashing import MAX_FEAT
+
+        tokens = list(tokens)
+        if not tokens:
+            # extract_BoW_features asserts words.size() > 0
+            # (text_feature_extraction.cpp:43); surface it as an error
+            # instead of the reference's debug-only abort
+            raise ValueError("text_categorizer requires a non-empty token list")
+        ncols = self.W.shape[1]
+        idxs, vals = self._bow_pairs(tokens)
+        keep = idxs < ncols  # dlib sparse dot skips out-of-range indices
+        # einsum (not BLAS matvec) so scores don't drift with batch shape
+        scores = (
+            np.einsum("kj,j->k", self.W[:, idxs[keep]], vals[keep]) - self.bvec
+        )
+        if self.fs is not None:
+            mean = np.mean(
+                [self.fs.token_features(w) for w in tokens], axis=0
+            ).astype(np.float64)
+            hi = min(MAX_FEAT + len(mean), ncols)
+            if hi > MAX_FEAT:
+                scores += np.einsum(
+                    "kj,j->k",
+                    self.W[:, MAX_FEAT:hi],
+                    mean[: hi - MAX_FEAT],
+                )
+        k = int(np.argmax(scores))
+        label = self.labels[k]
+        tag = self.tags[label] if label < len(self.tags) else self.UNSEEN
+        return tag, float(scores[k])
+
+    def to_dict(self) -> dict:
+        """Render back to the serializable full-model object graph (an
+        extractor-less categorizer keeps a zero-dim embedded fe, like a
+        default-constructed total_word_feature_extractor)."""
+        df = {
+            "weights": self.W,
+            "b": self.bvec,
+            "labels": list(self.labels),
+        }
+        fe = (
+            self.fs.to_dict()
+            if self.fs is not None
+            else _empty_twfe_dict()
+        )
+        return {
+            "fingerprint": self.fingerprint,
+            "tags": list(self.tags),
+            "fe": fe,
+            "df": df,
+            "tfe_fingerprint": self.tfe_fingerprint,
+        }
+
+
+def _empty_twfe_dict() -> dict:
+    """A default-constructed total_word_feature_extractor (zero dims, empty
+    dictionary, empty morphology) in this module's dict schema."""
+    from mitie_spark.functions import morphology as _morph
+
+    sset = _morph.ApproximateSubstringSet()
+    return {
+        "fingerprint": 0,
+        "non_morph_feats": 0,
+        "words": [],
+        "vectors": np.zeros((0, 0), np.float32),
+        "morph": {
+            "substrings": {
+                "mask": _morph._MASK,
+                "mask_bits": _morph._MASK_BITS,
+                "init_hash": _morph._INIT_HASH,
+                "max_substr_len": sset.max_substr_len,
+                "hash_table": sset.hash_table,
+                "crc_table": _morph._CRC,
+            },
+            "morph_trans": np.zeros((_morph._MASK + 1, 0), np.float32),
+        },
+    }
+
+
+def text_categorizer_from_dlib(
+    path: str, fe_path: str | None = None
+) -> DlibTextCategorizer:
+    """Load a full mitie::text_categorizer, or a pure model plus (optional)
+    separate extractor file, mirroring the three reference constructors
+    (text_categorizer.cpp:10-113)."""
+    r = DlibReader(open(path, "rb").read())
+    classname = r.string()
+    if classname == "mitie::text_categorizer":
+        cat = read_text_categorizer(path)
+        return DlibTextCategorizer(cat["tags"], cat["df"], cat["fe"])
+    pm = read_text_categorizer_pure_model(path)
+    fe = read_total_word_feature_extractor(fe_path) if fe_path else None
+    if (
+        pm["tfe_fingerprint"] is not None
+        and fe is not None
+        and fe["fingerprint"] != pm["tfe_fingerprint"]
+    ):
+        raise ValueError(
+            "feature extractor must be same as the one used for training "
+            "the model (text_categorizer.cpp:72-75 guard)"
+        )
+    return DlibTextCategorizer(
+        pm["tags"], pm["df"], fe, pm["tfe_fingerprint"]
+    )
+
+
+def ner_model_from_dlib(path: str, fe_path: str | None = None):
     """Load a real MITIE ``ner_model.dat`` into a ready-to-run NerModel:
     the embedded extractor becomes the word-feature source, the segmenter
     weight vector decodes into (W_seg, T_seg), and the multiclass df rows
     (reordered by label id) become the chunk classifier
-    (named_entity_extractor.cpp:35-118 semantics)."""
+    (named_entity_extractor.cpp:35-118 semantics). Pure-model files (df +
+    segmenter only, no embedded extractor) load with ``fe_path`` supplying
+    the separate total_word_feature_extractor blob
+    (named_entity_extractor.cpp:36-83)."""
     from mitie_spark.functions.hashing import MAX_FEAT
     from mitie_spark.models.ner_model import NerModel
 
-    ner = read_named_entity_extractor(path)
+    peek = DlibReader(open(path, "rb").read())
+    if peek.string() == "mitie::named_entity_extractor":
+        ner = read_named_entity_extractor(path)
+    else:
+        pm = read_ner_pure_model(path)
+        if fe_path is None:
+            raise ValueError(
+                "pure-model NER file needs the separate "
+                "total_word_feature_extractor blob (fe_filename)"
+            )
+        fe = read_total_word_feature_extractor(fe_path)
+        if (
+            pm["tfe_fingerprint"] is not None
+            and fe["fingerprint"] != pm["tfe_fingerprint"]
+        ):
+            raise ValueError(
+                "Fingerprint mismatch: feature extractor must be same as "
+                "the one used for training the model "
+                "(named_entity_extractor.cpp:74-80 guard)"
+            )
+        ner = {
+            "fingerprint": compute_ner_fingerprint(
+                pm["tags"], fe["fingerprint"], pm["segmenter"], pm["df"]
+            ),
+            "tags": pm["tags"],
+            "fe": fe,
+            "segmenter": pm["segmenter"],
+            "df": pm["df"],
+        }
     fs = DlibTotalWordFeatureExtractor(ner["fe"])
     d = fs.dims
     seg = ner["segmenter"]
@@ -656,21 +997,27 @@ def ner_model_to_dlib(model) -> dict:
         [model.W_cls_sparse, model.W_cls_dense], axis=1
     )
     assert weights.shape[1] == MAX_FEAT + 5 * d
+    seg_dict = {
+        "use_BIO_model": model.use_bio,
+        "use_high_order_features": False,
+        "num_feats": d,
+        "weights": w,
+    }
+    df_dict = {
+        "weights": weights,
+        "b": -model.b_cls,
+        "labels": list(range(K)),
+    }
     return {
-        "fingerprint": fs.fingerprint,
+        # the stored model fingerprint is murmur3 over the components
+        # (named_entity_extractor.h:266-277), not the extractor's own
+        "fingerprint": compute_ner_fingerprint(
+            list(model.tags), fs.fingerprint, seg_dict, df_dict
+        ),
         "tags": list(model.tags),
         "fe": fs.to_dict(),
-        "segmenter": {
-            "use_BIO_model": model.use_bio,
-            "use_high_order_features": False,
-            "num_feats": d,
-            "weights": w,
-        },
-        "df": {
-            "weights": weights,
-            "b": -model.b_cls,
-            "labels": list(range(K)),
-        },
+        "segmenter": seg_dict,
+        "df": df_dict,
     }
 
 

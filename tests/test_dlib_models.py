@@ -375,3 +375,254 @@ def test_api_facade_loads_dlib_binaries(tmp_path):
         ner.extract_entities(
             tokens, feature_extractor=api.total_word_feature_extractor(p_bad)
         )
+
+
+def test_ner_pure_model_roundtrip(tmp_path):
+    """Pure-model NER files (df + segmenter only, extractor shipped
+    separately — named_entity_extractor.cpp:36-83; mitie.cpp:1080-1100)
+    round-trip and load to the same model as the full binary."""
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import N_STATES, NerModel
+    from mitie_spark.sources.dlib_models import (
+        compute_ner_fingerprint,
+        read_ner_pure_model,
+        write_ner_pure_model,
+    )
+
+    rng = np.random.default_rng(23)
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    K = 3
+    W_cls = np.zeros((K, MAX_FEAT))
+    cols = rng.integers(0, MAX_FEAT, 300)
+    W_cls[:, cols] = rng.standard_normal((K, 300))
+    model = NerModel(
+        W_seg=rng.standard_normal((N_STATES, 3 * d + 1)),
+        T_seg=rng.standard_normal((N_STATES, N_STATES)),
+        W_cls_sparse=W_cls,
+        W_cls_dense=rng.standard_normal((K, 5 * d)),
+        b_cls=rng.standard_normal(K),
+        tags=["PERSON", "LOCATION"],
+        fs=fs,
+    )
+    blob = ner_model_to_dlib(model)
+    blob["tfe_fingerprint"] = fe["fingerprint"]
+    p_pure = str(tmp_path / "ner_pure_model.dat")
+    p_fe = str(tmp_path / "twfe.dat")
+    write_ner_pure_model(p_pure, blob)
+    write_total_word_feature_extractor(p_fe, fe)
+
+    pm = read_ner_pure_model(p_pure)
+    assert pm["tags"] == ["PERSON", "LOCATION"]
+    assert pm["tfe_fingerprint"] == fe["fingerprint"]
+    got = ner_model_from_dlib(p_pure, fe_path=p_fe)
+    assert np.array_equal(got.W_seg, model.W_seg)
+    assert np.array_equal(got.W_cls_sparse, model.W_cls_sparse)
+    toks = "Alice visited Bob .".split()
+    assert got.extract_entities(toks) == model.extract_entities(toks)
+    # the reconstructed model fingerprint is the reference's murmur3 chain
+    assert compute_ner_fingerprint(
+        pm["tags"], pm["tfe_fingerprint"], pm["segmenter"], pm["df"]
+    ) == ner_model_to_dlib(model)["fingerprint"]
+    # pure model without the extractor blob is unusable (cpp ctor requires)
+    with pytest.raises(ValueError, match="fe_filename"):
+        ner_model_from_dlib(p_pure)
+    # mismatched extractor fingerprint is rejected (cpp:74-80)
+    fe_bad = _with_crc(_synthetic_fe())
+    fe_bad["fingerprint"] = 7
+    p_bad = str(tmp_path / "twfe_bad.dat")
+    write_total_word_feature_extractor(p_bad, fe_bad)
+    with pytest.raises(ValueError, match="[Ff]ingerprint"):
+        ner_model_from_dlib(p_pure, fe_path=p_bad)
+    # facade: pure model + fe_filename (mitie.py:251-269 pure path)
+    from mitie_spark import api
+
+    ner_api = api.named_entity_extractor(p_pure, fe_filename=p_fe)
+    assert ner_api.get_possible_ner_tags() == ["PERSON", "LOCATION"]
+
+
+def test_text_categorizer_dlib_roundtrip(tmp_path):
+    """mitie::text_categorizer full-model round-trip + scoring port checked
+    against an independently-built dense feature vector
+    (text_feature_extraction.cpp:11-73; dlib function.h:781-813)."""
+    from mitie_spark.functions.hashing import MAX_FEAT, make_feat, shash
+    from mitie_spark.functions.stemmer import stem_word
+    from mitie_spark.sources.dlib_models import (
+        DlibTextCategorizer,
+        compute_text_categorizer_fingerprint,
+        read_text_categorizer,
+        write_text_categorizer,
+    )
+
+    rng = np.random.default_rng(31)
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    K = 2
+    ncols = MAX_FEAT + d
+    W = np.zeros((K, ncols))
+    cols = rng.integers(0, MAX_FEAT, 500)
+    W[:, cols] = rng.standard_normal((K, 500))
+    W[:, MAX_FEAT:] = rng.standard_normal((K, d))
+    b = rng.standard_normal(K)
+    df = {"weights": W, "b": b, "labels": [0, 1]}
+    tags = ["business", "sports"]
+    cat = {
+        "fingerprint": compute_text_categorizer_fingerprint(
+            tags, fe["fingerprint"], df
+        ),
+        "tags": tags,
+        "fe": fe,
+        "df": df,
+    }
+    p = str(tmp_path / "text_categorizer.dat")
+    write_text_categorizer(p, cat)
+    got = read_text_categorizer(p)
+    assert got["tags"] == tags
+    assert got["fingerprint"] == cat["fingerprint"]
+    assert np.array_equal(got["df"]["weights"], W)
+    assert np.array_equal(got["df"]["b"], b)
+
+    model = DlibTextCategorizer(got["tags"], got["df"], got["fe"])
+    tokens = "Alice visited Bob . the".split()
+    # independent expected score: dense combined-feature vector
+    x = np.zeros(ncols)
+    for w_ in tokens:
+        i, v = make_feat(shash(w_, 0))
+        x[i] += v
+        i, v = make_feat(shash(stem_word(w_), 10))
+        x[i] += v
+    x[MAX_FEAT:] = np.mean([fs.token_features(w_) for w_ in tokens], axis=0)
+    scores = W @ x - b
+    label, score = model(tokens)
+    assert label == tags[int(np.argmax(scores))]
+    assert score == pytest.approx(float(scores.max()), rel=1e-12)
+    # out-of-range class id labels the doc "Unseen" (cpp:152-155)
+    model_unseen = DlibTextCategorizer(
+        ["only"], {"weights": W, "b": b, "labels": [0, 9]}, got["fe"]
+    )
+    lab, _ = model_unseen(tokens)
+    if int(np.argmax(scores)) == 1:
+        assert lab == "Unseen"
+    # empty input surfaces the reference's assert as an error
+    with pytest.raises(ValueError, match="non-empty"):
+        model([])
+
+
+def test_text_categorizer_pure_model_and_facade(tmp_path):
+    """Pure categorizer model + separate extractor predicts identically to
+    the full binary, BoW-only (zero-dim fe) scoring skips the dense block
+    (text_categorizer.cpp:144-149), and the api facade loads/saves both
+    forms."""
+    from mitie_spark import api
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.sources.dlib_models import (
+        compute_text_categorizer_fingerprint,
+        text_categorizer_from_dlib,
+        write_text_categorizer,
+        write_text_categorizer_pure_model,
+    )
+
+    rng = np.random.default_rng(37)
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    K = 3
+    ncols = MAX_FEAT + d
+    W = np.zeros((K, ncols))
+    cols = rng.integers(0, ncols, 600)
+    W[:, cols] = rng.standard_normal((K, 600))
+    b = rng.standard_normal(K)
+    df = {"weights": W, "b": b, "labels": [0, 1, 2]}
+    tags = ["a", "b", "c"]
+    fp = compute_text_categorizer_fingerprint(tags, fe["fingerprint"], df)
+    p_full = str(tmp_path / "cat_full.dat")
+    p_pure = str(tmp_path / "cat_pure.dat")
+    p_fe = str(tmp_path / "twfe.dat")
+    write_text_categorizer(
+        p_full, {"fingerprint": fp, "tags": tags, "fe": fe, "df": df}
+    )
+    write_text_categorizer_pure_model(
+        p_pure, {"tags": tags, "df": df, "tfe_fingerprint": fe["fingerprint"]}
+    )
+    write_total_word_feature_extractor(p_fe, fe)
+
+    tokens = "Bob visited Alice today .".split()
+    full = text_categorizer_from_dlib(p_full)
+    pure = text_categorizer_from_dlib(p_pure, fe_path=p_fe)
+    assert full(tokens) == pure(tokens)
+    assert full.fingerprint == fp == pure.fingerprint
+    # wrong extractor rejected (cpp:72-75)
+    fe_bad = _with_crc(_synthetic_fe())
+    fe_bad["fingerprint"] = 3
+    p_bad = str(tmp_path / "twfe_bad.dat")
+    write_total_word_feature_extractor(p_bad, fe_bad)
+    with pytest.raises(ValueError, match="same as the one used"):
+        text_categorizer_from_dlib(p_pure, fe_path=p_bad)
+    # BoW-only: pure model with no extractor at all (ctor 3, cpp:81-113)
+    bow_only = text_categorizer_from_dlib(p_pure)
+    assert bow_only.fs is None
+    lab, _ = bow_only(tokens)
+    assert lab in tags
+    # per-call extractor upgrade on the facade (cpp predict-with-fe:160-199)
+    cat_api = api.text_categorizer(p_pure)
+    assert cat_api(tokens, api.total_word_feature_extractor(p_fe)) == full(
+        tokens
+    )
+    # facade full-model load + dlib-format save round-trip
+    cat_full_api = api.text_categorizer(p_full)
+    assert cat_full_api(tokens) == full(tokens)
+    p_resaved = str(tmp_path / "cat_resaved.dat")
+    cat_full_api.save_to_disk(p_resaved)
+    assert api.text_categorizer(p_resaved)(tokens) == full(tokens)
+    p_repure = str(tmp_path / "cat_repure.dat")
+    cat_full_api.save_to_disk(p_repure, pure_model=True)
+    assert api.text_categorizer(p_repure, fe_filename=p_fe)(tokens) == full(
+        tokens
+    )
+
+
+def test_ner_facade_saves_dlib_binaries(tmp_path):
+    """A dlib-backed NER saved through the facade writes a real dlib binary
+    (full and pure forms) that loads back to identical behavior
+    (mitie.cpp:1051-1100 save paths)."""
+    from mitie_spark import api
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import N_STATES, NerModel
+
+    rng = np.random.default_rng(41)
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    K = 3
+    W_cls = np.zeros((K, MAX_FEAT))
+    cols = rng.integers(0, MAX_FEAT, 300)
+    W_cls[:, cols] = rng.standard_normal((K, 300))
+    model = NerModel(
+        W_seg=rng.standard_normal((N_STATES, 3 * d + 1)),
+        T_seg=rng.standard_normal((N_STATES, N_STATES)),
+        W_cls_sparse=W_cls,
+        W_cls_dense=rng.standard_normal((K, 5 * d)),
+        b_cls=rng.standard_normal(K),
+        tags=["PERSON", "LOCATION"],
+        fs=fs,
+    )
+    p0 = str(tmp_path / "ner0.dat")
+    write_named_entity_extractor(p0, ner_model_to_dlib(model))
+    ner_api = api.named_entity_extractor(p0)
+    tokens = ["Alice", "visited", "Bob", "."]
+    want = ner_api.extract_entities(tokens)
+    p_full = str(tmp_path / "ner_resaved.dat")
+    ner_api.save_to_disk(p_full)
+    assert api.named_entity_extractor(p_full).extract_entities(tokens) == want
+    p_pure = str(tmp_path / "ner_repure.dat")
+    p_fe = str(tmp_path / "twfe.dat")
+    ner_api.save_to_disk(p_pure, pure_model=True)
+    write_total_word_feature_extractor(p_fe, fe)
+    assert (
+        api.named_entity_extractor(p_pure, fe_filename=p_fe).extract_entities(
+            tokens
+        )
+        == want
+    )
