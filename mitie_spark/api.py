@@ -126,24 +126,40 @@ class named_entity_extractor:
         reference, feature extraction happens on the NER extractor — which
         owns the word-feature source — and the detector only scores the
         pre-extracted vector (mitie.h:360-375; the .svm detector file does
-        not embed an extractor)."""
-        from mitie_spark.models.relation_model import relation_features
+        not embed an extractor).
 
+        A dlib-backed NER emits the REFERENCE feature space (the exact
+        sparse sample of binary_relation_detector.cpp:110-189) so that real
+        ``rel_classifier_*.svm`` files score it; an .npz-backed NER emits
+        this engine's native space for its own trained detectors."""
         toks = list(tokens)
         a1 = (arg1_range.start, arg1_range.stop)
         a2 = (arg2_range.start, arg2_range.stop)
+        if getattr(self._model.fs, "kind", "") == "dlib":
+            from mitie_spark.models.relation_ref import reference_relation_pairs
+
+            pairs = reference_relation_pairs(toks, self._model.X(toks), a1, a2)
+            return binary_relation(
+                pairs, self._model.fs.fingerprint, space="reference"
+            )
+        from mitie_spark.models.relation_model import relation_features
+
         row = relation_features(toks, self._model.X(toks), a1, a2)
-        return binary_relation(row, self._model.fs.fingerprint)
+        return binary_relation(row, self._model.fs.fingerprint, space="native")
 
 
 class binary_relation:
     """Opaque extracted-features container (mitie.py:361-372 analog; the
     reference's mitie_binary_relation is likewise the extracted sparse
-    vector plus the extractor fingerprint)."""
+    vector plus the extractor fingerprint). ``space`` records which feature
+    space the vector lives in — "reference" (dlib artifacts) or "native"
+    (this engine's trained detectors) — so a detector from the other family
+    rejects it instead of mis-scoring."""
 
-    def __init__(self, features, fingerprint: int):
+    def __init__(self, features, fingerprint: int, space: str = "native"):
         self.features = features
         self.fingerprint = fingerprint
+        self.space = space
 
 
 class binary_relation_detector:
@@ -154,11 +170,35 @@ class binary_relation_detector:
     ):
         from mitie_spark.models.relation_model import RelationModel
 
-        self._model = _model or RelationModel.load(
-            filename or os.path.join(ARTIFACT_DIR, "relation_model.npz")
-        )
+        self._det = None  # set when backed by a reference .svm file
+        if _model is not None:
+            self._model = _model
+        else:
+            path = filename or os.path.join(ARTIFACT_DIR, "relation_model.npz")
+            if _is_npz(path):
+                self._model = RelationModel.load(path)
+            else:
+                # a reference user's rel_classifier_*.svm
+                # (binary_relation_detector.h:80-104): keep the collapsed
+                # linear weights and score pair lists directly
+                from mitie_spark.sources.dlib_models import (
+                    read_binary_relation_detector,
+                    relation_weights_from_detector,
+                )
+
+                det = read_binary_relation_detector(path)
+                n_dims = 1 + max(
+                    (i for sv in det["basis_vectors"] for i, _ in sv),
+                    default=0,
+                )
+                self._det = relation_weights_from_detector(det, n_dims)
+                self._model = None
+                self.name = name or det["relation_type"]
+                self._fingerprint = det["fingerprint"]
+                return
         self.name = name or self._model.preds[0]
         self._idx = self._model.preds.index(self.name)
+        self._fingerprint = self._model.fingerprint
 
     @property
     def name_string(self) -> str:
@@ -166,6 +206,11 @@ class binary_relation_detector:
         return self.name
 
     def save_to_disk(self, filename: str) -> None:
+        if self._det is not None:
+            raise NotImplementedError(
+                "re-export a reference .svm with "
+                "sources.dlib_models.write_binary_relation_detector"
+            )
         self._model.save(filename)
 
     def __str__(self) -> str:
@@ -177,11 +222,25 @@ class binary_relation_detector:
         return "<binary_relation_detector: " + self.name_string + ">"
 
     def __call__(self, relation: binary_relation) -> float:
-        if relation.fingerprint != self._model.fingerprint:
+        if relation.fingerprint != self._fingerprint:
             raise ValueError(
                 "relation was extracted with a different word-feature "
                 "source than this detector was trained on (reference "
                 "guard: binary_relation_detector.h:70-77)"
+            )
+        if self._det is not None:
+            if relation.space != "reference":
+                raise ValueError(
+                    "a reference .svm detector scores reference-space "
+                    "features (extract them on a dlib-backed NER)"
+                )
+            from mitie_spark.models.relation_ref import score_pairs
+
+            return score_pairs(self._det[0], self._det[1], relation.features)
+        if relation.space != "native":
+            raise ValueError(
+                "this engine's trained detector scores native-space "
+                "features (extract them on an .npz-backed NER)"
             )
         s = self._model._score_rows([relation.features])[0]
         return float(s[self._idx])

@@ -205,8 +205,14 @@ class RelationModel:
         S += self.b
         return S
 
+    def _features(self, tokens, X, arg1, arg2, mean_cache=None):
+        """Feature hook — the dlib-backed subclass swaps in the reference's
+        exact extraction (models/relation_ref.py) while reusing the scoring
+        machinery unchanged."""
+        return relation_features(tokens, X, arg1, arg2, mean_cache)
+
     def scores(self, tokens, X, arg1, arg2, mean_cache=None) -> np.ndarray:
-        row = relation_features(tokens, X, arg1, arg2, mean_cache)
+        row = self._features(tokens, X, arg1, arg2, mean_cache)
         return self._score_rows([row])[0]
 
     def detect(self, tokens, X, arg1, arg2, mean_cache=None):
@@ -223,7 +229,7 @@ class RelationModel:
         if not items:
             return []
         rows = [
-            relation_features(t, X, a1, a2, mc) for t, X, a1, a2, mc in items
+            self._features(t, X, a1, a2, mc) for t, X, a1, a2, mc in items
         ]
         S = self._score_rows(rows)
         out = []

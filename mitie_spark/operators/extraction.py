@@ -41,13 +41,45 @@ KG_SCHEMA = (
 )
 
 
+def _is_npz(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"PK"
+
+
 @lru_cache(maxsize=4)
 def _load_models(ner_path: str, rel_path: str):
+    """Load the NER + relation models for the extraction UDF. Accepts this
+    engine's .npz artifacts OR a reference user's dlib binaries: a
+    ``ner_model.dat`` for ``ner_path``, and for ``rel_path`` one
+    ``rel_classifier_*.svm``, a comma-separated list of them, or a
+    directory containing them (the reference ships one detector file per
+    relation type — tools/train_freebase_relation_detector)."""
+    import glob
+    import os
+
     from mitie_spark.models.ner_model import NerModel
     from mitie_spark.models.relation_model import RelationModel
 
-    ner = NerModel.load(ner_path)
-    rel = RelationModel.load(rel_path)
+    if os.path.isfile(ner_path) and _is_npz(ner_path):
+        ner = NerModel.load(ner_path)
+    else:
+        from mitie_spark.sources.dlib_models import ner_model_from_dlib
+
+        ner = ner_model_from_dlib(ner_path)
+
+    svm_paths = None
+    if os.path.isdir(rel_path):
+        svm_paths = sorted(glob.glob(os.path.join(rel_path, "*.svm")))
+    elif "," in rel_path:
+        svm_paths = rel_path.split(",")
+    elif not _is_npz(rel_path):
+        svm_paths = [rel_path]
+    if svm_paths is not None:
+        from mitie_spark.models.relation_ref import DlibRelationModel
+
+        rel = DlibRelationModel.from_svm_files(svm_paths, dims=ner.fs.dims)
+    else:
+        rel = RelationModel.load(rel_path)
     # predict-time guard: the relation detectors must have been trained
     # against the same word-feature source as the NER model — fail fast
     # before a corpus-scale run (binary_relation_detector.h:70-77)
