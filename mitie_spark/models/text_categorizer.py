@@ -120,8 +120,23 @@ def train_text_categorizer(
     return TextCategorizer(labels, Ws - Us / n, Wd - Ud / n, b - ub / n)
 
 
+def _load_categorizer(model_path: str):
+    """.npz → this engine's TextCategorizer; dlib binary (full model or
+    BoW-only pure model) → the reference-exact scoring port
+    (sources/dlib_models.DlibTextCategorizer)."""
+    with open(model_path, "rb") as f:
+        if f.read(2) == b"PK":
+            return TextCategorizer.load(model_path)
+    from mitie_spark.sources.dlib_models import text_categorizer_from_dlib
+
+    return text_categorizer_from_dlib(model_path)
+
+
 def categorize_documents(df, model_path: str, id_col="doc_id", text_col="text"):
-    """DataFrame operator: one narrow Arrow pass, model cached per worker."""
+    """DataFrame operator: one narrow Arrow pass, model cached per worker.
+    ``model_path`` may be an .npz artifact or a reference user's dlib
+    text_categorizer .dat (empty docs label "Unseen" rather than hitting
+    the dlib port's non-empty assert)."""
     import pandas as pd
 
     def run(batches):
@@ -129,11 +144,15 @@ def categorize_documents(df, model_path: str, id_col="doc_id", text_col="text"):
 
         from mitie_spark.functions.tokenizer import tokenize
 
-        model = TextCategorizer.load(model_path)
+        model = _load_categorizer(model_path)
         for pdf in batches:
             labels, scores = [], []
             for t in pdf[text_col]:
-                lab, sc = model(tokenize(t or ""))
+                toks = tokenize(t or "")
+                if toks:
+                    lab, sc = model(toks)
+                else:
+                    lab, sc = "Unseen", 0.0
                 labels.append(lab)
                 scores.append(sc)
             yield pd.DataFrame(

@@ -66,3 +66,46 @@ def test_trained_categorizer_accuracy():
     data = build_categorizer_data(150, 777)
     acc = sum(1 for toks, y in data if cat(toks)[0] == y) / len(data)
     assert acc >= 0.9, acc
+
+
+def test_categorize_documents_with_dlib_model(tmp_path, spark):
+    """The distributed categorizer operator runs straight off a reference
+    user's dlib text_categorizer file (pure BoW-only model here); empty
+    docs label "Unseen" instead of tripping the port's non-empty assert."""
+    import numpy as np
+    import pandas as pd
+
+    from mitie_spark.models.text_categorizer import categorize_documents
+    from mitie_spark.sources.dlib_models import (
+        write_text_categorizer_pure_model,
+    )
+
+    rng = np.random.default_rng(67)
+    W = rng.standard_normal((2, 4000))
+    df_dict = {"weights": W, "b": rng.standard_normal(2), "labels": [0, 1]}
+    p = str(tmp_path / "cat_pure.dat")
+    write_text_categorizer_pure_model(
+        p, {"tags": ["spam", "ham"], "df": df_dict, "tfe_fingerprint": 0}
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["alpha beta gamma", "delta epsilon", ""],
+            }
+        )
+    )
+    rows = {r["id"]: r for r in categorize_documents(docs, p).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["label"] == "Unseen" and rows[3]["score"] == 0.0
+    for i in (1, 2):
+        assert rows[i]["label"] in {"spam", "ham", "Unseen"}
+    # deterministic vs the local scoring port
+    from mitie_spark.functions.tokenizer import tokenize
+    from mitie_spark.sources.dlib_models import text_categorizer_from_dlib
+
+    local = text_categorizer_from_dlib(p)
+    for i, text in [(1, "alpha beta gamma"), (2, "delta epsilon")]:
+        lab, sc = local(tokenize(text))
+        assert rows[i]["label"] == lab
+        assert rows[i]["score"] == pytest.approx(sc)
