@@ -46,6 +46,42 @@ def _is_npz(path: str) -> bool:
         return f.read(2) == b"PK"
 
 
+def _ner_from_dlib_cached(ner_path: str):
+    """Decode a dlib ``ner_model.dat`` once PER HOST, not per worker
+    process: the variable-length dlib stream costs seconds to parse for a
+    real 200k-word extractor, and every Python worker would pay it inside
+    its own ``_load_models`` lru_cache. The decoded model is written as an
+    .npz sidecar in the temp dir keyed by (path, size, mtime) — atomic
+    tmp+rename, so concurrent workers race benignly — and later workers
+    (and later jobs on the same host) load the fast format."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mitie_spark.models.ner_model import NerModel
+    from mitie_spark.sources.dlib_models import ner_model_from_dlib
+
+    st = os.stat(ner_path)
+    key = hashlib.md5(
+        f"{os.path.abspath(ner_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"mitie_spark_ner_{key}.npz")
+    if os.path.exists(cache):
+        try:
+            return NerModel.load(cache)
+        except Exception:
+            pass  # corrupt/partial cache: fall through to re-decode
+    ner = ner_model_from_dlib(ner_path)
+    # keep the .npz suffix: np.savez appends it to any other name
+    tmp = f"{cache[:-4]}.{os.getpid()}.tmp.npz"
+    try:
+        ner.save(tmp)
+        os.replace(tmp, cache)
+    except OSError:
+        pass  # cache is best-effort (read-only temp dir etc.)
+    return ner
+
+
 @lru_cache(maxsize=4)
 def _load_models(ner_path: str, rel_path: str):
     """Load the NER + relation models for the extraction UDF. Accepts this
@@ -63,9 +99,7 @@ def _load_models(ner_path: str, rel_path: str):
     if os.path.isfile(ner_path) and _is_npz(ner_path):
         ner = NerModel.load(ner_path)
     else:
-        from mitie_spark.sources.dlib_models import ner_model_from_dlib
-
-        ner = ner_model_from_dlib(ner_path)
+        ner = _ner_from_dlib_cached(ner_path)
 
     svm_paths = None
     if os.path.isdir(rel_path):

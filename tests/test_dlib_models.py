@@ -626,3 +626,41 @@ def test_ner_facade_saves_dlib_binaries(tmp_path):
         )
         == want
     )
+
+
+def test_ner_dlib_sidecar_cache(tmp_path, monkeypatch):
+    """extract_kg's model loader decodes a .dat once per host: the second
+    load hits the .npz sidecar in the temp dir (keyed by path+size+mtime)
+    and behaves identically."""
+    import tempfile
+
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import N_STATES, NerModel
+    from mitie_spark.operators import extraction
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    rng = np.random.default_rng(71)
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    model = NerModel(
+        W_seg=rng.standard_normal((N_STATES, 3 * d + 1)),
+        T_seg=rng.standard_normal((N_STATES, N_STATES)),
+        W_cls_sparse=np.zeros((3, MAX_FEAT)),
+        W_cls_dense=rng.standard_normal((3, 5 * d)),
+        b_cls=rng.standard_normal(3),
+        tags=["PERSON", "LOCATION"],
+        fs=fs,
+    )
+    p = str(tmp_path / "ner_model.dat")
+    write_named_entity_extractor(p, ner_model_to_dlib(model))
+    toks = "Alice visited Bob .".split()
+    m1 = extraction._ner_from_dlib_cached(p)
+    sidecars = list(tmp_path.glob("mitie_spark_ner_*.npz"))
+    assert len(sidecars) == 1
+    m2 = extraction._ner_from_dlib_cached(p)
+    assert m2.extract_entities(toks) == m1.extract_entities(toks) == model.extract_entities(toks)
+    # cache keys on mtime: touching the file forces a re-decode (new key)
+    os.utime(p, ns=(1, 1))
+    extraction._ner_from_dlib_cached(p)
+    assert len(list(tmp_path.glob("mitie_spark_ner_*.npz"))) == 2
