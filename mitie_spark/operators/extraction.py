@@ -46,6 +46,17 @@ def _is_npz(path: str) -> bool:
         return f.read(2) == b"PK"
 
 
+def load_ner_model(path: str):
+    """Shared NER model loader: .npz artifact or dlib ``ner_model.dat``
+    (the latter through the per-host sidecar cache). Used by the extraction
+    UDF and the streaming/CLI annotators."""
+    from mitie_spark.models.ner_model import NerModel
+
+    if _is_npz(path):
+        return NerModel.load(path)
+    return _ner_from_dlib_cached(path)
+
+
 def _ner_from_dlib_cached(ner_path: str):
     """Decode a dlib ``ner_model.dat`` once PER HOST, not per worker
     process: the variable-length dlib stream costs seconds to parse for a
@@ -93,13 +104,9 @@ def _load_models(ner_path: str, rel_path: str):
     import glob
     import os
 
-    from mitie_spark.models.ner_model import NerModel
     from mitie_spark.models.relation_model import RelationModel
 
-    if os.path.isfile(ner_path) and _is_npz(ner_path):
-        ner = NerModel.load(ner_path)
-    else:
-        ner = _ner_from_dlib_cached(ner_path)
+    ner = load_ner_model(ner_path)
 
     svm_paths = None
     if os.path.isdir(rel_path):

@@ -54,9 +54,9 @@ def annotate_lines(lines: DataFrame, ner_path: str, text_col: str = "value") -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from mitie_spark.functions.tokenizer import tokenize
-        from mitie_spark.models.ner_model import NerModel
+        from mitie_spark.operators.extraction import load_ner_model
 
-        ner = NerModel.load(ner_path)
+        ner = load_ner_model(ner_path)
         for pdf in batches:
             toks_list = [tokenize(l or "") for l in pdf[text_col]]
             Xs = [ner.X(t) for t in toks_list]
@@ -94,3 +94,34 @@ def ner_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def main(argv=None) -> None:
+    """Drop-in for the reference's ner_stream binary
+    (tools/ner_stream/src/main.cpp:60-122):
+
+        python -m mitie_spark.streaming.ner_stream ner_model.dat < in > out
+
+    One line in, one bracket-annotated line out; the model may be a dlib
+    ``ner_model.dat`` or this repo's .npz artifact. This is the local pipe
+    loop — use ``ner_stream()`` for the distributed file-source job."""
+    import argparse
+    import sys
+
+    from mitie_spark.functions.tokenizer import tokenize
+    from mitie_spark.operators.extraction import load_ner_model
+
+    ap = argparse.ArgumentParser(
+        description="Annotate stdin lines with [TAG ...] entity markup"
+    )
+    ap.add_argument("model", help="ner_model.dat (dlib) or .npz artifact")
+    args = ap.parse_args(argv)
+    ner = load_ner_model(args.model)
+    for line in sys.stdin:
+        toks = tokenize(line)
+        ents = ner.extract_entities(toks)
+        print(format_markup(toks, [(s, e, t) for s, e, t, _ in ents]))
+
+
+if __name__ == "__main__":
+    main()

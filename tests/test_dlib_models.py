@@ -664,3 +664,116 @@ def test_ner_dlib_sidecar_cache(tmp_path, monkeypatch):
     os.utime(p, ns=(1, 1))
     extraction._ner_from_dlib_cached(p)
     assert len(list(tmp_path.glob("mitie_spark_ner_*.npz"))) == 2
+
+
+def test_bulk_codec_fuzz_vs_scalar():
+    """Property fuzz: the vectorized float-block writer/reader must be
+    byte- and value-identical to the scalar per-element codecs for any
+    float64 contents (including zeros runs, denormals, huge/tiny exponents,
+    negatives — the shapes that break variable-length packing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.floats(allow_nan=False, allow_infinity=False),
+                st.just(0.0),
+                st.floats(min_value=-1e-300, max_value=1e-300),
+                st.integers(min_value=-(2**52), max_value=2**52).map(float),
+            ),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def roundtrip(vals):
+        V = np.asarray(vals, dtype=np.float64)
+        w_scalar = DlibWriter()
+        for v in V:
+            w_scalar.f(float(v))
+        w_bulk = DlibWriter()
+        w_bulk.float_block(V)
+        assert w_scalar.getvalue() == w_bulk.getvalue()
+        r = DlibReader(w_bulk.getvalue())
+        got_bulk = r.float_block(len(V))
+        assert r.pos == len(w_bulk.getvalue())
+        r2 = DlibReader(w_bulk.getvalue())
+        got_scalar = np.array([r2.f() for _ in range(len(V))])
+        assert np.array_equal(got_bulk, V)
+        assert np.array_equal(got_scalar, V)
+
+    roundtrip()
+
+
+def test_bulk_codec_float32_fuzz():
+    """Same property at digits=24 (float32-sourced vectors, the TWFE word
+    dictionary encoding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def roundtrip(vals):
+        V = np.asarray(vals, dtype=np.float32).astype(np.float64)
+        w_scalar = DlibWriter()
+        for v in V:
+            w_scalar.f(float(v), digits=24)
+        w_bulk = DlibWriter()
+        w_bulk.float_block(V, digits=24)
+        assert w_scalar.getvalue() == w_bulk.getvalue()
+        got = DlibReader(w_bulk.getvalue()).float_block(len(V))
+        assert np.array_equal(got, V)
+
+    roundtrip()
+
+
+def test_ner_stream_cli_with_dlib_model(tmp_path):
+    """The pipe CLI (python -m mitie_spark.streaming.ner_stream MODEL)
+    mirrors tools/ner_stream: one line in, one bracket-annotated line out,
+    straight off a dlib .dat."""
+    import subprocess
+    import sys
+
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import NerModel, train_segmenter
+    from mitie_spark.streaming.ner_stream import format_markup
+
+    fe = _with_crc(_synthetic_fe())
+    fs = DlibTotalWordFeatureExtractor(fe)
+    d = fs.dims
+    sents = [
+        ("Alice visited Bob .".split(), [(0, 1), (2, 3)]),
+        ("the . visited the".split(), []),
+    ] * 6
+    W_seg, T_seg = train_segmenter(sents, epochs=10, fs=fs)
+    model = NerModel(
+        W_seg=W_seg,
+        T_seg=T_seg,
+        W_cls_sparse=np.zeros((2, MAX_FEAT)),
+        W_cls_dense=np.zeros((2, 5 * d)),
+        b_cls=np.array([1.0, 0.0]),
+        tags=["PERSON"],
+        fs=fs,
+    )
+    p = str(tmp_path / "ner_model.dat")
+    write_named_entity_extractor(p, ner_model_to_dlib(model))
+    out = subprocess.run(
+        [sys.executable, "-m", "mitie_spark.streaming.ner_stream", p],
+        input="Alice visited Bob .\nthe the\n",
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/root/repo",
+    ).stdout.splitlines()
+    toks = "Alice visited Bob .".split()
+    ents = [(s, e, t) for s, e, t, _ in model.extract_entities(toks)]
+    assert out[0] == format_markup(toks, ents)
+    assert "[PERSON Alice]" in out[0] and "[PERSON Bob]" in out[0]
+    assert out[1] == "the the "
