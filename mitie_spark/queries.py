@@ -93,18 +93,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Dedup (exact): hash-groupBy on content (training-data pipeline op).
+# Gated through the union query ``dedup_exact_and_spans`` (queries_simdedup)
+# — the driver records CORRECTNESS rows only for the first 50 registry
+# entries, so same-family queries share one gated slot.
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_exact_groups",
-    """
-    SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
-           MIN(doc_id) AS keep_doc_id
-    FROM documents
-    GROUP BY md5(text)
-    HAVING COUNT(*) > 1
-    ORDER BY content_hash
-    """,
-)
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return (
@@ -263,20 +255,11 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customers_without_orders",
-    """
-    SELECT c_custkey, c_name
-    FROM customer c
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-    )
-    ORDER BY c_custkey
-    """,
-    # NOT EXISTS, not NOT IN: a NULL o_custkey would turn NOT IN into an
-    # empty result (three-valued logic) while the Spark anti join is
-    # null-tolerant — the two would silently disagree
-)
+# NOT EXISTS, not NOT IN: a NULL o_custkey would turn NOT IN into an
+# empty result (three-valued logic) while the Spark anti join is
+# null-tolerant — the two would silently disagree.  Gated through the
+# union query ``customer_membership_shapes`` (queries_simdedup) to fit
+# the driver's 50-row correctness cap.
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     return (

@@ -819,19 +819,10 @@ def median_order_stats(spark, sf_dir):
     )
 
 
-@query(
-    "repeat_status_customers",
-    """
-    SELECT c_custkey FROM (
-      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
-      INTERSECT
-      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    ) ORDER BY c_custkey
-    """,
-)
 def repeat_status_customers(spark, sf_dir):
     """Set-op coverage (INTERSECT): customers with both fulfilled and open
-    orders."""
+    orders.  Gated through ``customer_membership_shapes`` below (one
+    driver-cap slot shared with the NOT EXISTS anti-join shape)."""
     o = load_tables(spark, sf_dir, ["orders"])["orders"]
     f_side = (
         o.filter(F.col("o_orderstatus") == "F")
@@ -1002,9 +993,7 @@ _SPAN_LEN = 15  # window length (tokens); the real config runs 50
 _SPAN_MAX_DF = 8  # boilerplate cap: window hashes in more docs are dropped
 
 
-@query(
-    "dedup_substring_spans",
-    f"""
+_SPANS_ORACLE_BODY = f"""
     WITH toks AS (
       SELECT doc_id AS id,
              list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
@@ -1025,9 +1014,9 @@ _SPAN_MAX_DF = 8  # boilerplate cap: window hashes in more docs are dropped
            MIN(a.pos) AS first_pos_a, MIN(b.pos) AS first_pos_b
     FROM wins a JOIN keep USING (h) JOIN wins b ON a.h = b.h AND a.id < b.id
     GROUP BY id_a, id_b
-    ORDER BY id_a, id_b
-    """,
-)
+"""
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing an identical >= 15-token run — EXACT substring
     dedup as content-defined-anchor blocking + hash join (see
@@ -1041,3 +1030,82 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(
         docs, min_len=_SPAN_LEN, max_df=_SPAN_MAX_DF
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_exact_and_spans",
+    f"""
+    SELECT 'exact' AS method, content_hash AS key_a,
+           CAST(keep_doc_id AS VARCHAR) AS key_b, n_docs AS n
+    FROM (
+      SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+             MIN(doc_id) AS keep_doc_id
+      FROM documents
+      GROUP BY md5(text)
+      HAVING COUNT(*) > 1
+    )
+    UNION ALL
+    SELECT 'span' AS method, CAST(id_a AS VARCHAR) AS key_a,
+           CAST(id_b AS VARCHAR) AS key_b, n_shared_windows AS n
+    FROM ({_SPANS_ORACLE_BODY.rstrip()})
+    ORDER BY method, key_a, key_b
+    """,
+)
+def dedup_exact_and_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups (md5 hash-groupBy) UNION ALL substring-span
+    pairs, tagged by method — one gated driver slot covering both exact
+    dedup operators (the driver records correctness rows only for the
+    first 50 registry entries; see __spark_entry__).  Each branch keeps
+    its own physical plan: the union is evaluated as two independent
+    subplans, so the hash-groupBy and the anchored span join are audited
+    exactly as they run standalone."""
+    from mitie_spark.queries import dedup_exact_groups
+
+    exact = dedup_exact_groups(spark, sf_dir).select(
+        F.lit("exact").alias("method"),
+        F.col("content_hash").alias("key_a"),
+        F.col("keep_doc_id").cast("string").alias("key_b"),
+        F.col("n_docs").alias("n"),
+    )
+    spans = dedup_substring_spans(spark, sf_dir).select(
+        F.lit("span").alias("method"),
+        F.col("id_a").cast("string").alias("key_a"),
+        F.col("id_b").cast("string").alias("key_b"),
+        F.col("n_shared_windows").alias("n"),
+    )
+    return exact.unionAll(spans).orderBy("method", "key_a", "key_b")
+
+
+@query(
+    "customer_membership_shapes",
+    """
+    SELECT 'both_status' AS shape, c_custkey FROM (
+      SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'no_orders' AS shape, c_custkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY shape, c_custkey
+    """,
+)
+def customer_membership_shapes(spark, sf_dir):
+    """INTERSECT (customers with both fulfilled and open orders) UNION ALL
+    NOT EXISTS anti join (customers with no orders at all), tagged by
+    shape — one gated driver slot covering both membership-test plan
+    shapes (driver 50-row cap; see __spark_entry__).  The anti join stays
+    a broadcast LEFT ANTI and the INTERSECT stays a hash-distinct
+    intersect inside the union's independent subplans."""
+    from mitie_spark.queries import customers_without_orders
+
+    both = repeat_status_customers(spark, sf_dir).select(
+        F.lit("both_status").alias("shape"), "c_custkey"
+    )
+    none = customers_without_orders(spark, sf_dir).select(
+        F.lit("no_orders").alias("shape"), "c_custkey"
+    )
+    return both.unionAll(none).orderBy("shape", "c_custkey")

@@ -80,7 +80,9 @@ def test_bpe_word_counts_single_corpus_shuffle(spark):
 
 
 def test_substring_spans_shuffles_hashes_not_text(spark):
-    plan = _plan(_q(spark, "dedup_substring_spans"))
+    from mitie_spark.queries_simdedup import dedup_substring_spans
+
+    plan = _plan(dedup_substring_spans(spark, SF))
     # never all-pairs: the pair join is a keyed join on the window hash
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
