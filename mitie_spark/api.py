@@ -33,11 +33,9 @@ def load_entire_file(filename: str) -> str:
 
 
 def _is_npz(filename: str) -> bool:
-    """This repo's .npz artifacts are zip archives ("PK" magic); the
-    reference's dlib binaries serialize a length-prefixed class-name string
-    first and can never start with "PK"."""
-    with open(filename, "rb") as f:
-        return f.read(2) == b"PK"
+    from mitie_spark.sources.dlib_models import is_npz
+
+    return is_npz(filename)
 
 
 class named_entity_extractor:
@@ -104,9 +102,15 @@ class named_entity_extractor:
             feature_extractor, total_word_feature_extractor
         ):
             fs = self._model.fs
-            if getattr(fs, "kind", "") == "dlib":
+            kind = getattr(fs, "kind", "")
+            if kind == "dlib":
+                expected = fs.fingerprint
+            elif kind == "wordvec":
+                # the feature source IS the WordVectors (ner_model.py:784)
                 expected = fs.fingerprint
             else:
+                # 'wordvec+shape' wraps the vectors; 'hashed' has none and
+                # the guard is a no-op (no extractor was involved)
                 wv = getattr(fs, "wv", None)
                 expected = None if wv is None else wv.fingerprint
             if expected is not None and feature_extractor.fingerprint != expected:
@@ -319,16 +323,25 @@ class text_categorizer:
                     "Fingerprint mismatch (text_categorizer.cpp:173-180)"
                 )
             if model.fs is None:
-                model = DlibTextCategorizer(
-                    model.tags,
-                    {
-                        "weights": model.W,
-                        "b": model.bvec,
-                        "labels": model.labels,
-                    },
-                    wv.to_dict(),
-                    model.tfe_fingerprint or None,
-                )
+                # upgrading a pure model rebuilds the word-feature index
+                # and re-fingerprints the weight matrix — seconds for a
+                # real 300MB extractor. Cache the upgraded model so the
+                # reference's per-document call loop pays it once.
+                cached = getattr(self, "_upgraded", None)
+                if cached is not None and cached[0] == wv.fingerprint:
+                    model = cached[1]
+                else:
+                    model = DlibTextCategorizer(
+                        model.tags,
+                        {
+                            "weights": model.W,
+                            "b": model.bvec,
+                            "labels": model.labels,
+                        },
+                        wv.to_dict(),
+                        model.tfe_fingerprint or None,
+                    )
+                    self._upgraded = (wv.fingerprint, model)
         return model(list(tokens))
 
 

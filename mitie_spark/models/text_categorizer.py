@@ -13,6 +13,8 @@ Training: averaged multiclass perceptron on labeled synthetic docs.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from mitie_spark.functions.hashing import make_feat, shash
@@ -120,15 +122,18 @@ def train_text_categorizer(
     return TextCategorizer(labels, Ws - Us / n, Wd - Ud / n, b - ub / n)
 
 
+@lru_cache(maxsize=4)
 def _load_categorizer(model_path: str):
     """.npz → this engine's TextCategorizer; dlib binary (full model or
     BoW-only pure model) → the reference-exact scoring port
-    (sources/dlib_models.DlibTextCategorizer)."""
-    with open(model_path, "rb") as f:
-        if f.read(2) == b"PK":
-            return TextCategorizer.load(model_path)
-    from mitie_spark.sources.dlib_models import text_categorizer_from_dlib
+    (sources/dlib_models.DlibTextCategorizer). lru_cached so a reused
+    Python worker decodes the (multi-second, for a real 200k-word
+    extractor) dlib stream once per process, not once per partition —
+    same motivation as extraction._ner_from_dlib_cached."""
+    from mitie_spark.sources.dlib_models import is_npz, text_categorizer_from_dlib
 
+    if is_npz(model_path):
+        return TextCategorizer.load(model_path)
     return text_categorizer_from_dlib(model_path)
 
 
@@ -140,8 +145,6 @@ def categorize_documents(df, model_path: str, id_col="doc_id", text_col="text"):
     import pandas as pd
 
     def run(batches):
-        from functools import lru_cache
-
         from mitie_spark.functions.tokenizer import tokenize
 
         model = _load_categorizer(model_path)

@@ -42,8 +42,9 @@ KG_SCHEMA = (
 
 
 def _is_npz(path: str) -> bool:
-    with open(path, "rb") as f:
-        return f.read(2) == b"PK"
+    from mitie_spark.sources.dlib_models import is_npz
+
+    return is_npz(path)
 
 
 def load_ner_model(path: str):

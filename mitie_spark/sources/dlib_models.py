@@ -79,6 +79,16 @@ DLIB_TO_OURS_BIO = {
 }
 
 
+def is_npz(path: str) -> bool:
+    """True for this repo's .npz artifacts (zip archives, "PK" magic); the
+    reference's dlib binaries serialize a length-prefixed class-name string
+    or a packed version int first and can never start with "PK". The single
+    format-dispatch rule — every loader that accepts both formats imports
+    this."""
+    with open(path, "rb") as f:
+        return f.read(2) == b"PK"
+
+
 class DlibReader:
     """Sequential reader over a dlib-serialized byte buffer."""
 
@@ -86,7 +96,7 @@ class DlibReader:
         self.data = data
         self.pos = 0
         self._arr = None  # lazy uint8 view + skip table for bulk decode
-        self._skips = None
+        self._skips_np = None
 
     def _take(self, n: int) -> bytes:
         b = self.data[self.pos : self.pos + n]
@@ -156,9 +166,11 @@ class DlibReader:
         if arr is None:
             arr = self._arr = np.frombuffer(self.data, dtype=np.uint8)
             # skip table: bytes to advance if a record starts at this byte
-            self._skips_np = ((arr & 0x0F) + 1).astype(np.int64)
-            self._skips = self._skips_np.tolist()
-        skips = self._skips
+            # (uint8 — equality-compared only; scalar paths index the raw
+            # bytes directly instead of materializing a Python list, which
+            # would cost ~8 bytes per input byte on a 400MB model)
+            self._skips_np = (arr & 0x0F) + 1
+        data = self.data
         skips_np = self._skips_np
         positions = np.empty(count, dtype=np.int64)
         filled = 0
@@ -173,13 +185,13 @@ class DlibReader:
                     for _ in range(k):
                         positions[filled] = p
                         filled += 1
-                        p += skips[p]
+                        p += (data[p] & 0x0F) + 1
                     break
                 # records come in (mantissa, exponent) pairs whose two size
                 # classes are near-constant over long runs — speculate a
                 # period-2 stride and verify the whole run vectorized
-                s1 = skips[p]
-                s2 = skips[p + s1]
+                s1 = (data[p] & 0x0F) + 1
+                s2 = (data[p + s1] & 0x0F) + 1
                 stride = s1 + s2
                 npairs = min(k // 2, window)
                 cand = p + stride * np.arange(npairs, dtype=np.int64)
@@ -204,7 +216,7 @@ class DlibReader:
                     for _ in range(min(k, scalar_block)):
                         positions[filled] = p
                         filled += 1
-                        p += skips[p]
+                        p += (data[p] & 0x0F) + 1
                     scalar_block = min(scalar_block * 4, 1 << 13)
         except IndexError:
             raise ValueError("dlib stream truncated") from None
@@ -980,15 +992,26 @@ def _empty_twfe_dict() -> dict:
     }
 
 
+def _peek_classname(path: str) -> str:
+    """First serialized string of the file (the mitie classname), read
+    from a 256-byte head — full models are dispatched on it without
+    reading the (potentially 400MB) body twice. Pure-model files start
+    with a non-string record; any decode failure means "not a classname"."""
+    with open(path, "rb") as fh:
+        head = fh.read(256)
+    try:
+        return DlibReader(head).string()
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
 def text_categorizer_from_dlib(
     path: str, fe_path: str | None = None
 ) -> DlibTextCategorizer:
     """Load a full mitie::text_categorizer, or a pure model plus (optional)
     separate extractor file, mirroring the three reference constructors
     (text_categorizer.cpp:10-113)."""
-    r = DlibReader(open(path, "rb").read())
-    classname = r.string()
-    if classname == "mitie::text_categorizer":
+    if _peek_classname(path) == "mitie::text_categorizer":
         cat = read_text_categorizer(path)
         return DlibTextCategorizer(cat["tags"], cat["df"], cat["fe"])
     pm = read_text_categorizer_pure_model(path)
@@ -1019,8 +1042,7 @@ def ner_model_from_dlib(path: str, fe_path: str | None = None):
     from mitie_spark.functions.hashing import MAX_FEAT
     from mitie_spark.models.ner_model import NerModel
 
-    peek = DlibReader(open(path, "rb").read())
-    if peek.string() == "mitie::named_entity_extractor":
+    if _peek_classname(path) == "mitie::named_entity_extractor":
         ner = read_named_entity_extractor(path)
     else:
         pm = read_ner_pure_model(path)

@@ -120,7 +120,13 @@ def main(argv=None) -> None:
     for line in sys.stdin:
         toks = tokenize(line)
         ents = ner.extract_entities(toks)
-        print(format_markup(toks, [(s, e, t) for s, e, t, _ in ents]))
+        # flush per line like the reference's `cout << ... << endl`
+        # (main.cpp:118): a coprocess waiting on the annotated line must
+        # not block on Python's pipe buffering
+        print(
+            format_markup(toks, [(s, e, t) for s, e, t, _ in ents]),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
