@@ -566,6 +566,11 @@ class binary_relation_detector_trainer:
         # binary_relation_detector_trainer.cpp:176-238); None disables
         # the decay-based regularization
         self.C: float | None = None
+        # auto_tune mirrors the reference's 6-fold-CV F-beta C search
+        # (the reference ALWAYS runs it; opt-in here because it multiplies
+        # training cost by the grid × fold budget). Skipped — like the
+        # reference — when there are ≤ 6 positives.
+        self.auto_tune = False
 
     @property
     def num_positive_examples(self) -> int:
@@ -586,21 +591,32 @@ class binary_relation_detector_trainer:
         )
 
     def train(self) -> binary_relation_detector:
-        from mitie_spark.models.relation_model import train_relation_model
+        from mitie_spark.models.relation_model import (
+            train_relation_model,
+            tune_relation_C,
+        )
 
         if not self._pos:
             raise ValueError("no positive examples")
         examples = [
             (toks, a1, a2, self.relation_name) for toks, a1, a2 in self._pos
         ] + [(toks, a1, a2, None) for toks, a1, a2 in self._neg]
+        fs = self._ner._model.fs  # the reference trainer extracts
+        # features through the NER's word-feature extractor
+        C = self.C
+        if self.auto_tune:
+            tuned = tune_relation_C(
+                [self.relation_name], examples, fs=fs, beta=self.beta
+            )
+            if tuned is not None:
+                C = tuned
         model = train_relation_model(
             [self.relation_name],
             examples,
             epochs=14,
             margin=2.0,
-            fs=self._ner._model.fs,  # the reference trainer extracts
-            # features through the NER's word-feature extractor
-            C=self.C,
+            fs=fs,
+            C=C,
         )
         return binary_relation_detector(_model=model, name=self.relation_name)
 

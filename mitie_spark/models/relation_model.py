@@ -325,3 +325,71 @@ def train_relation_model(
         b - ub / n,
         fingerprint=fs.fingerprint,
     )
+
+
+def tune_relation_C(
+    preds: list[str],
+    examples,
+    fs=None,
+    folds: int = 6,
+    beta: float = 0.1,
+    epochs: int = 14,
+    margin: float = 2.0,
+    seed: int = 77,
+) -> float | None:
+    """Cross-validated C search mirroring the reference trainer's
+    BOBYQA/CV loop (binary_relation_detector_trainer.cpp:176-238): same
+    6-fold protocol, same search bounds [1/n, 1e5/n], same F-beta
+    objective over the per-class accuracies (dlib's
+    cross_validate_trainer reports TPR/TNR — fscore =
+    (1+β²)·TPR·TNR/(β²·TNR+TPR)), and the winner is rescaled by
+    (folds-1)/folds exactly as the reference does before the final
+    full-data train. The 2-D per-class BOBYQA trust region is simplified
+    to a deterministic 9-point log-space grid over our single C knob
+    (the decay analog has no per-class split); returns None when there
+    are ≤ folds positives — the reference skips the search then too."""
+    n_pos = sum(1 for _, _, _, pos in examples if pos is not None)
+    if n_pos <= folds:
+        return None
+    n = len(examples)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)  # randomize_samples analog, deterministic
+    fold_of = np.arange(n) % folds
+    lo, hi = 1.0 / n, 100000.0 / n
+    grid = np.exp(np.linspace(np.log(lo), np.log(hi), 9))
+    best_c, best_f = grid[0], -1.0
+    ex = [examples[i] for i in order]
+    for c in grid:
+        tp = fp = fn = tn = 0
+        for f in range(folds):
+            train_ex = [e for e, g in zip(ex, fold_of) if g != f]
+            test_ex = [e for e, g in zip(ex, fold_of) if g == f]
+            if not train_ex or not test_ex:
+                continue
+            m = train_relation_model(
+                preds, train_ex, epochs=epochs, seed=seed,
+                margin=margin, fs=fs, C=float(c),
+            )
+            rows = [
+                relation_features(toks, None, a1, a2, fs=fs)
+                for toks, a1, a2, _ in test_ex
+            ]
+            s = m._score_rows(rows).max(axis=1)  # best detector score
+            for (_, _, _, pos), sc in zip(test_ex, s):
+                if pos is not None:
+                    if sc > 0:
+                        tp += 1
+                    else:
+                        fn += 1
+                else:
+                    if sc > 0:
+                        fp += 1
+                    else:
+                        tn += 1
+        tpr = tp / (tp + fn) if tp + fn else 0.0
+        tnr = tn / (tn + fp) if tn + fp else 0.0
+        denom = beta * beta * tnr + tpr
+        fscore = (1 + beta * beta) * tpr * tnr / denom if denom else 0.0
+        if fscore > best_f:
+            best_f, best_c = fscore, float(c)
+    return best_c * (folds - 1.0) / folds

@@ -154,3 +154,50 @@ def test_trainer_hyperparameter_surface_affects_solver():
     # eps=1.0 stops after the first epoch (mistake rate is always <= 1)
     early = train_segmenter(sents, max_iterations=6, eps=1.0)
     assert np.allclose(early[0], one_epoch[0])
+
+
+def test_relation_trainer_auto_tune_cv(trained_ner):
+    """auto_tune mirrors the reference's 6-fold CV C search
+    (binary_relation_detector_trainer.cpp:176-238): deterministic,
+    C lands inside the reference's [1/n, 1e5/n]·(5/6) bounds, skipped
+    when positives <= folds, and the tuned detector still separates the
+    planted relation."""
+    from mitie_spark.api import binary_relation_detector_trainer
+    from mitie_spark.models.relation_model import tune_relation_C
+
+    trainer = binary_relation_detector_trainer("test.born_in", trained_ner)
+    examples = []
+    for toks, ments, rels in _sentences(80, seed=21):
+        by_idx = {i: (s, e) for i, (s, e, _, _) in enumerate(ments)}
+        for si, p, oi in rels:
+            if p == "born_in":
+                trainer.add_positive_binary_relation(
+                    toks, range(*by_idx[si]), range(*by_idx[oi])
+                )
+                trainer.add_negative_binary_relation(
+                    toks, range(*by_idx[oi]), range(*by_idx[si])
+                )
+                examples.append((toks, by_idx[si], by_idx[oi], "test.born_in"))
+                examples.append((toks, by_idx[oi], by_idx[si], None))
+    assert trainer.num_positive_examples > 6
+
+    fs = trained_ner._model.fs
+    c1 = tune_relation_C(["test.born_in"], examples, fs=fs)
+    c2 = tune_relation_C(["test.born_in"], examples, fs=fs)
+    assert c1 == c2  # deterministic search
+    n = len(examples)
+    assert (1.0 / n) * (5.0 / 6.0) <= c1 <= (100000.0 / n) * (5.0 / 6.0)
+
+    # <= folds positives: the reference skips the search; so do we
+    assert tune_relation_C(["r"], examples[:10], fs=fs) is None
+
+    trainer.auto_tune = True
+    det = trainer.train()
+    scores = []
+    for toks, a1, a2, pos in examples[:40]:
+        rel = trained_ner.extract_binary_relation(
+            toks, range(*a1), range(*a2)
+        )
+        scores.append((det(rel) > 0, pos is not None))
+    acc = sum(int(p == t) for p, t in scores) / len(scores)
+    assert acc >= 0.9
