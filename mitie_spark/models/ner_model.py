@@ -533,6 +533,38 @@ def chunk_features(
     return idx[starts], sums, dense
 
 
+def score_feature_rows(rows, W_sparse, W_dense, b) -> np.ndarray:
+    """Batched multiclass scoring of feature rows [(idxs, vals, dense)] →
+    (N, K) scores: one segment-reduce per class over the concatenated
+    sparse parts + one dense matmul. THE single scoring kernel — the NER
+    chunk classifier and the relation detectors both route through here,
+    so the bit-identity invariant lives in exactly one place:
+
+    einsum, not BLAS matvec: BLAS dgemv picks N-dependent kernels
+    (measured last-ulp drift between N=1 and N=60), while einsum's
+    per-element summation order is independent of N — so batched and
+    per-item scoring stay bit-identical. Sparse parts reduce via
+    np.add.reduceat over the concatenated segments for the same reason."""
+    K = b.shape[0]
+    N = len(rows)
+    lens = np.fromiter((len(r[0]) for r in rows), np.int64, N)
+    all_idx = np.concatenate([r[0] for r in rows])
+    all_val = np.concatenate([r[1] for r in rows])
+    offs = np.zeros(N, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    S = np.empty((N, K), dtype=np.float64)
+    # float32→float64 is exact and einsum upcasts operands anyway, so the
+    # cast cannot change values — it only fixes the accumulator dtype
+    dense = np.stack([r[2] for r in rows]).astype(np.float64)
+    for k in range(K):
+        contrib = W_sparse[k, all_idx] * all_val
+        S[:, k] = np.add.reduceat(contrib, offs) + np.einsum(
+            "nd,d->n", dense, W_dense[k]
+        )
+    S += b
+    return S
+
+
 def chunk_memo_key(tokens: list[str], start: int, end: int):
     """Every chunk feature — hashed and dense — is a pure function of the
     chunk tokens plus the ≤8 context tokens on each side (context bags,
@@ -616,30 +648,12 @@ class NerModel:
         return self._to_chunks(path), X
 
     def _score_feature_rows(self, rows):
-        """Batched multiclass scoring of feature rows [(idxs, vals, dense)]
-        → (N, K) scores: one segment-reduce per class over the concatenated
-        sparse parts + one dense matmul. The single-chunk path goes through
-        here too so per-doc and batched extraction stay bit-identical."""
-        K = self.b_cls.shape[0]
-        N = len(rows)
-        lens = np.fromiter((len(r[0]) for r in rows), np.int64, N)
-        all_idx = np.concatenate([r[0] for r in rows])
-        all_val = np.concatenate([r[1] for r in rows])
-        offs = np.zeros(N, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
-        S = np.empty((N, K), dtype=np.float64)
-        dense = np.stack([r[2] for r in rows]).astype(np.float64)
-        for k in range(K):
-            contrib = self.W_cls_sparse[k, all_idx] * all_val
-            # einsum, not BLAS matvec: BLAS dgemv picks N-dependent kernels
-            # (measured last-ulp drift between N=1 and N=60), while einsum's
-            # per-element summation order is independent of N — so batched
-            # and per-doc scoring stay bit-identical
-            S[:, k] = np.add.reduceat(contrib, offs) + np.einsum(
-                "nd,d->n", dense, self.W_cls_dense[k]
-            )
-        S += self.b_cls
-        return S
+        """Batched multiclass scoring — the single-chunk path goes through
+        here too so per-doc and batched extraction stay bit-identical (see
+        ``score_feature_rows``)."""
+        return score_feature_rows(
+            rows, self.W_cls_sparse, self.W_cls_dense, self.b_cls
+        )
 
     def classify_chunk(self, tokens, X, start, end):
         row = chunk_features(tokens, X, start, end)
@@ -929,6 +943,12 @@ def train_segmenter(
     lms = loss_per_missed_segment if loss_per_missed_segment is not None else 1.0
     decay = 1.0 - 1.0 / (C * max(len(feats), 1)) if C else 1.0
     t_step = 0
+    # plateau stop: the reference's max_iterations=2000 bounds OCA
+    # cutting-plane rounds, which terminate via the duality gap; a
+    # perceptron on NON-separable data never reaches the eps mistake
+    # rate, so without this a noisy dataset runs all 2000 Viterbi
+    # epochs. 12 epochs without a new best mistake count ≈ converged.
+    best_mistakes, stale, patience = None, 0, 12
     for _ in range(n_epochs):
         order = rng.permutation(len(feats))
         mistakes = 0
@@ -956,6 +976,12 @@ def train_segmenter(
             Ta += T
         if eps is not None and feats and mistakes / len(feats) <= eps:
             break
+        if best_mistakes is None or mistakes < best_mistakes:
+            best_mistakes, stale = mistakes, 0
+        else:
+            stale += 1
+            if stale >= patience:
+                break
     return Wa / max(t_step, 1), Ta / max(t_step, 1)
 
 

@@ -181,29 +181,13 @@ class RelationModel:
         self.fingerprint = int(fingerprint)
 
     def _score_rows(self, rows) -> np.ndarray:
-        """Batched scoring of feature rows [(idxs, vals, dense)] → (N, K):
-        one segment-reduce per detector over the concatenated sparse parts
-        + one dense matmul. The single-pair path routes through here so
-        per-doc and batched extraction stay bit-identical."""
-        K = self.b.shape[0]
-        N = len(rows)
-        lens = np.fromiter((len(r[0]) for r in rows), np.int64, N)
-        all_idx = np.concatenate([r[0] for r in rows])
-        all_val = np.concatenate([r[1] for r in rows])
-        offs = np.zeros(N, dtype=np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
-        S = np.empty((N, K), dtype=np.float64)
-        dense = np.stack([r[2] for r in rows])
-        for k in range(K):
-            contrib = self.W_sparse[k, all_idx] * all_val
-            # einsum, not BLAS matvec: summation order independent of N, so
-            # batched and per-pair scoring stay bit-identical (see
-            # ner_model._score_feature_rows)
-            S[:, k] = np.add.reduceat(contrib, offs) + np.einsum(
-                "nd,d->n", dense, self.W_dense[k]
-            )
-        S += self.b
-        return S
+        """Batched scoring of feature rows [(idxs, vals, dense)] → (N, K).
+        The single-pair path routes through here so per-doc and batched
+        extraction stay bit-identical — one shared kernel with the NER
+        chunk classifier (ner_model.score_feature_rows)."""
+        from mitie_spark.models.ner_model import score_feature_rows
+
+        return score_feature_rows(rows, self.W_sparse, self.W_dense, self.b)
 
     def _features(self, tokens, X, arg1, arg2, mean_cache=None):
         """Feature hook — the dlib-backed subclass swaps in the reference's

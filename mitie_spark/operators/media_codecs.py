@@ -257,16 +257,21 @@ def _area_pool(gray: np.ndarray, out: int = 8) -> np.ndarray:
     return outv
 
 
-def image_feature(arr: np.ndarray) -> np.ndarray:
+def image_feature(arr: np.ndarray, maxval: int = 255) -> np.ndarray:
     """pixels → 64-dim: ITU-R 601 luma → 8×8 area-average pool → /255
-    (mirrors the PIL decoder's convert('L').resize((8, 8)) layout)."""
+    (mirrors the PIL decoder's convert('L').resize((8, 8)) layout).
+    ``maxval`` is the sample range from the container header (PNM maxval;
+    255 for BMP/PIL) — scaling by the header, not a data-dependent
+    max()>255 probe, keeps features consistent: a 16-bit image whose
+    pixels happen to stay ≤255 must not be treated as 8-bit, and a
+    maxval-1023 image must not be scaled as if it were 65535."""
     a = np.asarray(arr, dtype=np.float64)
     if a.ndim == 3:
         gray = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
     else:
         gray = a
-    if gray.size and gray.max() > 255:
-        gray = gray / 257.0  # 16-bit → 8-bit scale
+    if maxval != 255:
+        gray = gray * (255.0 / maxval)
     return (_area_pool(gray, 8).reshape(FEATURE_DIM) / 255.0).astype(np.float32)
 
 
@@ -292,7 +297,8 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
         if kind == "bmp":
             return image_feature(decode_bmp(payload))
         if kind == "pnm":
-            return image_feature(decode_pnm(payload))
+            maxval = _pnm_header(payload)[3]
+            return image_feature(decode_pnm(payload), maxval=maxval)
         if kind == "wav":
             return audio_feature(decode_wav(payload)[0])
     except UnsupportedMediaError:

@@ -112,6 +112,13 @@ def decode_image(
             f"{e}; compressed formats need PIL/opencv or an injected "
             "decoder — pass deterministic_fake=True for the seeded stand-in"
         ) from e
+    except Exception:
+        # a corrupt payload (truncated PNG handed to PIL, malformed header
+        # in an injected decoder, ...) must degrade per-payload, not kill
+        # a corpus-scale task — same invariant the built-in codecs honor
+        if deterministic_fake:
+            return fake_decode(payload)
+        raise
 
 
 def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:

@@ -383,6 +383,22 @@ def domain_mixture_sample(spark, sf_dir):
 
 _BPE_MERGES = 30
 
+# session-keyed learned merge tables: bpe_merges and bpe_token_counts share
+# one training run per (session, sf_dir) instead of re-paying the corpus
+# groupBy + 30 sequential pair-count rounds (same memo pattern as
+# queries_pipeline._TOKS_CACHE)
+_MERGES_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges_cached(spark, sf_dir: str) -> list:
+    from mitie_spark.operators.bpe import train_bpe
+
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _MERGES_CACHE:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        _MERGES_CACHE[key] = train_bpe(docs, n_merges=_BPE_MERGES, min_freq=2)
+    return _MERGES_CACHE[key]
+
 
 @query("bpe_merges")
 def bpe_merges(spark, sf_dir):
@@ -393,10 +409,7 @@ def bpe_merges(spark, sf_dir):
     groupBy(word); the merge loop sees only the vocabulary."""
     import pandas as pd
 
-    from mitie_spark.operators.bpe import train_bpe
-
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    merges = train_bpe(docs, n_merges=_BPE_MERGES, min_freq=2)
+    merges = _bpe_merges_cached(spark, sf_dir)
     pdf = pd.DataFrame(
         {
             "rank": range(len(merges)),
@@ -412,8 +425,8 @@ def bpe_token_counts(spark, sf_dir):
     """Tokenize the corpus with the learned merges → per-doc BPE token
     counts (rows-only: depends on the iterative merge table). The merge
     table broadcasts in the UDF closure; the corpus never shuffles."""
-    from mitie_spark.operators.bpe import bpe_tokenize, train_bpe
+    from mitie_spark.operators.bpe import bpe_tokenize
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    merges = train_bpe(docs, n_merges=_BPE_MERGES, min_freq=2)
+    merges = _bpe_merges_cached(spark, sf_dir)
     return bpe_tokenize(docs, merges).orderBy("doc_id")

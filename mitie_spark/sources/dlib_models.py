@@ -777,6 +777,11 @@ class DlibTotalWordFeatureExtractor:
         if (
             int(ss["mask"]) != _morph._MASK
             or int(ss["mask_bits"]) != _morph._MASK_BITS
+            # init_hash is honored by the C++ reader (only the constructor
+            # defaults it); the port hardcodes _INIT_HASH, so a file with a
+            # different seed must fail fast, not silently mis-hash every
+            # morph substring lookup
+            or int(ss["init_hash"]) != _morph._INIT_HASH
         ):
             raise ValueError("substring-set geometry mismatch vs the port")
         if not np.array_equal(

@@ -86,3 +86,22 @@ def test_train_bpe_probe_path_and_tokenize(spark):
     exp0 = sum(len(bpe_encode_word(w, ranks)) for w in texts[0].split())
     assert out[0]["n_bpe_tokens"] == exp0
     assert out[2]["n_bpe_tokens"] == 0
+
+
+def test_local_vs_distributed_equivalence_non_bmp(spark):
+    """Astral-plane symbols (surrogate pairs in the JVM): the distributed
+    split(word, '') must produce code POINTS like the local list(w) —
+    verified here because Java's Pattern.split is code-point-aware; a
+    UTF-16-unit split would emit lone surrogate halves and diverge."""
+    texts = [
+        "x😀y x😀y x😀y x😀y 𝕊ab 𝕊ab 𝕊ab",
+        "😀😀 😀😀 😀😀 日本語𝕊 日本語𝕊",
+    ]
+    docs = _docs_df(spark, texts)
+    wc = word_counts(docs)
+    local = train_bpe_local(
+        [(r["word"], r["cnt"]) for r in wc.collect()], n_merges=6, min_freq=2
+    )
+    dist = _train_bpe_distributed(wc, n_merges=6, min_freq=2)
+    assert dist == local
+    assert any("😀" in a or "😀" in b for a, b in local)  # emoji really merged

@@ -227,3 +227,42 @@ def test_malformed_payloads_degrade_to_unsupported():
     for payload in bad:
         with pytest.raises(UnsupportedMediaError):
             builtin_decoder(payload)
+
+
+def test_image_feature_scales_by_header_maxval_not_data_probe():
+    from mitie_spark.operators.media_codecs import builtin_decoder
+
+    rng = np.random.default_rng(7)
+    scene8 = rng.integers(0, 200, size=(16, 16), dtype=np.uint8)
+    p8 = encode_pnm(scene8)
+    # the same scene as 16-bit (maxval 65535, samples * 257) must produce
+    # the same features — including when every 16-bit sample stays <= 255
+    # (the old max()>255 probe treated that image as 8-bit)
+    scene16 = (scene8.astype(np.uint16) * 257).astype(">u2")
+    p16 = b"P5\n16 16\n65535\n" + scene16.tobytes()
+    f8, f16 = builtin_decoder(p8), builtin_decoder(p16)
+    assert np.allclose(f8, f16, atol=1e-6)
+    dark16 = (scene8.astype(np.uint16)).astype(">u2")  # all samples <= 255
+    fdark = builtin_decoder(b"P5\n16 16\n65535\n" + dark16.tobytes())
+    assert fdark.max() < f8.max() / 100  # near-black, not 8-bit-bright
+    # non-65535 maxval scales by ITS header value
+    scene10 = (scene8.astype(np.uint16) * (1023 // 255)).astype(">u2")
+    f10 = builtin_decoder(b"P5\n16 16\n1023\n" + scene10.tobytes())
+    assert np.allclose(f8, f10, rtol=0.01, atol=1e-4)
+
+
+def test_decode_image_corrupt_payload_degrades_to_fake():
+    from mitie_spark.operators.multimodal import decode_image, fake_decode
+
+    def exploding_decoder(payload: bytes):
+        raise OSError("cannot identify image file")  # PIL-style failure
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8  # truncated PNG
+    out = decode_image(
+        corrupt, deterministic_fake=True, decoder=exploding_decoder
+    )
+    assert np.array_equal(out, fake_decode(corrupt))
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        decode_image(corrupt, deterministic_fake=False, decoder=exploding_decoder)

@@ -232,3 +232,22 @@ def test_prefix_suffix_sign_extension():
     )
     # pure ASCII unchanged
     assert prefix("abc", 7) == murmur_hash3_128_u32x4(97, 98, 99, 7)
+
+
+def test_train_segmenter_plateau_stop_on_nonseparable():
+    """max_iterations maps the reference's 2000 OCA rounds onto perceptron
+    epochs; on NON-separable labels the eps mistake-rate stop never fires,
+    so the plateau stop must bound the run (it used to spin all 2000
+    Viterbi epochs)."""
+    import time
+
+    from mitie_spark.models.ner_model import train_segmenter
+
+    sents = []
+    for i in range(30):
+        toks = ["alpha", "beta", "gamma", "delta"]
+        sents.append((toks, [(1, 3)] if i % 2 == 0 else []))
+    t = time.time()
+    W, T = train_segmenter(sents, max_iterations=2000, eps=0.01)
+    assert time.time() - t < 5.0  # ~0.02s with the stop; seconds without
+    assert W.shape[0] in (3, 5) and T.shape[0] == W.shape[0]
