@@ -554,8 +554,11 @@ def score_feature_rows(rows, W_sparse, W_dense, b) -> np.ndarray:
     np.cumsum(lens[:-1], out=offs[1:])
     S = np.empty((N, K), dtype=np.float64)
     # float32→float64 is exact and einsum upcasts operands anyway, so the
-    # cast cannot change values — it only fixes the accumulator dtype
-    dense = np.stack([r[2] for r in rows]).astype(np.float64)
+    # cast cannot change values — it only fixes the accumulator dtype.
+    # copy=False: the relation path stacks already-float64 rows, and a
+    # second full copy of the (N, 2d) block per Arrow batch is the kind
+    # of fresh-buffer traffic this host pays ~15 MB/s for
+    dense = np.stack([r[2] for r in rows]).astype(np.float64, copy=False)
     for k in range(K):
         contrib = W_sparse[k, all_idx] * all_val
         S[:, k] = np.add.reduceat(contrib, offs) + np.einsum(
@@ -943,11 +946,13 @@ def train_segmenter(
     lms = loss_per_missed_segment if loss_per_missed_segment is not None else 1.0
     decay = 1.0 - 1.0 / (C * max(len(feats), 1)) if C else 1.0
     t_step = 0
-    # plateau stop: the reference's max_iterations=2000 bounds OCA
-    # cutting-plane rounds, which terminate via the duality gap; a
-    # perceptron on NON-separable data never reaches the eps mistake
-    # rate, so without this a noisy dataset runs all 2000 Viterbi
-    # epochs. 12 epochs without a new best mistake count ≈ converged.
+    # plateau stop (only with an eps convergence target): the reference's
+    # max_iterations=2000 bounds OCA cutting-plane rounds, which terminate
+    # via the duality gap; a perceptron on NON-separable data never
+    # reaches the eps mistake rate, so without this a noisy dataset runs
+    # all 2000 Viterbi epochs. 12 epochs without a new best mistake count
+    # ≈ converged. eps=None means the caller asked for an exact epoch
+    # count — honor it (the committed artifacts train that way).
     best_mistakes, stale, patience = None, 0, 12
     for _ in range(n_epochs):
         order = rng.permutation(len(feats))
@@ -976,12 +981,13 @@ def train_segmenter(
             Ta += T
         if eps is not None and feats and mistakes / len(feats) <= eps:
             break
-        if best_mistakes is None or mistakes < best_mistakes:
-            best_mistakes, stale = mistakes, 0
-        else:
-            stale += 1
-            if stale >= patience:
-                break
+        if eps is not None:
+            if best_mistakes is None or mistakes < best_mistakes:
+                best_mistakes, stale = mistakes, 0
+            else:
+                stale += 1
+                if stale >= patience:
+                    break
     return Wa / max(t_step, 1), Ta / max(t_step, 1)
 
 

@@ -139,16 +139,22 @@ def _pnm_header(payload: bytes):
             raise UnsupportedMediaError("truncated PNM header")
         vals.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
+    if not 1 <= vals[2] <= 65535:
+        # the spec range; maxval=0 would divide-by-zero the feature scale
+        # and negative values sign-flip it — malformed web-scale payloads
+        # must degrade via UnsupportedMediaError, not crash the task
+        raise UnsupportedMediaError(f"PNM maxval {vals[2]} out of range")
     return payload[:2], vals[0], vals[1], vals[2], pos
 
 
-def decode_pnm(payload: bytes) -> np.ndarray:
+def decode_pnm(payload: bytes, header=None) -> np.ndarray:
     """P5 → (H, W) uint8/uint16; P6 → (H, W, 3). 16-bit samples are
-    big-endian per the spec."""
+    big-endian per the spec. ``header``: an already-parsed _pnm_header
+    tuple, so callers that need the maxval themselves parse once."""
     magic = payload[:2]
     if magic not in (b"P5", b"P6"):
         raise UnsupportedMediaError("not a binary PNM payload")
-    magic, W, H, maxval, off = _pnm_header(payload)
+    magic, W, H, maxval, off = header or _pnm_header(payload)
     if W <= 0 or H <= 0:
         raise UnsupportedMediaError("empty PNM")
     ch = 3 if magic == b"P6" else 1
@@ -297,8 +303,10 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
         if kind == "bmp":
             return image_feature(decode_bmp(payload))
         if kind == "pnm":
-            maxval = _pnm_header(payload)[3]
-            return image_feature(decode_pnm(payload), maxval=maxval)
+            header = _pnm_header(payload)
+            return image_feature(
+                decode_pnm(payload, header=header), maxval=header[3]
+            )
         if kind == "wav":
             return audio_feature(decode_wav(payload)[0])
     except UnsupportedMediaError:

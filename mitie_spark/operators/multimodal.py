@@ -162,6 +162,15 @@ def extract_features(
                             "no decoder for this payload format "
                             "(see decode_image)"
                         )
+                except Exception:
+                    # corrupt payload inside a supported format (truncated
+                    # PNG handed to PIL, malformed header in an injected
+                    # decoder): degrade per-payload — one bad blob must not
+                    # kill a corpus-scale task
+                    if deterministic_fake:
+                        v = fake_decode(b)
+                    else:
+                        raise
                 feats.append(np.asarray(v, dtype=np.float32).tolist())
                 hashes.append(hashlib.md5(b).hexdigest())
             yield pd.DataFrame(

@@ -202,3 +202,50 @@ def test_multimodal_real_decoder_seam(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media, deterministic_fake=False).collect()
     assert "decoder" in str(ei.value) or "NotImplemented" in str(ei.value)
+
+
+def test_multimodal_corrupt_payload_degrades_in_stage(spark):
+    """extract_features (the corpus-scale path) must degrade per-payload
+    to the seeded fake when an INJECTED decoder raises a non-
+    UnsupportedMediaError (PIL-style OSError on a truncated PNG) — one
+    bad blob must not kill the task; without deterministic_fake the
+    stage fails loudly."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from mitie_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        fake_decode,
+    )
+
+    good = np.zeros(FEATURE_DIM, dtype=np.float32)
+
+    def decoder(payload: bytes):
+        if payload.startswith(b"\x89PNG"):
+            raise OSError("cannot identify image file")  # PIL-style
+        return good
+
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"\x00" * 4
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["image", "image"],
+                "payload": [b"fine-bytes", corrupt],
+            }
+        )
+    )
+    rows = {
+        r.media_id: r.feature
+        for r in extract_features(
+            media, deterministic_fake=True, decoder=decoder
+        ).collect()
+    }
+    assert rows[1] == good.tolist()
+    assert np.allclose(rows[2], fake_decode(corrupt))
+    with pytest.raises(Exception):
+        extract_features(
+            media, deterministic_fake=False, decoder=decoder
+        ).collect()
