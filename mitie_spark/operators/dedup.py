@@ -206,9 +206,20 @@ def near_duplicates_simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Pigeonhole blocking: 4 × 16-bit chunks — hamming ≤ 3 guarantees an
-    equal chunk; verify with popcount on candidate pairs."""
+    equal chunk; verify with popcount on candidate pairs.
+
+    ``max_bucket`` drops degenerate chunk buckets (same role it plays in
+    the MinHash path): a boilerplate cluster — e.g. every empty/template
+    doc simhashes to the same biased bit pattern — would otherwise share
+    all 4 chunk keys and turn the self-join quadratic (100k collided docs
+    → ~2·10^10 join rows). Members of a dropped bucket still pair through
+    their other, non-degenerate chunks; only pairs ALL of whose shared
+    chunks are boilerplate-sized are lost, and a 10k-deep bucket is
+    near-certainly one duplicate cluster that exact dedup already
+    collapses."""
     sig = simhash_signatures(df, id_col, text_col).persist()
     chunks = sig.select(
         "id",
@@ -227,6 +238,10 @@ def near_duplicates_simhash(
             )
         ).alias("c"),
     ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    counts = chunks.groupBy("ci", "cv").agg(F.count("*").alias("bsz"))
+    chunks = chunks.join(
+        counts.filter(F.col("bsz") <= max_bucket), ["ci", "cv"]
+    ).select("id", "simhash", "ci", "cv")
     l = chunks.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
     )
@@ -291,15 +306,24 @@ def token_ngram_jaccard(
             F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
         ).alias("toks"),
     ).filter(F.size("toks") >= n)
-    grams = toks.select(
-        "id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("grams"),
-    ).filter(F.size("grams") > 0)
+    grams = (
+        toks.select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                )
+            ).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        # the gram build (tokenize + interpreted transform) dominates this
+        # operator's cost and is referenced 3-4× downstream (inv + verify
+        # sides / sizes); persist so one plan computes it once. Stays
+        # cached past return — the result is lazy and reads it at collect
+        # time; Spark's ContextCleaner reclaims it when unreferenced.
+        .persist()
+    )
     inv = grams.select("id", F.explode("grams").alias("g"))
 
     if threshold >= 0.5:

@@ -170,8 +170,13 @@ def link_mentions(
 
 def canonical_components(alias_dict: DataFrame) -> DataFrame:
     """Connected components over the alias graph: aliases sharing a
-    canonical_id collapse into one component (id = min canonical_id string).
-    → (canonical_id, component)."""
+    canonical_id collapse into one component. → (canonical_id, component).
+
+    The component label is the min VERTEX string of the component — with
+    the 'a:'/'c:' vertex prefixes that is almost always an 'a:'-prefixed
+    alias label, NOT a canonical_id: treat it as an opaque group key
+    (stable and deterministic), never join it back against the alias
+    dict's canonical_id column."""
     edges = alias_dict.select(
         F.concat(F.lit("a:"), "alias").alias("src"),
         F.concat(F.lit("c:"), "canonical_id").alias("dst"),

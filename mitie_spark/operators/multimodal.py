@@ -3,11 +3,13 @@
 Treats image/audio/video as ``binary`` columns with a metadata struct,
 exactly as the pages table treats ``html``. The Spark-side plumbing —
 schemas, Arrow batch shapes, partition sizing for large blobs, UDF
-signatures — is real and tested; the actual decode step is a clearly-marked
-stub (the decode libraries are not available in this container): decoding
-raises ``NotImplementedError`` unless ``deterministic_fake=True``, which
-produces a seeded fake feature vector derived from the payload bytes so
-downstream operators (similarity, dedup) can be exercised end-to-end.
+signatures — is real and tested. Decode is REAL for raw-container formats
+(BMP/PGM/PPM/WAV via the pure-NumPy codecs in operators/media_codecs.py)
+and for anything an injected decoder or PIL handles; compressed formats
+without a decoder raise ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces a seeded fake feature vector
+derived from the payload bytes so downstream operators (similarity, dedup)
+are exercised end-to-end either way.
 """
 
 from __future__ import annotations
@@ -26,7 +28,10 @@ MEDIA_SCHEMA = (
     "meta:struct<mime:string,width:int,height:int,duration_ms:int>"
 )
 
-FEATURE_DIM = 64
+# single source of truth for the feature width — the built-in codecs pool
+# to this same shape, and mixed widths inside one extract_features run
+# would make downstream np.stack/cosine stages crash on ragged arrays
+from mitie_spark.operators.media_codecs import FEATURE_DIM  # noqa: F401
 
 
 def pil_image_decoder():
@@ -93,16 +98,15 @@ def fake_decode(payload: bytes) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
-def decode_image(
-    payload: bytes, deterministic_fake: bool = False, decoder=None
-) -> np.ndarray:
-    """Decode one payload to a FEATURE_DIM vector. Resolution: injected →
-    PIL → built-in NumPy codecs (BMP/PNM/WAV decode for real); an
-    unsupported compressed format falls to the seeded fake (when
-    ``deterministic_fake``) or raises NotImplementedError."""
+def _decode_with_policy(fn, payload: bytes, deterministic_fake: bool):
+    """THE per-payload fallback policy (single-payload decode_image and the
+    corpus-scale extract_features loop both route through here): an
+    unsupported format or a corrupt payload (truncated PNG handed to PIL,
+    malformed header in an injected decoder, ...) degrades to the seeded
+    fake when ``deterministic_fake`` — one bad blob must not kill a
+    corpus-scale task — and fails loudly otherwise."""
     from mitie_spark.operators.media_codecs import UnsupportedMediaError
 
-    fn = resolve_decoder(decoder)
     try:
         return fn(payload)
     except UnsupportedMediaError as e:
@@ -113,12 +117,21 @@ def decode_image(
             "decoder — pass deterministic_fake=True for the seeded stand-in"
         ) from e
     except Exception:
-        # a corrupt payload (truncated PNG handed to PIL, malformed header
-        # in an injected decoder, ...) must degrade per-payload, not kill
-        # a corpus-scale task — same invariant the built-in codecs honor
         if deterministic_fake:
             return fake_decode(payload)
         raise
+
+
+def decode_image(
+    payload: bytes, deterministic_fake: bool = False, decoder=None
+) -> np.ndarray:
+    """Decode one payload to a FEATURE_DIM vector. Resolution: injected →
+    PIL → built-in NumPy codecs (BMP/PNM/WAV decode for real); an
+    unsupported compressed format falls to the seeded fake (when
+    ``deterministic_fake``) or raises NotImplementedError."""
+    return _decode_with_policy(
+        resolve_decoder(decoder), payload, deterministic_fake
+    )
 
 
 def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:
@@ -145,32 +158,12 @@ def extract_features(
     def run(batches):
         # resolve once per task, not per payload (the PIL import-try runs
         # on the worker, where decode-library presence actually matters)
-        from mitie_spark.operators.media_codecs import UnsupportedMediaError
-
         fn = resolve_decoder(decoder)
         for pdf in batches:
             feats, hashes = [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    v = fn(b)
-                except UnsupportedMediaError:
-                    if deterministic_fake:
-                        v = fake_decode(b)
-                    else:
-                        raise NotImplementedError(
-                            "no decoder for this payload format "
-                            "(see decode_image)"
-                        )
-                except Exception:
-                    # corrupt payload inside a supported format (truncated
-                    # PNG handed to PIL, malformed header in an injected
-                    # decoder): degrade per-payload — one bad blob must not
-                    # kill a corpus-scale task
-                    if deterministic_fake:
-                        v = fake_decode(b)
-                    else:
-                        raise
+                v = _decode_with_policy(fn, b, deterministic_fake)
                 feats.append(np.asarray(v, dtype=np.float32).tolist())
                 hashes.append(hashlib.md5(b).hexdigest())
             yield pd.DataFrame(

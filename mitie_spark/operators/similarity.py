@@ -57,8 +57,13 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> DataFrame:
-    """→ (qid, cid, cos, rk) — exact top-k by cosine, vec_id tie-break."""
+    """→ (qid, cid, cos, rk) — exact top-k by cosine, vec_id tie-break.
+    Norms are hoisted to one fold per row (not per pair): same values,
+    two thirds fewer interpreted folds on the Q×N product.
+    ``round_decimals``: round cos BEFORE ranking (the oracle-gated query
+    ranks on rounded values so the value hash is libm-stable)."""
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
@@ -69,11 +74,10 @@ def brute_force_topk(
         F.col(vec_col).alias("ce"),
         _norm(vec_col).alias("cn"),
     )
-    scored = c.join(F.broadcast(q)).select(
-        "qid",
-        "cid",
-        (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
-    )
+    cos = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    if round_decimals is not None:
+        cos = F.round(cos, round_decimals)
+    scored = c.join(F.broadcast(q)).select("qid", "cid", cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
         scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
@@ -126,11 +130,16 @@ def train_centroids(
 def assign_cells(
     df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Add a `cell` column: index of the nearest centroid (batched NumPy)."""
+    """Add a `cell` column: index of the nearest centroid (batched NumPy).
+    Null embeddings are dropped (a null row would make np.stack ragged and
+    kill the task; a vector-less row cannot be assigned a cell anyway)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     cents = centroids.astype(np.float64)
 
     @F.pandas_udf("int")
     def cell_udf(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # Arrow can hand a UDF an empty batch
+            return pd.Series([], dtype="int32")
         M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
         # nearest by euclidean distance: argmin ||x||² - 2x·c + ||c||²
         d = (M * M).sum(1)[:, None] - 2 * M @ cents.T + (cents * cents).sum(1)[None, :]
@@ -149,6 +158,7 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN: search only the nprobe nearest cells per query."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
     cents = train_centroids(candidates, n_cells=n_cells, vec_col=vec_col)
     c = assign_cells(candidates, cents, vec_col=vec_col).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), "cell"
@@ -158,6 +168,8 @@ def ivf_topk(
 
     @F.pandas_udf("array<int>")
     def probe_udf(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="object")
         M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
         d = (
             (M * M).sum(1)[:, None]
@@ -222,6 +234,8 @@ def cosine_near_duplicates(
 
     @F.pandas_udf("array<long>")
     def band_udf(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="object")
         M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
         if shift is not None:
             M = M - shift
@@ -242,7 +256,7 @@ def cosine_near_duplicates(
         return pd.Series(out)
 
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sig = df.select(
+    sig = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode(band_udf(F.col(vec_col))).alias("bucket"),
     )

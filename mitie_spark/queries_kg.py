@@ -324,27 +324,43 @@ def ngram_jaccard_pairs(spark, sf_dir):
 def doc_fingerprints(spark, sf_dir):
     """Winnowing-style document fingerprints: 5-gram hashes, deterministic
     1/8 selection by hash prefix (rolling-hash fingerprinting analog —
-    reference precedent: substring hashing in approximate_substring_set)."""
+    reference precedent: substring hashing in approximate_substring_set).
+
+    One Arrow pass (hashlib md5 per gram) instead of an interpreted
+    F.transform gram build — same no-interpreted-HOFs-in-hot-paths rule
+    as the minhash bander, and the same bit-exact md5-of-UTF-8 contract
+    the oracle replicates. Only the 1-in-8 selected rows leave the UDF."""
+    import hashlib
+
+    import pandas as pd
+
     from mitie_spark.session import by_compute, load_tables
 
     docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
-    toks = docs.select(
-        "doc_id",
-        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("l"),
-    )
-    grams = toks.filter(F.size("l") >= 5).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("l") - 4),
-                lambda i: F.concat_ws(" ", F.slice("l", i, 5)),
+
+    def fp(batches):
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                l = [t for t in (text or "").lower().split(" ") if t]
+                if len(l) < 5:
+                    continue
+                join = " ".join
+                for i in range(len(l) - 4):
+                    h = hashlib.md5(
+                        join(l[i : i + 5]).encode("utf-8")
+                    ).hexdigest()
+                    if h[0] in "01":
+                        ids.append(doc_id)
+                        poss.append(i)
+                        fps.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "pos": poss, "fingerprint": fps}
             )
-        ).alias("pos", "g"),
-    )
+
     return (
-        grams.withColumn("fingerprint", F.md5("g"))
-        .filter(F.substring("fingerprint", 1, 1).isin("0", "1"))
-        .select("doc_id", "pos", "fingerprint")
+        docs.select("doc_id", "text")
+        .mapInPandas(fp, schema="doc_id:bigint,pos:int,fingerprint:string")
         .orderBy("doc_id", "pos")
     )
 
@@ -390,35 +406,40 @@ def doc_quality(spark, sf_dir):
         F.round(
             F.size(F.filter("l", lambda t: t.isin(*_STOP))) / n, 4
         ).alias("stop_ratio"),
-        F.round(
-            F.aggregate(
-                "l", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-            )
-            / n,
-            4,
-        ).alias("mean_tok_len"),
+        # sum of token lengths == chars of the separator-less concat:
+        # whole-stage-codegen'd, replacing an interpreted F.aggregate fold
+        # (integer math, so the value is exactly the oracle's list_sum)
+        F.round(F.length(F.concat_ws("", "l")) / n, 4).alias("mean_tok_len"),
         F.size(F.array_distinct("l")).alias("n_unique"),
     ).orderBy("doc_id")
 
 
 @query(
     "token_counts_regex",
-    """
+    r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS n_bpe_tokens,
            len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
     FROM documents ORDER BY doc_id
     """,
 )
 def token_counts_regex(spark, sf_dir):
-    """BPE-ish regex token counting, JVM-side regexp_extract_all."""
+    """BPE-ish regex token counting, JVM-side regexp_extract_all.
+
+    The whitespace class is spelled out explicitly on BOTH sides instead
+    of \\s: Java regex counts \\x0B (vertical tab) as \\s while DuckDB's
+    RE2 does not — a VT in any document would flip one engine's token
+    count and go red on the value hash."""
     from mitie_spark.session import by_compute, load_tables
 
     docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
     return docs.select(
         "doc_id",
         F.size(
-            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+            F.expr(
+                r"regexp_extract_all(text,"
+                r" '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]', 0)"
+            )
         ).alias("n_bpe_tokens"),
         F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias(
             "n_numbers"
@@ -460,35 +481,20 @@ _TOP_K = 10
 )
 def embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline): broadcast the query set,
-    score all candidates in one narrow pass, rank per query."""
+    score all candidates in one narrow pass, rank per query — the canonical
+    operator (operators/similarity.brute_force_topk), ranking on
+    4-decimal-rounded cos to match the oracle."""
     from mitie_spark.session import load_tables
 
-    from mitie_spark.operators.similarity import _dot, _norm
+    from mitie_spark.operators.similarity import brute_force_topk
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    # norms hoisted to one fold per row (not per pair) — same values,
-    # two thirds fewer interpreted folds on the Q×N product
-    q = emb.filter(F.col("vec_id") < _COS_Q).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        _norm("embedding").alias("qn"),
-    )
-    c = emb.filter(F.col("vec_id") >= _COS_Q).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        _norm("embedding").alias("cn"),
-    )
-    scored = c.join(F.broadcast(q)).select(
-        "qid",
-        "cid",
-        F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 4).alias("cos"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOP_K)
-        .orderBy("qid", "rk")
-    )
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") >= _COS_Q),
+        emb.filter(F.col("vec_id") < _COS_Q),
+        k=_TOP_K,
+        round_decimals=4,
+    ).orderBy("qid", "rk")
 
 
 @query(
