@@ -32,7 +32,7 @@ EXTRACTOR_VERSION = 1
 # $ fallback, a truncated "<script>var x=..." page would leak its whole
 # script body into the extracted text
 _DROP = re.compile(
-    r"<(script|style|noscript)\b[^>]*>.*?(</\1\b[^>]*>|\Z)|<!--.*?-->",
+    r"<(script|style|noscript)\b[^>]*>.*?(</\1\b[^>]*>|\Z)|<!--.*?(-->|\Z)",
     re.IGNORECASE | re.DOTALL,
 )
 _BR = re.compile(r"<br\s*/?>", re.IGNORECASE)

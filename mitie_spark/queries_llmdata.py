@@ -393,7 +393,9 @@ _MERGES_CACHE: dict[str, list] = {}
 def _bpe_merges_cached(spark, sf_dir: str) -> list:
     from mitie_spark.operators.bpe import train_bpe
 
-    key = f"{id(spark)}:{sf_dir}"
+    # applicationId, not id(spark): a stopped session's freed address
+    # can be reused by CPython (see queries_kg._KG_CACHE)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _MERGES_CACHE:
         docs = load_tables(spark, sf_dir, ["documents"])["documents"]
         _MERGES_CACHE[key] = train_bpe(docs, n_merges=_BPE_MERGES, min_freq=2)

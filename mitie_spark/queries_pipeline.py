@@ -158,35 +158,41 @@ _BENCH_SQL = ", ".join(f"('{g}')" for g in _BENCH_BIGRAMS)
 )
 def contamination_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: how many documents contain each bigram
-    of a (broadcast) benchmark set. The benchmark side is tiny and the doc
-    side exploded to distinct bigrams — at scale this is an inverted-index
-    probe with the benchmark list broadcast, so no shuffle of the corpus."""
+    of a benchmark set. The probe runs INSIDE one Arrow pass — the bench
+    set is a closure-captured Python set (broadcast-equivalent), each doc
+    emits only its distinct bench hits, and the corpus never explodes to
+    a bigram table (the previous interpreted F.transform gram build was
+    the no-HOFs-in-hot-paths violation; string semantics unchanged:
+    single-space split + lower on both engines)."""
     import pandas as pd
 
     from mitie_spark.session import by_compute
 
     docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
-    l = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-    toks = docs.select("doc_id", l.alias("l")).filter(F.size("l") >= 2)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("l") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("l", i), F.element_at("l", i + 1)
-                ),
-            )
-        ).alias("g"),
-    )
+    bench_set = frozenset(_BENCH_BIGRAMS)
+
+    def probe(batches):
+        for pdf in batches:
+            ids, gs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                l = [t for t in (text or "").lower().split(" ") if t]
+                seen = set()
+                for a, b in zip(l, l[1:]):
+                    g = a + " " + b
+                    if g in bench_set and g not in seen:
+                        seen.add(g)
+                        ids.append(doc_id)
+                        gs.append(g)
+            yield pd.DataFrame({"doc_id": ids, "g": gs})
+
     bench = spark.createDataFrame(
         pd.DataFrame({"g": list(_BENCH_BIGRAMS)}), "g string"
     )
-    # inner broadcast-hash probe first (only bench bigrams survive the map
-    # side — no corpus-wide distinct/shuffle), then a 4-row outer join
-    # restores zero counts
+    # per-doc hits only leave the UDF; then a 4-row outer join restores
+    # zero counts
     hits = (
-        grams.join(F.broadcast(bench), "g")
+        docs.select("doc_id", "text")
+        .mapInPandas(probe, schema="doc_id:bigint,g:string")
         .groupBy("g")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
     )
@@ -300,7 +306,9 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is stable across libm/summation-order differences."""
     from mitie_spark.session import by_compute
 
-    key = f"{id(spark)}:{sf_dir}"
+    # applicationId, not id(spark): a stopped session's freed address
+    # can be reused by CPython (see queries_kg._KG_CACHE)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _TOKS_CACHE:
         docs = by_compute(
             load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -345,12 +353,18 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_size >= 20
-      AND l.l_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      AND NOT EXISTS (
+        SELECT 1 FROM supplier s
+        WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey
       )
     GROUP BY p.p_brand, p.p_type
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
     """,
+    # NOT EXISTS, not NOT IN, in the ORACLE (CLAUDE.md parity trap): one
+    # NULL s_suppkey in the blacklist would turn NOT IN into an empty
+    # result (three-valued logic) while the Spark anti join keeps rows.
+    # The Spark side still demonstrates the Q16 NOT-IN shape as a
+    # null-tolerant broadcast LEFT ANTI join.
 )
 def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: count distinct suppliers per (brand, type) for

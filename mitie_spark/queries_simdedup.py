@@ -234,6 +234,7 @@ def _char_shingle_jaccard_udf():
 
 _PAIRS_CACHE: dict[str, DataFrame] = {}
 _CAND_CACHE: dict[str, DataFrame] = {}
+_VEC_CACHE: dict[str, DataFrame] = {}  # count-vector frames (LSH near-dup)
 
 
 def _cand_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,14 +588,36 @@ def dedup_embedding_cosine(spark, sf_dir):
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    vecs = _doc_count_vectors(docs.join(cand_ids, "doc_id", "left_semi"))
+    # norm hoisted to ONE fold per row (CLAUDE.md: the sequential folds
+    # stay for oracle bit-exactness, but a doc in k candidate pairs must
+    # not pay k redundant norm folds — same value, computed once)
+    vecs = _doc_count_vectors(
+        docs.join(cand_ids, "doc_id", "left_semi")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
     out = (
         cand.join(
-            vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")),
+            vecs.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")),
+            vecs.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
             "id_b",
         )
         .select(
@@ -606,22 +629,7 @@ def dedup_embedding_cosine(spark, sf_dir):
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 )
-                / (
-                    F.sqrt(
-                        F.aggregate(
-                            F.transform("va", lambda x: x * x),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        )
-                    )
-                    * F.sqrt(
-                        F.aggregate(
-                            F.transform("vb", lambda x: x * x),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        )
-                    )
-                )
+                / (F.col("na") * F.col("nb"))
             ).alias("cos"),
         )
         .filter(F.col("cos") >= _COS_T)
@@ -869,10 +877,14 @@ def asof_purchase_before_click(spark, sf_dir):
         ),
     )
     # purchases sort before clicks at equal ts so an equal-time purchase is
-    # visible to the click (ASOF's c.ts >= p.ts includes equality)
+    # visible to the click (ASOF's c.ts >= p.ts includes equality); the
+    # event_id tiebreaker pins which of two SAME-ts purchases wins —
+    # without it F.last returns a shuffle-layout-dependent row (DuckDB's
+    # ASOF picks one arbitrarily too, but Spark's side must at least be
+    # deterministic across re-runs)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", (F.col("event_type") == "click").cast("int"))
+        .orderBy("ts", (F.col("event_type") == "click").cast("int"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = both.withColumn(
@@ -918,10 +930,15 @@ def embedding_near_duplicates(spark, sf_dir):
 
     from mitie_spark.session import by_compute
 
-    # persisted: the operator references the vectors four times (both sides
-    # of the bucket self-join + both sides of the verify join), and the
-    # md5-per-token count-vector pass is the expensive upstream
-    vecs = _doc_count_vectors(by_compute(docs)).persist()
+    # persisted AND session-cached (like _CAND_CACHE): the operator
+    # references the vectors four times (both sides of the bucket
+    # self-join + both sides of the verify join), the md5-per-token
+    # count-vector pass is the expensive upstream, and a fresh persist
+    # per invocation would accumulate corpus-sized cached copies
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _VEC_CACHE:
+        _VEC_CACHE[key] = _doc_count_vectors(by_compute(docs)).persist()
+    vecs = _VEC_CACHE[key]
     # center the projections on an approximate data mean (deterministic
     # doc_id sample): count vectors are all-positive, so uncentered sign
     # bits collapse into a few huge buckets and the bucket join

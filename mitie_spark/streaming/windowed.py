@@ -60,18 +60,28 @@ _OUT_SCHEMA = StructType(
 )
 
 
+_IDLE_TIMEOUT_MS = 30 * 60 * 1000  # evict keys idle for 30 processing-min
+
+
 def _running_count_fn(
     key: Tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-key running total across micro-batches (custom stateful op)."""
+    """Per-key running total across micro-batches (custom stateful op).
+    A key idle past the processing-time timeout has its record EVICTED —
+    this is what bounds state at 10^12-doc key cardinality (the module
+    docstring's promise); a re-appearing key restarts its tally."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     n = 0
     for pdf in pdfs:
         n += len(pdf)
     (total,) = state.get if state.exists else (0,)
     total += n
     state.update((total,))
+    state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
     yield pd.DataFrame(
         {"tag": [key[0]], "batch_n": [n], "running_total": [total]}
     )
@@ -80,7 +90,8 @@ def _running_count_fn(
 def running_counts_stateful(stream: DataFrame, key_col: str = "tag") -> DataFrame:
     """Streaming running count per key via applyInPandasWithState — the
     template for MITIE-shaped custom stateful operators (e.g. incremental
-    entity-frequency tallies feeding the linking dictionary)."""
+    entity-frequency tallies feeding the linking dictionary). State is
+    bounded by the processing-time idle timeout (see _running_count_fn)."""
     return (
         stream.groupBy(key_col)
         .applyInPandasWithState(
@@ -88,7 +99,7 @@ def running_counts_stateful(stream: DataFrame, key_col: str = "tag") -> DataFram
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 
