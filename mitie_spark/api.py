@@ -170,11 +170,23 @@ class binary_relation_detector:
     """mitie.py:374-420 — score > 0 ⇒ relation holds."""
 
     def __init__(
-        self, filename: str | None = None, name: str | None = None, _model=None
+        self,
+        filename: str | None = None,
+        name: str | None = None,
+        _model=None,
+        _ref_det=None,
+        _fingerprint: int | None = None,
     ):
         from mitie_spark.models.relation_model import RelationModel
 
-        self._det = None  # set when backed by a reference .svm file
+        self._det = None  # set when backed by a reference .svm file or a
+        # reference-space model trained in-engine on a dlib-backed NER
+        if _ref_det is not None:
+            self._det = _ref_det
+            self._model = None
+            self.name = name
+            self._fingerprint = _fingerprint
+            return
         if _model is not None:
             self._model = _model
         else:
@@ -191,11 +203,7 @@ class binary_relation_detector:
                 )
 
                 det = read_binary_relation_detector(path)
-                n_dims = 1 + max(
-                    (i for sv in det["basis_vectors"] for i, _ in sv),
-                    default=0,
-                )
-                self._det = relation_weights_from_detector(det, n_dims)
+                self._det = relation_weights_from_detector(det)
                 self._model = None
                 self.name = name or det["relation_type"]
                 self._fingerprint = det["fingerprint"]
@@ -211,10 +219,28 @@ class binary_relation_detector:
 
     def save_to_disk(self, filename: str) -> None:
         if self._det is not None:
-            raise NotImplementedError(
-                "re-export a reference .svm with "
-                "sources.dlib_models.write_binary_relation_detector"
+            # collapsed weights export as a one-basis-vector linear
+            # decision function — a REAL .svm the reference (and this
+            # engine's reader) loads
+            import numpy as np
+
+            from mitie_spark.sources.dlib_models import (
+                write_binary_relation_detector,
             )
+
+            w, b = self._det
+            nz = np.nonzero(w)[0]
+            write_binary_relation_detector(
+                filename,
+                {
+                    "relation_type": self.name,
+                    "fingerprint": self._fingerprint,
+                    "alpha": [1.0],
+                    "b": float(b),
+                    "basis_vectors": [[(int(i), float(w[i])) for i in nz]],
+                },
+            )
+            return
         self._model.save(filename)
 
     def __str__(self) -> str:
@@ -376,10 +402,15 @@ class total_word_feature_extractor:
         return self._wv.fingerprint
 
     def get_feature_vector(self, word: str):
+        # the reference folds digits BEFORE the dictionary probe
+        # (convert_numbers, total_word_feature_extractor.h:107-137), and
+        # our trainers build vocabularies from folded tokens — an unfolded
+        # probe ('1984' instead of '####') always misses. Folding is
+        # idempotent, so sources that fold internally are unaffected.
+        from mitie_spark.functions.tokenizer import fold_digits
+
+        word = fold_digits(word)
         fn = getattr(self._wv, "get_feature_vector", None)
-        # the dlib-backed source exposes the digit-folding probe the
-        # reference's get_feature_vector performs (convert_numbers first,
-        # total_word_feature_extractor.h:107-137) as token_features
         return fn(word) if fn is not None else self._wv.token_features(word)
 
     @property
@@ -598,11 +629,49 @@ class binary_relation_detector_trainer:
 
         if not self._pos:
             raise ValueError("no positive examples")
+        fs = self._ner._model.fs  # the reference trainer extracts
+        # features through the NER's word-feature extractor
+        if getattr(fs, "kind", "") == "dlib":
+            # a dlib-backed NER extracts REFERENCE-space features
+            # (extract_binary_relation emits them for real .svm files), so
+            # the detector must be trained in that space — a native-space
+            # model could never score what this NER extracts
+            from mitie_spark.models.relation_ref import (
+                NUM_HASH_DIMS,
+                reference_relation_pairs,
+                train_reference_detector,
+                tune_reference_C,
+            )
+
+            ner = self._ner._model
+            samples, labels = [], []
+            for toks, a1, a2 in self._pos:
+                samples.append(
+                    reference_relation_pairs(toks, ner.X(toks), a1, a2)
+                )
+                labels.append(1.0)
+            for toks, a1, a2 in self._neg:
+                samples.append(
+                    reference_relation_pairs(toks, ner.X(toks), a1, a2)
+                )
+                labels.append(-1.0)
+            n_dims = 2 * fs.dims + NUM_HASH_DIMS
+            C = self.C
+            if self.auto_tune:
+                tuned = tune_reference_C(
+                    samples, labels, n_dims, beta=self.beta
+                )
+                if tuned is not None:
+                    C = tuned
+            w, b = train_reference_detector(samples, labels, n_dims, C=C)
+            return binary_relation_detector(
+                _ref_det=(w, b),
+                name=self.relation_name,
+                _fingerprint=fs.fingerprint,
+            )
         examples = [
             (toks, a1, a2, self.relation_name) for toks, a1, a2 in self._pos
         ] + [(toks, a1, a2, None) for toks, a1, a2 in self._neg]
-        fs = self._ner._model.fs  # the reference trainer extracts
-        # features through the NER's word-feature extractor
         C = self.C
         if self.auto_tune:
             tuned = tune_relation_C(

@@ -638,6 +638,14 @@ class NerModel:
 
     # --- prediction (named_entity_extractor.cpp:132-174,178-225) ---
     def segment(self, tokens: list[str], X: np.ndarray | None = None):
+        # DELIBERATE exception to the einsum-for-scoring rule: the
+        # emissions matmul is the extraction throughput hot spot, and
+        # einsum (no BLAS) would cost several× wall. BLAS kernels are
+        # batch-size-dependent in principle, so per-doc vs batched
+        # emissions could differ in the last ulp — the batched-equivalence
+        # test (test_batched_segmentation_matches_per_doc) regression-pins
+        # that segmentations agree; Viterbi decisions ride score margins
+        # far above one ulp on real weights
         if X is None:
             X = self.X(tokens)
         em = window_matrix(X) @ self.W_seg.T.astype(np.float32)
@@ -662,9 +670,12 @@ class NerModel:
         row = chunk_features(tokens, X, start, end)
         scores = self._score_feature_rows([row])[0]
         k = int(np.argmax(scores))
-        srt = np.sort(scores)
-        margin = float(srt[-1] - srt[-2]) if len(scores) > 1 else float(scores[k])
-        return k, margin
+        # the reference surfaces dlib's RAW winning decision value
+        # (w_best·x − b_best, function.h:800-813 via
+        # mitie_ner_get_detection_score), not a top1−top2 margin — a
+        # dlib-loaded model must produce the same scores users calibrated
+        # thresholds against
+        return k, float(scores[k])
 
     def segment_batch(
         self, Xs: list[np.ndarray], max_padded_cells: int = 1_000_000
@@ -741,8 +752,10 @@ class NerModel:
         if miss_rows:
             S = self._score_feature_rows(miss_rows)
             top = np.argmax(S, axis=1)
-            part = np.sort(S, axis=1)
-            margins = part[:, -1] - part[:, -2]
+            # raw winning decision value, like the reference (see
+            # classify_chunk) — b_cls is stored negated from dlib's b, so
+            # S[k] IS dlib's w_k·x − b_k
+            margins = S[np.arange(len(top)), top]
             for key, k, m in zip(miss_keys, top, margins):
                 if len(cache) < self._CHUNK_CACHE_MAX:
                     cache[key] = (int(k), float(m))

@@ -164,7 +164,16 @@ def merge_sparse_pairs(pairs: list[tuple[int, float]]) -> list[tuple[int, float]
 
 def score_pairs(w: np.ndarray, b: float, pairs) -> float:
     """Linear decision value ``Σ w[i]·v − b`` over a sparse pair list,
-    skipping out-of-range indices like dlib's sparse dot."""
+    skipping out-of-range indices like dlib's sparse dot.
+
+    This facade path sums in dlib's exact order (one sequential fold over
+    the index-sorted merged pairs, dense block included) — byte-for-byte
+    the C++ decision value. The distributed path (DlibRelationModel via
+    score_feature_rows) groups the sum differently (segment-reduce over
+    unmerged sparse + separate einsum dense), so the two can differ in
+    the LAST ULP; a relation decision flips only when the score is within
+    ~1e-16 of 0. Kept deliberately: the facade must match the C++ bit
+    stream, the distributed path must score whole Arrow batches."""
     n = len(w)
     s = 0.0
     for i, v in pairs:
@@ -245,3 +254,99 @@ class DlibRelationModel(RelationModel):
             "export dlib detectors with "
             "sources.dlib_models.write_binary_relation_detector"
         )
+
+
+def train_reference_detector(
+    samples: list,
+    labels: list,
+    n_dims: int,
+    epochs: int = 14,
+    margin: float = 2.0,
+    seed: int = 77,
+    C: float | None = None,
+) -> tuple[np.ndarray, float]:
+    """Averaged margin perceptron over REFERENCE-space sparse pair lists →
+    (w, b) with decision value ``score_pairs(w, b, pairs)``. This is what
+    lets ``binary_relation_detector_trainer`` work on a dlib-backed NER:
+    the NER extracts reference-space features
+    (binary_relation_detector.cpp:110-189), so the detector must be
+    trained in that space — a native-space model could never score them.
+    Same solver analogs as models/relation_model.train_relation_model
+    (C → per-epoch L2 decay)."""
+    rng = np.random.default_rng(seed)
+    w = np.zeros(n_dims, dtype=np.float64)
+    b = 0.0
+    wa = np.zeros(n_dims, dtype=np.float64)
+    ba = 0.0
+    decay = max(1.0 - 1.0 / (C * max(len(samples), 1)), 0.0) if C else 1.0
+    steps = 0
+    for _ in range(epochs):
+        for k in rng.permutation(len(samples)):
+            pairs, y = samples[k], labels[k]
+            s = sum(w[i] * v for i, v in pairs if i < n_dims) - b
+            steps += 1
+            if y * s < margin:
+                for i, v in pairs:
+                    if i < n_dims:
+                        w[i] += y * v
+                        wa[i] += steps * y * v
+                b -= y
+                ba -= steps * y
+        if decay != 1.0:
+            w *= decay
+            b *= decay
+            wa *= decay
+            ba *= decay
+    n = max(steps, 1)
+    return w - wa / n, float(b - ba / n)
+
+
+def tune_reference_C(
+    samples: list,
+    labels: list,
+    n_dims: int,
+    folds: int = 6,
+    beta: float = 0.1,
+    epochs: int = 14,
+    margin: float = 2.0,
+    seed: int = 77,
+) -> float | None:
+    """6-fold-CV C search for the reference-space trainer — the same
+    protocol as models/relation_model.tune_relation_C (reference bounds
+    [1/n, 1e5/n], F-beta over TPR/TNR, (folds-1)/folds rescale, skipped
+    at <= folds positives)."""
+    n_pos = sum(1 for y in labels if y > 0)
+    if n_pos <= folds:
+        return None
+    n = len(samples)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    fold_of = np.arange(n) % folds
+    grid = np.exp(np.linspace(np.log(1.0 / n), np.log(100000.0 / n), 9))
+    sx = [samples[i] for i in order]
+    sy = [labels[i] for i in order]
+    best_c, best_f = float(grid[0]), -1.0
+    for c in grid:
+        tp = fp = fn = tn = 0
+        for f in range(folds):
+            tr = [(s, y) for s, y, g in zip(sx, sy, fold_of) if g != f]
+            te = [(s, y) for s, y, g in zip(sx, sy, fold_of) if g == f]
+            if not tr or not te:
+                continue
+            w, b = train_reference_detector(
+                [s for s, _ in tr], [y for _, y in tr], n_dims,
+                epochs=epochs, margin=margin, seed=seed, C=float(c),
+            )
+            for s, y in te:
+                hit = score_pairs(w, b, s) > 0
+                if y > 0:
+                    tp, fn = (tp + 1, fn) if hit else (tp, fn + 1)
+                else:
+                    fp, tn = (fp + 1, tn) if hit else (fp, tn + 1)
+        tpr = tp / (tp + fn) if tp + fn else 0.0
+        tnr = tn / (tn + fp) if tn + fp else 0.0
+        denom = beta * beta * tnr + tpr
+        fscore = (1 + beta * beta) * tpr * tnr / denom if denom else 0.0
+        if fscore > best_f:
+            best_f, best_c = fscore, float(c)
+    return best_c * (folds - 1.0) / folds

@@ -25,8 +25,12 @@ HT = 1 << 16  # hashed bag dims
 
 
 def doc_features(tokens: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """→ (sparse idxs, sparse vals, dense mean vector)
-    (text_feature_extraction.cpp:11-73: word bag seed 0, stem bag seed 1)."""
+    """→ (sparse idxs, sparse vals, dense mean vector). Feature SHAPE per
+    text_feature_extraction.cpp:11-73 (a word bag + a stem bag + the mean
+    word vector); this native space deliberately uses its own seeds 40/41
+    (mod HT) — the reference's exact space (shash(word,0) / shash(stem,10)
+    over 500k+dims) lives in sources/dlib_models.DlibTextCategorizer for
+    real .dat models."""
     idxs: list[int] = []
     vals: list[float] = []
     for w in tokens:

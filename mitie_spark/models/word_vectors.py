@@ -114,11 +114,16 @@ def top_k_substrings(counts: DataFrame, k: int = 2000, max_len: int = 5) -> Data
     )
 
 
-def _context_pairs(tokens: DataFrame, vocab_ids: DataFrame) -> DataFrame:
+def _context_pairs(
+    tokens: DataFrame, vocab_ids: DataFrame, v_oov: int | None = None
+) -> DataFrame:
     """(doc, pos, wid) with OOV mapped to id V (the reference reserves an
-    extra slot for unknown words — word_vects.cpp:84-113)."""
+    extra slot for unknown words — word_vects.cpp:84-113). Pass ``v_oov``
+    (= vocabulary size) when known — the fallback count() launches an
+    extra Spark job just to learn it."""
     t = tokens.join(F.broadcast(vocab_ids), "word", "left")
-    v_oov = vocab_ids.count()
+    if v_oov is None:
+        v_oov = vocab_ids.count()
     return t.select(
         "doc", "pos", F.coalesce("wid", F.lit(v_oov)).alias("wid")
     )
@@ -153,7 +158,7 @@ def train_word_vectors(
         pd.DataFrame({"word": words, "wid": range(V)}),
         "word string, wid long",
     )
-    t = _context_pairs(tokens, vocab_ids)
+    t = _context_pairs(tokens, vocab_ids, v_oov=V)
 
     # A4: positional co-occurrence counts via lead/lag windows
     w = Window.partitionBy("doc").orderBy("pos")

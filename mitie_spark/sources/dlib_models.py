@@ -739,10 +739,18 @@ def write_binary_relation_detector(path: str, det: dict) -> None:
     open(path, "wb").write(w.getvalue())
 
 
-def relation_weights_from_detector(det: dict, n_dims: int) -> tuple[np.ndarray, float]:
+def relation_weights_from_detector(
+    det: dict, n_dims: int | None = None
+) -> tuple[np.ndarray, float]:
     """Collapse the linear-kernel decision function into one weight vector:
     f(x) = Σ alpha_i·<basis_i, x> − b  ⇒  w = Σ alpha_i·basis_i
-    (binary_relation_detector.h:68-77; dlib decision_function semantics)."""
+    (binary_relation_detector.h:68-77; dlib decision_function semantics).
+    ``n_dims`` defaults to the highest basis index + 1 — THE derivation;
+    callers with a known feature-space width pass it explicitly."""
+    if n_dims is None:
+        n_dims = 1 + max(
+            (i for sv in det["basis_vectors"] for i, _ in sv), default=0
+        )
     w = np.zeros(n_dims, dtype=np.float64)
     for a, sv in zip(det["alpha"], det["basis_vectors"]):
         for i, v in sv:

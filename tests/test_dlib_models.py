@@ -777,3 +777,59 @@ def test_ner_stream_cli_with_dlib_model(tmp_path):
     assert out[0] == format_markup(toks, ents)
     assert "[PERSON Alice]" in out[0] and "[PERSON Bob]" in out[0]
     assert out[1] == "the the "
+
+
+def test_relation_trainer_on_dlib_backed_ner(tmp_path):
+    """The reference workflow — train a custom relation detector on a
+    shipped ner_model.dat — must close the loop: the dlib-backed NER
+    extracts REFERENCE-space features, so the trainer emits a
+    reference-space detector that (a) scores those features, (b) learns
+    the planted direction, and (c) exports as a REAL .svm that reloads
+    with identical scores."""
+    from mitie_spark import api
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import N_STATES, NerModel
+
+    fe = _with_crc(_synthetic_fe())
+    src = DlibTotalWordFeatureExtractor(fe)
+    rng = np.random.default_rng(23)
+    d = src.dims
+    model = NerModel(
+        W_seg=rng.standard_normal((N_STATES, 3 * d + 1)),
+        T_seg=rng.standard_normal((N_STATES, N_STATES)),
+        W_cls_sparse=np.zeros((2, MAX_FEAT)),
+        W_cls_dense=rng.standard_normal((2, 5 * d)),
+        b_cls=rng.standard_normal(2),
+        tags=["PERSON"],
+        fs=src,
+    )
+    p_ner = str(tmp_path / "ner_model.dat")
+    write_named_entity_extractor(p_ner, ner_model_to_dlib(model))
+    ner = api.named_entity_extractor(p_ner)
+
+    t = api.binary_relation_detector_trainer("test.knows", ner)
+    pos_sents, neg_sents = [], []
+    for k in range(12):
+        toks = ["Alice", "knows", "Bob", f"w{k}"]
+        t.add_positive_binary_relation(toks, range(0, 1), range(2, 3))
+        pos_sents.append(toks)
+        # reversed direction is the negative
+        t.add_negative_binary_relation(toks, range(2, 3), range(0, 1))
+        neg_sents.append(toks)
+    det = t.train()
+    assert det.name_string == "test.knows"
+
+    ok = 0
+    for toks in pos_sents[:6]:
+        rel = ner.extract_binary_relation(toks, range(0, 1), range(2, 3))
+        anti = ner.extract_binary_relation(toks, range(2, 3), range(0, 1))
+        ok += int(det(rel) > 0 and det(anti) <= 0)
+    assert ok >= 5  # planted direction learned in reference space
+
+    # export -> REAL .svm -> reload through the facade: identical scores
+    p_svm = str(tmp_path / "rel_classifier_test.knows.svm")
+    det.save_to_disk(p_svm)
+    again = api.binary_relation_detector(p_svm)
+    assert again.name_string == "test.knows"
+    rel = ner.extract_binary_relation(pos_sents[0], range(0, 1), range(2, 3))
+    assert det(rel) == again(rel)
