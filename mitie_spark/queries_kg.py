@@ -326,41 +326,31 @@ def doc_fingerprints(spark, sf_dir):
     1/8 selection by hash prefix (rolling-hash fingerprinting analog —
     reference precedent: substring hashing in approximate_substring_set).
 
-    One Arrow pass (hashlib md5 per gram) instead of an interpreted
-    F.transform gram build — same no-interpreted-HOFs-in-hot-paths rule
-    as the minhash bander, and the same bit-exact md5-of-UTF-8 contract
-    the oracle replicates. Only the 1-in-8 selected rows leave the UDF."""
-    import hashlib
-
-    import pandas as pd
-
+    MEASURED exception to the no-interpreted-HOF rule: md5 dominates this
+    query and runs JVM-side either way; the JVM transform+md5 form times
+    1.06s vs 1.21s for an Arrow hashlib rewrite at sf0.1/local[32]
+    (contrast the minhash bander, where Python md5 + a NumPy affine-min
+    beat NESTED interpreted lambdas 5× — here there is no lambda nest)."""
     from mitie_spark.session import by_compute, load_tables
 
     docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
-
-    def fp(batches):
-        for pdf in batches:
-            ids, poss, fps = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                l = [t for t in (text or "").lower().split(" ") if t]
-                if len(l) < 5:
-                    continue
-                join = " ".join
-                for i in range(len(l) - 4):
-                    h = hashlib.md5(
-                        join(l[i : i + 5]).encode("utf-8")
-                    ).hexdigest()
-                    if h[0] in "01":
-                        ids.append(doc_id)
-                        poss.append(i)
-                        fps.append(h)
-            yield pd.DataFrame(
-                {"doc_id": ids, "pos": poss, "fingerprint": fps}
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != "").alias("l"),
+    )
+    grams = toks.filter(F.size("l") >= 5).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 4),
+                lambda i: F.concat_ws(" ", F.slice("l", i, 5)),
             )
-
+        ).alias("pos", "g"),
+    )
     return (
-        docs.select("doc_id", "text")
-        .mapInPandas(fp, schema="doc_id:bigint,pos:int,fingerprint:string")
+        grams.withColumn("fingerprint", F.md5("g"))
+        .filter(F.substring("fingerprint", 1, 1).isin("0", "1"))
+        .select("doc_id", "pos", "fingerprint")
         .orderBy("doc_id", "pos")
     )
 
@@ -406,10 +396,18 @@ def doc_quality(spark, sf_dir):
         F.round(
             F.size(F.filter("l", lambda t: t.isin(*_STOP))) / n, 4
         ).alias("stop_ratio"),
-        # sum of token lengths == chars of the separator-less concat:
-        # whole-stage-codegen'd, replacing an interpreted F.aggregate fold
-        # (integer math, so the value is exactly the oracle's list_sum)
-        F.round(F.length(F.concat_ws("", "l")) / n, 4).alias("mean_tok_len"),
+        # MEASURED exception to the no-interpreted-HOF rule: this integer
+        # fold times 0.88s vs 1.19s for the codegen'd
+        # length(concat_ws('', l)) alternative at sf0.1/local[32] — the
+        # fold is O(tokens) while concat allocates doc-sized strings, so
+        # the interpreted overhead loses to allocation here
+        F.round(
+            F.aggregate(
+                "l", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / n,
+            4,
+        ).alias("mean_tok_len"),
         F.size(F.array_distinct("l")).alias("n_unique"),
     ).orderBy("doc_id")
 
