@@ -43,7 +43,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     _wu = F.pandas_udf(lambda s: s, "long")
-    spark.range(0, 10_000, 1, int(cpus)).select(
+    n_parts = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    spark.range(0, 10_000, 1, n_parts).select(
         _wu("id").alias("x")
     ).write.format("noop").mode("overwrite").save()
 
@@ -62,17 +63,19 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if failed:
+        # a failed query must be visible IN the JSON line (it is excluded
+        # from the total, which would otherwise read as a speedup)
+        out["failed_queries"] = failed
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -214,6 +214,22 @@ def make_page(seed: int, idx: int):
 
     title_len = len(_tok(title))
     mentions = [(s + title_len, e + title_len, tag, surf) for s, e, tag, surf in mentions]
+    # the module's load-bearing invariant, ASSERTED at build (a vocab word
+    # or template change that trips a tokenizer rule would otherwise skew
+    # every mentions_true offset and surface only as a mysterious P/R drop
+    # in the gated kg_* queries): extracted-text tokens == title tokens +
+    # the generator's sentence tokens, so mention offsets index tokenize(text)
+    doc_toks = _tok(text)
+    gen_toks = [t for para in paras for toks, _, _ in para for t in toks]
+    assert doc_toks[title_len:] == gen_toks, (
+        f"corpus invariant broken at page {idx}: tokenize(text) diverges "
+        "from the generator's token stream"
+    )
+    for s, e, _tag, surf in mentions:
+        assert " ".join(doc_toks[s:e]) == surf, (
+            f"corpus invariant broken at page {idx}: mention span ({s},{e}) "
+            f"does not cover {surf!r}"
+        )
     return {
         "url": url,
         "warc_ts": ts,

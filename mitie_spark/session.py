@@ -63,12 +63,18 @@ def get_spark(
     return b.getOrCreate()
 
 
+# the canonical testdata table list — the DuckDB oracle harness
+# (tests/oracle.py) registers views from this same list, so a new table
+# appears on both engines or neither
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict:
     """Register the testdata parquet tables as temp views and return DFs."""
-    names = names or [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
+    names = names or TABLES
     out = {}
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")

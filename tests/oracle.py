@@ -14,10 +14,8 @@ import os
 import duckdb
 import pandas as pd
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# canonical table list lives in mitie_spark.session; keep one copy
+from mitie_spark.session import TABLES  # noqa: E402,F401
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -71,7 +69,10 @@ def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 1e-6) -> list[st
                     errs.append(f"col {c} row {i}: {x} != {y}")
                     break
         else:
-            neq = av.astype(str).fillna("") != bv.astype(str).fillna("")
+            # fillna BEFORE astype: astype(str) would stringify missing
+            # values to 'None'/'nan' first (engine-dependent), making the
+            # fill a no-op and a null-vs-null pair a false mismatch
+            neq = av.fillna("").astype(str) != bv.fillna("").astype(str)
             if neq.any():
                 i = int(neq.idxmax())
                 errs.append(f"col {c} row {i}: {av[i]!r} != {bv[i]!r}")
@@ -141,15 +142,22 @@ def run_query_vs_oracle(spark, name: str, sf_dir: str) -> list[str]:
     import importlib
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    if "/root/repo" not in sys.path:
+        sys.path.insert(0, "/root/repo")
     entry = importlib.import_module("__spark_entry__")
     qs, osql = entry.queries(), entry.oracle_sql()
     sdf = qs[name](spark, sf_dir)
     if name not in osql:
-        n = sdf.count()
-        return [] if n >= 0 else [f"{name}: spark query failed"]
+        try:
+            sdf.count()
+        except Exception as exc:
+            return [f"{name}: spark query failed: {exc}"]
+        return []
     con = duck_connection(sf_dir)
-    ddf = con.execute(osql[name]).fetchdf()
+    try:
+        ddf = con.execute(osql[name]).fetchdf()
+    finally:
+        con.close()
     spdf = sdf.toPandas()
     errs = compare(spdf, ddf)
     if not errs:
