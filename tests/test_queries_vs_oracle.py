@@ -31,3 +31,24 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_fits_driver_correctness_cap():
+    """The driver records CORRECTNESS rows for only the FIRST 50 queries()
+    entries. Every oracle-gated query must sit inside that cap or it gets
+    no driver row at all (the exact round-1 verdict failure this guards
+    against) — adding a 51st gated query requires union-merging into an
+    existing family slot (see dedup_exact_and_spans)."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    gated = set(e.oracle_sql())
+    assert gated <= set(names), "oracle entries without a queries() entry"
+    assert len(gated) <= 50, (
+        f"{len(gated)} gated queries exceed the driver's 50-row cap — "
+        "union-merge same-family queries instead of registering a new slot"
+    )
+    stranded = [n for n in names[50:] if n in gated]
+    assert not stranded, f"gated queries beyond the cap: {stranded}"
+    # gated entries must come first (rows-only entries carry less evidence)
+    assert all(n in gated for n in names[: len(gated)])
