@@ -124,9 +124,22 @@ class named_entity_extractor:
             for s, e, tag, score in self._model.extract_entities(list(tokens))
         ]
 
-    def extract_binary_relation(self, tokens, arg1_range, arg2_range):
-        """→ a ``binary_relation`` carrying the extracted pair FEATURES (C++
-        example semantics: full token sequence, no window crop). Like the
+    def extract_binary_relation(self, tokens, arg1_range, arg2_range,
+                                window_crop: int | None = None):
+        """→ a ``binary_relation`` carrying the extracted pair FEATURES.
+
+        ``window_crop=None`` (default) is the C++ example semantics: the
+        full token sequence feeds feature extraction (the golden relations
+        file came from that path — SURVEY.md §2.3 M3). ``window_crop=5``
+        reproduces the reference PYTHON BINDING, which crops the sentence
+        to the pair span ±5 tokens before extraction
+        (mitie.py:156-169,317-346 _get_windowed_range). The crop is
+        SEMANTICALLY NEUTRAL — every relation feature window lies inside
+        the kept ±5 tokens (win=2/win2=5 n-grams, between-range, arg
+        means), pinned bit-exact against the compiled reference in
+        tests/test_cross_engine.py — so it is purely a feature-extraction
+        cost saver; at scale the cropped form is the right default for
+        long documents. Like the
         reference, feature extraction happens on the NER extractor — which
         owns the word-feature source — and the detector only scores the
         pre-extracted vector (mitie.h:360-375; the .svm detector file does
@@ -139,6 +152,16 @@ class named_entity_extractor:
         toks = list(tokens)
         a1 = (arg1_range.start, arg1_range.stop)
         a2 = (arg2_range.start, arg2_range.stop)
+        if window_crop is not None:
+            # mitie.py:156-169: begin = pair start minus winsize floored at
+            # 0, end = pair stop plus winsize capped at len(tokens)
+            begin = min(a1[0], a2[0])
+            end = max(a1[1], a2[1])
+            begin = begin - window_crop if begin > window_crop else 0
+            end = min(end + window_crop, len(toks))
+            toks = toks[begin:end]
+            a1 = (a1[0] - begin, a1[1] - begin)
+            a2 = (a2[0] - begin, a2[1] - begin)
         if getattr(self._model.fs, "kind", "") == "dlib":
             from mitie_spark.models.relation_ref import reference_relation_pairs
 

@@ -456,9 +456,39 @@ def _role_feats(word: str, role: str) -> tuple[tuple[int, float], ...]:
     return tuple(out)
 
 
+def dlib_f32_mean(rows: np.ndarray) -> np.ndarray:
+    """Bit-exact analog of ``m += row; ... ; m /= count`` on dlib
+    matrix<float>: sequential float32 row accumulation, then a float32
+    reciprocal multiply (matrix.h:1509 routes /= through operator/ which
+    multiplies by ``one/static_cast<float>(s)``, matrix.h:723-731). Both
+    the NER chunk mean (ner_feature_extraction.cpp:189-218) and the
+    relation argument means (binary_relation_detector.cpp:121-133) use
+    this accumulation, and NumPy's pairwise ``mean`` is one ulp off."""
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    return np.add.accumulate(rows, axis=0)[-1] * np.float32(
+        np.float32(1.0) / np.float32(rows.shape[0])
+    )
+
+
 def _norm_block(v: np.ndarray) -> np.ndarray:
-    # lnorm = 0.5 (cpp:371-376)
-    return v / (0.5 * float(np.linalg.norm(v)) + 1e-10)
+    """Bit-exact port of the reference block scaling (cpp:371-376):
+    ``first /= lnorm*length(first)+1e-10`` on a dlib matrix<float>.
+
+    dlib's length() is sqrt of a SEQUENTIAL float32 sum of float32 squares
+    (matrix_utilities.h:339-350 + the scalar sum loop), the double
+    ``0.5*len+1e-10`` is cast back to float32 by operator/= (matrix.h:1509,
+    T=float), and each element divides float32/float32 with one rounding.
+    NumPy's pairwise np.sum / float64 divide land one ulp off, which was
+    measured to shift chunk scores ~1e-9 vs the compiled reference. Note
+    dlib divides a float matrix by a scalar as a RECIPROCAL multiply
+    (matrix.h:723-731: ``m * (one/static_cast<float>(s))``)."""
+    v = np.ascontiguousarray(v, dtype=np.float32)
+    sq = v * v  # float32 elementwise, single-rounded like squared(m)
+    s = np.add.accumulate(sq)[-1] if sq.size else np.float32(0.0)
+    length = np.float32(np.sqrt(np.float32(s)))
+    denom = np.float32(0.5 * float(length) + 1e-10)
+    recip = np.float32(np.float32(1.0) / denom)
+    return v * recip  # float32 multiply, single rounding per element
 
 
 def chunk_features(
@@ -524,7 +554,7 @@ def chunk_features(
     d = X.shape[1]
     first = X[start]
     last = X[end - 1]
-    mean = X[start:end].mean(axis=0)
+    mean = dlib_f32_mean(X[start:end])
     before = X[start - 1] if start > 0 else np.zeros(d, dtype=np.float32)
     after = X[end] if end < n else np.zeros(d, dtype=np.float32)
     dense = np.concatenate(

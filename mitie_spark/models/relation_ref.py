@@ -135,11 +135,14 @@ def reference_relation_pairs(
     (make_sparse_vector_inplace). This is the exact vector a reference
     ``.svm`` decision function was trained on; ``X`` rows must come from
     the SAME total_word_feature_extractor (fingerprint-guarded upstream)."""
+    from mitie_spark.models.ner_model import dlib_f32_mean
+
     s1, e1 = arg1
     s2, e2 = arg2
-    # matrix<float,0,1> accumulation: float32 sums, float32 divide
-    m1 = X[s1:e1].astype(np.float32).mean(axis=0, dtype=np.float32)
-    m2 = X[s2:e2].astype(np.float32).mean(axis=0, dtype=np.float32)
+    # matrix<float,0,1> accumulation: sequential float32 sums + float32
+    # reciprocal multiply, bit-exact vs the compiled reference
+    m1 = dlib_f32_mean(X[s1:e1])
+    m2 = dlib_f32_mean(X[s2:e2])
     d = len(m1)
     pairs = [(i, float(m1[i])) for i in range(d)]
     pairs += [(d + i, float(m2[i])) for i in range(d)]
@@ -234,12 +237,14 @@ class DlibRelationModel(RelationModel):
         s1, e1 = arg1
         s2, e2 = arg2
 
+        from mitie_spark.models.ner_model import dlib_f32_mean
+
         def _mean(s, e):
             if mean_cache is None:
-                return X[s:e].astype(np.float32).mean(axis=0, dtype=np.float32)
+                return dlib_f32_mean(X[s:e])
             m = mean_cache.get(("ref", s, e))
             if m is None:
-                m = X[s:e].astype(np.float32).mean(axis=0, dtype=np.float32)
+                m = dlib_f32_mean(X[s:e])
                 mean_cache[("ref", s, e)] = m
             return m
 

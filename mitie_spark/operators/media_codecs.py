@@ -1,12 +1,13 @@
-"""Pure-NumPy media codecs: real decode for BMP / PGM / PPM / WAV.
+"""Pure-NumPy media codecs: real decode for BMP / PGM / PPM / PNG / WAV.
 
-The container has no PIL/opencv/ffmpeg, but several real formats need no
-codec library at all — BMP (BI_RGB), binary PNM (P5/P6), and RIFF/WAVE PCM
-are plain headers over raw sample arrays. These decoders make the
-multimodal path (operators/multimodal.py) REAL for those formats: payload
-bytes → pixel/sample arrays → deterministic feature vectors, with
-compressed formats (PNG/JPEG/MP4) still routed to an injected decoder or
-the documented fallback.
+The container has no PIL/opencv/ffmpeg, but these formats need no codec
+library at all — BMP (BI_RGB), binary PNM (P5/P6), and RIFF/WAVE PCM are
+plain headers over raw sample arrays, and PNG is stdlib zlib inflate plus
+a NumPy byte-defilter. These decoders make the multimodal path
+(operators/multimodal.py) REAL for those formats: payload bytes →
+pixel/sample arrays → deterministic feature vectors, with genuinely
+codec-bound formats (JPEG/MP4) still routed to an injected decoder or the
+documented fallback.
 
 Everything is deterministic and vectorized (header parse in ``struct``,
 pixel/sample math in NumPy) — safe inside Arrow-batched UDFs.
@@ -178,6 +179,180 @@ def encode_pnm(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (stdlib zlib inflate + NumPy defilter; 8/16-bit, gray/RGB/palette/
+# alpha, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_defilter(raw: np.ndarray, H: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-row byte filters (spec §9: None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the inflated stream: H rows of (1 filter byte + stride
+    bytes). Filters operate on BYTES with a lag of ``bpp`` bytes per pixel,
+    independent of bit depth. Sub rows collapse to a cumsum per byte lane
+    (mod 256); Up is one vector add; Average/Paeth carry a true
+    left-dependency, so those rows walk pixel-positions with the bpp lanes
+    vectorized."""
+    if raw.size != H * (1 + stride):
+        raise UnsupportedMediaError("PNG pixel data size mismatch")
+    rows = raw.reshape(H, 1 + stride)
+    filters = rows[:, 0]
+    if filters.max(initial=0) > 4:
+        raise UnsupportedMediaError(f"bad PNG filter type {int(filters.max())}")
+    out = np.zeros((H, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    npix = stride // bpp
+    for r in range(H):
+        f = int(filters[r])
+        cur = rows[r, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: x[i] = raw[i] + x[i-bpp]  → per-lane cumsum
+            lanes = cur[: npix * bpp].reshape(npix, bpp)
+            cur[: npix * bpp] = (
+                (np.cumsum(lanes.astype(np.uint64), axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif f == 2:  # Up
+            cur += prev  # uint8 wraps mod 256, exactly the spec
+        elif f == 3:  # Average: x[i] = raw[i] + (left + up)//2
+            p = prev.astype(np.uint16)
+            for i in range(npix):
+                s = slice(i * bpp, (i + 1) * bpp)
+                left = cur[i * bpp - bpp : i * bpp].astype(np.uint16) if i else 0
+                cur[s] = (cur[s] + ((left + p[s]) >> 1)).astype(np.uint8)
+        else:  # Paeth
+            p16 = prev.astype(np.int16)
+            for i in range(npix):
+                s = slice(i * bpp, (i + 1) * bpp)
+                a = cur[i * bpp - bpp : i * bpp].astype(np.int16) if i else np.zeros(bpp, np.int16)
+                b = p16[s]
+                c = (
+                    prev[i * bpp - bpp : i * bpp].astype(np.int16)
+                    if i
+                    else np.zeros(bpp, np.int16)
+                )
+                pa = np.abs(b - c)
+                pb = np.abs(a - c)
+                pc = np.abs(a + b - 2 * c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                cur[s] = (cur[s].astype(np.int16) + pred).astype(np.uint8)
+        out[r] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
+    """→ ((H, W) gray or (H, W, 3) RGB array, maxval). Pure stdlib+NumPy:
+    chunk walk, zlib inflate, byte defilter. Supports bit depth 8/16,
+    color types 0/2/3/4/6, non-interlaced (Adam7 raises — it is rare on
+    the web and the honest failure routes to the injected-decoder seam).
+    Alpha channels are dropped (features are luma-based), palette rows
+    gather through PLTE."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise UnsupportedMediaError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise UnsupportedMediaError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8)
+            if len(plte) % 3:
+                raise UnsupportedMediaError("bad PLTE length")
+            plte = plte.reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    W, H, bitd, color, comp, filt, interlace = ihdr
+    if W <= 0 or H <= 0:
+        raise UnsupportedMediaError("empty PNG")
+    if comp != 0 or filt != 0:
+        raise UnsupportedMediaError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise UnsupportedMediaError("Adam7-interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise UnsupportedMediaError(f"unknown PNG color type {color}")
+    if bitd not in (8, 16) or (color == 3 and bitd != 8):
+        raise UnsupportedMediaError(f"PNG bit depth {bitd}/color {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    bpp = ch * (bitd // 8)
+    stride = W * bpp
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"PNG inflate failed: {e}") from e
+    px = _png_defilter(raw, H, stride, bpp)
+    if bitd == 16:
+        arr = px.reshape(H, W, ch, 2).astype(np.uint16)
+        arr = (arr[..., 0] << 8) | arr[..., 1]  # network byte order
+        maxval = 65535
+    else:
+        arr = px.reshape(H, W, ch)
+        maxval = 255
+    if color == 3:
+        if plte is None:
+            raise UnsupportedMediaError("palette PNG missing PLTE")
+        idx = arr[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise UnsupportedMediaError("PNG palette index out of range")
+        return plte[idx], 255
+    if color == 0:
+        return arr[..., 0], maxval
+    if color == 4:  # gray+alpha → gray
+        return arr[..., 0], maxval
+    return arr[..., :3], maxval  # RGB / RGBA → RGB
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → non-interlaced 8-bit PNG
+    (filter 0 rows, one zlib stream). Round-trip partner of decode_png."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        body = a[:, :, None]
+    else:
+        color, ch = 2, 3
+        body = a
+    H, W = a.shape[:2]
+    rows = np.zeros((H, 1 + W * ch), dtype=np.uint8)
+    rows[:, 1:] = body.reshape(H, W * ch)
+    comp = zlib.compress(rows.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # RIFF/WAVE (PCM 8/16-bit + IEEE float32; any channel count → mono)
 # ---------------------------------------------------------------------------
 
@@ -294,9 +469,9 @@ def audio_feature(samples: np.ndarray) -> np.ndarray:
 
 
 def builtin_decoder(payload: bytes) -> np.ndarray:
-    """Format-dispatching real decoder: BMP/PNM → image feature, WAV →
+    """Format-dispatching real decoder: BMP/PNM/PNG → image feature, WAV →
     audio feature. Raises UnsupportedMediaError for formats that need a
-    codec library (PNG/JPEG/MP4/unknown) — callers fall back to an injected
+    codec library (JPEG/MP4/unknown) — callers fall back to an injected
     decoder or the documented stub path."""
     kind = sniff_kind(payload or b"")
     try:
@@ -307,6 +482,9 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
             return image_feature(
                 decode_pnm(payload, header=header), maxval=header[3]
             )
+        if kind == "png":
+            arr, maxval = decode_png(payload)
+            return image_feature(arr, maxval=maxval)
         if kind == "wav":
             return audio_feature(decode_wav(payload)[0])
     except UnsupportedMediaError:

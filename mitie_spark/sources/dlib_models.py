@@ -942,8 +942,13 @@ class DlibTextCategorizer:
             np.einsum("kj,j->k", self.W[:, idxs[keep]], vals[keep]) - self.bvec
         )
         if self.fs is not None:
-            mean = np.mean(
-                [self.fs.token_features(w) for w in tokens], axis=0
+            from mitie_spark.models.ner_model import dlib_f32_mean
+
+            # sequential float32 sum + reciprocal multiply, matching the
+            # reference's all_sum loop (text_feature_extraction.cpp:24-29)
+            # bit-exactly
+            mean = dlib_f32_mean(
+                np.stack([self.fs.token_features(w) for w in tokens])
             ).astype(np.float64)
             hi = min(MAX_FEAT + len(mean), ncols)
             if hi > MAX_FEAT:

@@ -1,0 +1,418 @@
+"""Cross-engine differential against the REAL compiled reference.
+
+Builds the reference C++ library (mitielib/makefile — g++/make only, no
+cmake) into the gitignored ``.refbuild/`` tree, then drives it through the
+reference's own ctypes binding (``mitielib/mitie.py``) and asserts both
+directions of interoperability:
+
+- our dlib codec WRITES a ``total_word_feature_extractor.dat`` the C++
+  trainer consumes (sources/dlib_models.py:485 vs
+  total_word_feature_extractor.h:179-189);
+- the C++-trained ``ner_model.dat`` / ``rel_classifier_*.svm`` load through
+  our reader and score (spans/tags EXACTLY equal; NER chunk scores within a
+  few double-ulps — feature extraction is bit-exact, the final float64 dot
+  differs only in summation order; relation scores BIT-IDENTICAL);
+- models re-written by our writer load back into the C++ and reproduce its
+  own outputs exactly (mitie.cpp:1051-1100);
+- tokenize matches byte-for-byte on adversarial unicode
+  (conll_tokenizer.h vs functions/tokenizer.py).
+
+Skipped when the toolchain or the read-only reference tree is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REFBUILD = REPO / ".refbuild"
+REF = Path("/root/reference")
+XENG = REFBUILD / "xeng_test"
+# bump to invalidate the cached C++-trained artifacts after changing the
+# training spec below
+SPEC_VERSION = "v1"
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists() or shutil.which("g++") is None or shutil.which("make") is None,
+    reason="reference tree or C++ toolchain unavailable",
+)
+
+
+# ---------------------------------------------------------------------------
+# fixtures: build libmitie.so once, import the reference binding, train tiny
+# models with the REFERENCE'S OWN trainers (cached across pytest runs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def libmitie() -> Path:
+    so = REFBUILD / "mitielib" / "libmitie.so"
+    if so.exists():
+        return so
+    REFBUILD.mkdir(exist_ok=True)
+    for d in ("mitielib", "dlib"):
+        if not (REFBUILD / d).exists():
+            shutil.copytree(REF / d, REFBUILD / d)
+    r = subprocess.run(
+        ["make", "-j8"], cwd=REFBUILD / "mitielib", capture_output=True, timeout=900
+    )
+    if r.returncode != 0 or not so.exists():
+        pytest.skip(f"libmitie.so build failed: {r.stderr[-500:]!r}")
+    return so
+
+
+@pytest.fixture(scope="module")
+def cpp(libmitie):
+    """The reference's own ctypes binding, loaded against our build."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mitie", str(REFBUILD / "mitielib" / "mitie.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+PEOPLE = ["Alice", "Bob", "Carol", "Dave", "Erin", "Frank"]
+ORGS = ["Acme", "Globex", "Initech", "Umbrella"]
+COMMON = "the a of visited joined at works in said and to for . , met with left".split()
+
+REL_POS = [
+    (["Alice", "works", "at", "Acme", "."], range(0, 1), range(3, 4)),
+    (["Bob", "works", "at", "Globex", "."], range(0, 1), range(3, 4)),
+    (["Carol", "joined", "Initech", "last", "year", "."], range(0, 1), range(2, 3)),
+    (["Dave", "works", "at", "Umbrella", "."], range(0, 1), range(3, 4)),
+]
+REL_NEG = [
+    (["Alice", "visited", "Acme", "."], range(0, 1), range(2, 3)),
+    (["Bob", "met", "Carol", "at", "Globex", "."], range(0, 1), range(2, 3)),
+    (["Erin", "left", "Initech", "."], range(0, 1), range(2, 3)),
+]
+
+TEST_SENTS = [
+    ["Erin", "visited", "Umbrella", "at", "the", "office", "."],
+    ["the", "Frank", "joined", "Acme", "and", "left", "."],
+    ["Bob", "met", "Carol", "at", "Globex", "."],
+    ["nothing", "to", "see", "here", "."],
+    # OOV words, digits (convert_numbers fold), all-caps, hyphens
+    ["XJQZW", "knows", "Acme-Corp", "since", "1984", "said", "MR.", "Frank", "."],
+]
+
+
+def _make_twfe(path: str) -> None:
+    from mitie_spark.functions.morphology import ApproximateSubstringSet, _CRC
+    from mitie_spark.sources.dlib_models import write_total_word_feature_extractor
+
+    rng = np.random.default_rng(42)
+    words = PEOPLE + ORGS + COMMON
+    sset = ApproximateSubstringSet()
+    for s in ["*Al", "ce*", "Bo", "*Ac", "ex*", "Ini", "th", "ed*", "isi", "rk"]:
+        sset.add_substring(s)
+    non_morph, morph_dim = 8, 4
+    fe = {
+        "fingerprint": 987654321,
+        "non_morph_feats": non_morph,
+        "words": words,
+        "vectors": (
+            rng.standard_normal((len(words), non_morph + morph_dim)) * 0.5
+        ).astype(np.float32),
+        "morph": {
+            "substrings": {
+                "mask": 0x1FFF,
+                "mask_bits": 13,
+                "init_hash": 0xFFFFFFFF,
+                "max_substr_len": sset.max_substr_len,
+                "hash_table": sset.hash_table,
+                "crc_table": _CRC,
+            },
+            "morph_trans": (
+                rng.standard_normal((0x1FFF + 1, morph_dim)) * 0.1
+            ).astype(np.float32),
+        },
+    }
+    write_total_word_feature_extractor(path, fe)
+
+
+@pytest.fixture(scope="module")
+def artifacts(cpp):
+    """twfe.dat written by OUR codec + models trained by the C++ trainers.
+
+    Cached under .refbuild/xeng_test — the C++ NER train is ~20s. The cache
+    key is SPEC_VERSION; bump it when the training spec changes.
+    """
+    marker = XENG / f"spec.{SPEC_VERSION}"
+    paths = {
+        "twfe": str(XENG / "twfe.dat"),
+        "ner": str(XENG / "ner_model.dat"),
+        "ner_pure": str(XENG / "ner_pure.dat"),
+        "svm": str(XENG / "rel_classifier_people.person.employer.svm"),
+        "cat": str(XENG / "text_categorizer.dat"),
+    }
+    if marker.exists() and all(os.path.exists(p) for p in paths.values()):
+        return paths
+    if XENG.exists():
+        shutil.rmtree(XENG)
+    XENG.mkdir(parents=True)
+
+    # our writer produces the extractor blob the C++ trainer consumes
+    _make_twfe(paths["twfe"])
+
+    trainer = cpp.ner_trainer(paths["twfe"])
+    for i in range(40):
+        p, o = PEOPLE[i % len(PEOPLE)], ORGS[i % len(ORGS)]
+        if i % 3 == 0:
+            toks = ["the", p, "joined", o, "and", "left", "."]
+            ents = [(range(1, 2), "person"), (range(3, 4), "org")]
+        else:
+            toks = [p, "visited", o, "at", "the", "office", "."]
+            ents = [(range(0, 1), "person"), (range(2, 3), "org")]
+        inst = cpp.ner_training_instance(toks)
+        for r, lab in ents:
+            inst.add_entity(r, lab)
+        trainer.add(inst)
+    trainer.num_threads = 4
+    ner = trainer.train()
+    ner.save_to_disk(paths["ner"])
+    ner.save_to_disk(paths["ner_pure"], pure_model=True)
+
+    rt = cpp.binary_relation_detector_trainer("people.person.employer", ner)
+    for toks, a1, a2 in REL_POS:
+        rt.add_positive_binary_relation(toks, a1, a2)
+    for toks, a1, a2 in REL_NEG:
+        rt.add_negative_binary_relation(toks, a1, a2)
+    rt.num_threads = 4
+    det = rt.train()
+    det.save_to_disk(paths["svm"])
+
+    ct = cpp.text_categorizer_trainer(paths["twfe"])
+    for i in range(30):
+        p, o = PEOPLE[i % len(PEOPLE)], ORGS[i % len(ORGS)]
+        ct.add_labeled_text([p, "works", "at", o, "."], "employment")
+        ct.add_labeled_text(["the", "price", "of", o, "fell", "."], "finance")
+    ct.num_threads = 4
+    cat = ct.train()
+    cat.save_to_disk(paths["cat"])
+
+    marker.touch()
+    return paths
+
+
+# a couple of double-ulps: token features / chunk features / relation
+# features are bit-exact (verified while building this suite — see
+# _norm_block/dlib_f32_mean docstrings); the final float64 dot differs
+# only in summation order
+SCORE_RTOL = 1e-12
+
+
+def _cpp_ents(ner, toks):
+    return [(e[0].start, e[0].stop, e[1], e[2]) for e in ner.extract_entities(toks)]
+
+
+# ---------------------------------------------------------------------------
+# direction: C++-trained artifacts -> our reader
+# ---------------------------------------------------------------------------
+
+
+def test_cpp_trained_ner_loads_and_matches(cpp, artifacts):
+    from mitie_spark import api
+
+    cpp_ner = cpp.named_entity_extractor(artifacts["ner"])
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    assert my_ner.get_possible_ner_tags() == cpp_ner.get_possible_ner_tags()
+    for toks in TEST_SENTS:
+        ref = _cpp_ents(cpp_ner, toks)
+        got = [(r.start, r.stop, t, s) for r, t, s in my_ner.extract_entities(toks)]
+        assert [g[:3] for g in got] == [r[:3] for r in ref], toks
+        for g, r in zip(got, ref):
+            assert g[3] == pytest.approx(r[3], rel=SCORE_RTOL), toks
+
+
+def test_cpp_pure_model_loads_both_engines(cpp, artifacts):
+    from mitie_spark import api
+
+    cpp_full = cpp.named_entity_extractor(artifacts["ner"])
+    cpp_pure = cpp.named_entity_extractor(artifacts["ner_pure"], artifacts["twfe"].encode())  # binding py3 quirk: fe path must be bytes
+    my_pure = api.named_entity_extractor(artifacts["ner_pure"], artifacts["twfe"])
+    for toks in TEST_SENTS:
+        ref = _cpp_ents(cpp_full, toks)
+        assert _cpp_ents(cpp_pure, toks) == ref
+        got = [(r.start, r.stop, t, s) for r, t, s in my_pure.extract_entities(toks)]
+        assert [g[:3] for g in got] == [r[:3] for r in ref]
+        for g, r in zip(got, ref):
+            assert g[3] == pytest.approx(r[3], rel=SCORE_RTOL)
+
+
+def test_cpp_trained_relation_detector_bit_exact(cpp, artifacts):
+    """The binding crops ±5 tokens (mitie.py:156-169); window_crop=5
+    reproduces it and the collapsed-weights dot comes out bit-identical."""
+    from mitie_spark import api
+
+    cpp_ner = cpp.named_entity_extractor(artifacts["ner"])
+    cpp_det = cpp.binary_relation_detector(artifacts["svm"])
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    my_det = api.binary_relation_detector(artifacts["svm"])
+    assert my_det.name_string == cpp_det.name_string
+
+    pairs = REL_POS + REL_NEG + [
+        (["Frank", "works", "at", "Initech", "in", "the", "city", "."],
+         range(0, 1), range(3, 4)),
+        (["the", "old", "Erin", "quietly", "joined", "Umbrella", "."],
+         range(2, 3), range(5, 6)),
+    ]
+    for toks, a1, a2 in pairs:
+        ref = cpp_det(cpp_ner.extract_binary_relation(toks, a1, a2))
+        got = my_det(my_ner.extract_binary_relation(toks, a1, a2, window_crop=5))
+        assert got == ref, (toks, got, ref)
+
+
+def test_window_crop_is_semantically_neutral(cpp, artifacts):
+    """The binding's ±5 crop (mitie.py:156-169) is a PERFORMANCE device,
+    not a semantic one: every relation feature window (win=2 n-grams,
+    win2=5 n-grams, the between-range, the arg means —
+    binary_relation_detector.cpp:148-186) lies inside the kept ±5 tokens,
+    so cropped and uncropped features are identical by construction. Pin
+    that equivalence on a long sentence: both our paths match the C++
+    bit-exactly AND each other."""
+    from mitie_spark import api
+
+    cpp_ner = cpp.named_entity_extractor(artifacts["ner"])
+    cpp_det = cpp.binary_relation_detector(artifacts["svm"])
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    my_det = api.binary_relation_detector(artifacts["svm"])
+
+    toks = (
+        "long ago in a galaxy far away".split()
+        + ["Alice", "works", "at", "Acme"]
+        + "which makes dynamite and other fine products every day .".split()
+    )
+    a1 = range(7, 8)
+    a2 = range(10, 11)
+    ref = cpp_det(cpp_ner.extract_binary_relation(toks, a1, a2))
+    cropped = my_det(my_ner.extract_binary_relation(toks, a1, a2, window_crop=5))
+    uncropped = my_det(my_ner.extract_binary_relation(toks, a1, a2))
+    assert cropped == ref
+    assert uncropped == cropped
+
+
+def test_cpp_trained_text_categorizer_matches(cpp, artifacts):
+    from mitie_spark import api
+
+    cpp_cat = cpp.text_categorizer(artifacts["cat"])
+    my_cat = api.text_categorizer(artifacts["cat"])
+    for toks in [
+        ["Erin", "works", "at", "Globex", "."],
+        ["the", "price", "of", "Umbrella", "fell", "."],
+        ["completely", "unrelated", "words", "here"],
+    ]:
+        ref_label, ref_score = cpp_cat(toks)
+        got_label, got_score = my_cat(toks)
+        assert got_label == ref_label
+        assert got_score == pytest.approx(ref_score, rel=SCORE_RTOL)
+
+
+# ---------------------------------------------------------------------------
+# direction: our writer -> the C++ reader
+# ---------------------------------------------------------------------------
+
+
+def test_our_rewritten_ner_dat_loads_in_cpp(cpp, artifacts, tmp_path):
+    from mitie_spark import api
+
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    back = str(tmp_path / "ner_back.dat")
+    my_ner.save_to_disk(back)
+    cpp_orig = cpp.named_entity_extractor(artifacts["ner"])
+    cpp_back = cpp.named_entity_extractor(back)
+    for toks in TEST_SENTS:
+        assert _cpp_ents(cpp_back, toks) == _cpp_ents(cpp_orig, toks)
+
+
+def test_our_rewritten_pure_model_loads_in_cpp(cpp, artifacts, tmp_path):
+    from mitie_spark import api
+
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    back = str(tmp_path / "ner_back_pure.dat")
+    my_ner.save_to_disk(back, pure_model=True)
+    cpp_orig = cpp.named_entity_extractor(artifacts["ner"])
+    cpp_back = cpp.named_entity_extractor(back, artifacts["twfe"].encode())
+    for toks in TEST_SENTS:
+        assert _cpp_ents(cpp_back, toks) == _cpp_ents(cpp_orig, toks)
+
+
+def test_our_trained_svm_scores_identically_in_cpp(cpp, artifacts, tmp_path):
+    """Detector trained by OUR trainer (reference feature space) exports a
+    real one-basis-vector .svm; the C++ must score it identically to us on
+    identical features (binding crop on both sides)."""
+    from mitie_spark import api
+
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    tr = api.binary_relation_detector_trainer("people.person.employer", my_ner)
+    for toks, a1, a2 in REL_POS:
+        tr.add_positive_binary_relation(toks, a1, a2)
+    for toks, a1, a2 in REL_NEG:
+        tr.add_negative_binary_relation(toks, a1, a2)
+    mine = tr.train()
+    p = str(tmp_path / "rel_ours.svm")
+    mine.save_to_disk(p)
+
+    cpp_ner = cpp.named_entity_extractor(artifacts["ner"])
+    cpp_det = cpp.binary_relation_detector(p)
+    for toks, a1, a2 in REL_POS + REL_NEG:
+        ref = cpp_det(cpp_ner.extract_binary_relation(toks, a1, a2))
+        got = mine(my_ner.extract_binary_relation(toks, a1, a2, window_crop=5))
+        assert got == pytest.approx(ref, rel=1e-9)
+
+
+def test_our_rewritten_categorizer_loads_in_cpp(cpp, artifacts, tmp_path):
+    from mitie_spark import api
+
+    my_cat = api.text_categorizer(artifacts["cat"])
+    back = str(tmp_path / "cat_back.dat")
+    my_cat.save_to_disk(back)
+    cpp_orig = cpp.text_categorizer(artifacts["cat"])
+    cpp_back = cpp.text_categorizer(back)
+    for toks in [["Erin", "works", "at", "Globex", "."], ["price", "fell"]]:
+        assert cpp_back(toks) == cpp_orig(toks)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer differential
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_TEXTS = [
+    "Hello, world!  This is MR. O'Brien's 2nd-rate co-op.",
+    "naïve café — “smart quotes” and an em—dash…",
+    "日本語のテキスト mixed with English and 数字123 etc.",
+    "tabs\tand\r\nCRLF\nnewlines nbsp",
+    "emoji 👩‍👩‍👧‍👦 zwj sequences ￠￡ halfwidth marks",
+    "a.b.c.d e.g. i.e. U.S.A. 3.14159 1,000,000 $5.00",
+    "x<y>z a&b 'quoted' \"double\" (paren) [brack] {brace}",
+    "Ψηφιακή ανάλυση — данные и ещё текст؟ عربى",
+    "",
+    "    ",
+    "word",
+]
+
+
+def test_tokenize_differential(cpp):
+    from mitie_spark.functions.tokenizer import iter_tokens_bytes, tokenize_with_offsets
+
+    for text in ADVERSARIAL_TEXTS:
+        ref = cpp.tokenize(text)  # list of bytes
+        got = [t for t, _ in iter_tokens_bytes(text.encode("utf-8"))]
+        assert got == ref, text
+        ref_off = cpp.tokenize_with_offsets(text)
+        got_off = [
+            (t.encode("utf-8"), o) for t, o in tokenize_with_offsets(text)
+        ]
+        # our tokens decoded utf-8 then re-encoded: compare via raw bytes
+        raw = list(iter_tokens_bytes(text.encode("utf-8")))
+        assert [(t, o) for t, o in raw] == [(t, o) for t, o in ref_off], text

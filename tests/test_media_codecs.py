@@ -266,3 +266,162 @@ def test_decode_image_corrupt_payload_degrades_to_fake():
 
     with _pytest.raises(OSError):
         decode_image(corrupt, deterministic_fake=False, decoder=exploding_decoder)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _forward_filter_row(filt, cur, prev, bpp):
+    """Independent scalar forward-filter (PNG spec §9) used to craft test
+    payloads — the decoder must invert it exactly."""
+    out = bytearray(len(cur))
+    for i in range(len(cur)):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if filt == 0:
+            out[i] = cur[i]
+        elif filt == 1:
+            out[i] = (cur[i] - a) & 0xFF
+        elif filt == 2:
+            out[i] = (cur[i] - b) & 0xFF
+        elif filt == 3:
+            out[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _build_png(pixels, color, bitd=8, filters=None, interlace=0, plte=None):
+    """Hand-built PNG with a chosen filter per row (forward-filtered by the
+    independent scalar implementation above)."""
+    import struct as _s
+    import zlib
+
+    H = len(pixels)
+    stride = len(pixels[0])
+    bpp = max(1, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color] * (bitd // 8))
+    filters = filters or [0] * H
+    prev = bytes(stride)
+    raw = bytearray()
+    for r in range(H):
+        raw.append(filters[r])
+        raw += _forward_filter_row(filters[r], pixels[r], prev, bpp)
+        prev = pixels[r]
+    W = stride // bpp if bitd == 8 else stride // bpp
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return _s.pack(">I", len(data)) + ctype + data + _s.pack(">I", crc)
+
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    W = stride // (n_ch * (bitd // 8))
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", _s.pack(">IIBBBBB", W, H, bitd, color, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_roundtrip_gray_and_rgb():
+    from mitie_spark.operators.media_codecs import decode_png, encode_png, sniff_kind
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    p = encode_png(gray)
+    assert sniff_kind(p) == "png"
+    arr, maxval = decode_png(p)
+    assert maxval == 255 and np.array_equal(arr, gray)
+
+    rgb = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    arr, maxval = decode_png(encode_png(rgb))
+    assert maxval == 255 and np.array_equal(arr, rgb)
+
+
+def test_png_all_filter_types_invert_exactly():
+    """Each spec filter (None/Sub/Up/Average/Paeth) forward-applied by an
+    independent scalar implementation must decode back to the pixels."""
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(17)
+    H, W = 10, 6
+    img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    rows = [img[r].tobytes() for r in range(H)]
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]
+    p = _build_png(rows, color=2, filters=filters)
+    arr, maxval = decode_png(p)
+    assert np.array_equal(arr, img)
+
+
+def test_png_16bit_palette_and_alpha():
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(5)
+    # 16-bit grayscale, big-endian samples
+    g16 = rng.integers(0, 65536, (4, 3), dtype=np.uint16)
+    rows = [g16[r].astype(">u2").tobytes() for r in range(4)]
+    arr, maxval = decode_png(_build_png(rows, color=0, bitd=16, filters=[0, 1, 2, 4]))
+    assert maxval == 65535 and np.array_equal(arr, g16)
+
+    # palette: indices gather through PLTE as RGB
+    pal = np.arange(30, dtype=np.uint8)  # 10 entries
+    idx = np.array([[0, 9, 3], [5, 5, 1]], dtype=np.uint8)
+    rows = [idx[r].tobytes() for r in range(2)]
+    arr, maxval = decode_png(
+        _build_png(rows, color=3, filters=[0, 1], plte=pal.tobytes())
+    )
+    assert maxval == 255 and np.array_equal(arr, pal.reshape(10, 3)[idx])
+
+    # RGBA drops alpha; gray+alpha keeps luma channel
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    rows = [rgba[r].tobytes() for r in range(3)]
+    arr, _ = decode_png(_build_png(rows, color=6, filters=[4, 3, 1]))
+    assert np.array_equal(arr, rgba[..., :3])
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    rows = [ga[r].tobytes() for r in range(3)]
+    arr, _ = decode_png(_build_png(rows, color=4, filters=[2, 4, 3]))
+    assert np.array_equal(arr, ga[..., 0])
+
+
+def test_png_rejects_interlace_and_garbage():
+    import pytest as _pytest
+
+    from mitie_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        decode_png,
+        encode_png,
+    )
+
+    img = np.zeros((2, 2), dtype=np.uint8)
+    rows = [img[r].tobytes() for r in range(2)]
+    with _pytest.raises(UnsupportedMediaError):
+        decode_png(_build_png(rows, color=0, interlace=1))
+    with _pytest.raises(UnsupportedMediaError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"junkjunkjunk")
+    # corrupt the deflate stream: must degrade, not crash
+    good = bytearray(encode_png(img))
+    good[-20] ^= 0xFF
+    with _pytest.raises(UnsupportedMediaError):
+        decode_png(bytes(good))
+
+
+def test_png_feeds_builtin_decoder():
+    from mitie_spark.operators.media_codecs import (
+        FEATURE_DIM,
+        builtin_decoder,
+        encode_png,
+        image_feature,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    feat = builtin_decoder(encode_png(rgb))
+    assert feat.shape == (FEATURE_DIM,)
+    assert np.array_equal(feat, image_feature(rgb))

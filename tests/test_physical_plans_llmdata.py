@@ -94,3 +94,20 @@ def test_substring_spans_shuffles_hashes_not_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_embedding_topk_has_no_interpreted_folds(spark):
+    """The gated cosine queries score via ONE Arrow-batched pandas UDF over
+    integer-quantized vectors (engine-independent exact dots) — the
+    interpreted F.aggregate/zip_with lambda folds are gone from the plan."""
+    plan = _plan(_q(spark, "embedding_topk"))
+    assert "aggregate(" not in plan and "lambdafunction" not in plan
+    assert "ArrowEvalPython" in plan  # the vectorized scorer
+    # the query side broadcasts: no shuffle on the N-row candidate scan
+    assert "BroadcastExchange" in plan
+
+
+def test_ivf_topk_has_no_interpreted_folds(spark):
+    plan = _plan(_q(spark, "ivf_topk"))
+    assert "aggregate(" not in plan and "lambdafunction" not in plan
+    assert "BroadcastExchange" in plan
