@@ -366,6 +366,40 @@ class WordVectors:
         out[1 + self.core.shape[1] :] = self.morph_vector(word)
         return out
 
+    def to_twfe_dict(self) -> dict:
+        """Render as a real ``mitie::total_word_feature_extractor`` object
+        graph (the artifact tools/wordrep writes after the A1→A6 chain,
+        main.cpp:142-149): per-word STORED vectors [flag=0, core, morph],
+        OOV reconstructed from the morph tables at probe time. Write with
+        sources.dlib_models.write_total_word_feature_extractor — the
+        compiled reference and our DlibTotalWordFeatureExtractor both load
+        the result (cross-engine tested) and reproduce token_features
+        bit-for-bit."""
+        from mitie_spark.functions import morphology as _morph
+
+        V = len(self.words)
+        vecs = np.zeros((V, self.dims), dtype=np.float32)
+        for i, w in enumerate(self.words):
+            vecs[i, 1 : 1 + self.core.shape[1]] = self.core[i]
+            vecs[i, 1 + self.core.shape[1] :] = self.morph_vector(w)
+        return {
+            "fingerprint": self.fingerprint,
+            "non_morph_feats": 1 + self.core.shape[1],
+            "words": list(self.words),
+            "vectors": vecs,
+            "morph": {
+                "substrings": {
+                    "mask": _morph._MASK,
+                    "mask_bits": _morph._MASK_BITS,
+                    "init_hash": _morph._INIT_HASH,
+                    "max_substr_len": self.substring_set.max_substr_len,
+                    "hash_table": self.substring_set.hash_table,
+                    "crc_table": _morph._CRC,
+                },
+                "morph_trans": self.morph_trans.astype(np.float32),
+            },
+        }
+
     def save(self, path: str) -> None:
         np.savez_compressed(
             path,

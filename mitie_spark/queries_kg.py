@@ -563,14 +563,46 @@ def text_categories(spark, sf_dir):
     )
 
 
+_LANGID_CACHE: dict = {}
+
+
+def _langid_model(spark):
+    """Char-n-gram NB trained in ONE Spark groupBy pass over lang-labeled
+    pages, weights broadcast into the scoring UDF (functions/langid). The
+    training pages are the synthetic per-language corpus — the driver
+    test corpora label `lang` independently of the text (verified: 'zh'
+    docs carry English tokens), so they hold no learnable signal; at
+    100 TB you point train_spark at a bounded sample of genuinely
+    lang-labeled pages instead. The model is a 5×4096 matrix regardless
+    of corpus size. Cached per session like the dedup candidate frames."""
+    import pandas as pd
+
+    from mitie_spark.functions.langid import CharNgramLangID, synthetic_lang_corpus
+
+    key = f"{spark.sparkContext.applicationId}:langid"
+    model = _LANGID_CACHE.get(key)
+    if model is None:
+        rows = synthetic_lang_corpus(n_per_lang=200, seed=13)
+        train = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["lang", "text"])
+        )
+        model = CharNgramLangID.train_spark(train, text_col="text", lang_col="lang")
+        _LANGID_CACHE[key] = model
+    return model
+
+
 @query("lang_id_distribution")
 def lang_id_distribution(spark, sf_dir):
-    from mitie_spark.functions.text_quality import register_udfs
+    """Language-ID over the corpus with a TRAINED model (char-n-gram
+    multinomial NB over hashed UTF-8 byte 1/2/3-grams — functions/langid),
+    not the stopword heuristic: one Arrow-vectorized UDF scoring with the
+    broadcast 5×4096 weight matrix. Held-out accuracy is pinned ≥0.99 in
+    tests/test_text_analysis.py."""
     from mitie_spark.session import by_compute, load_tables
 
+    model = _langid_model(spark)
     docs = by_compute(load_tables(spark, sf_dir, ["documents"])["documents"])
-    lang_udf, _ = register_udfs()
-    out = docs.select(lang_udf(F.col("text")).alias("lid"))
+    out = docs.select(model.udf()(F.col("text")).alias("lid"))
     return (
         out.select(F.col("lid.lang").alias("pred_lang"))
         .groupBy("pred_lang")
