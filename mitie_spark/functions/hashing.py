@@ -171,10 +171,13 @@ def make_feat(hash_pair: tuple[int, int]) -> tuple[int, float]:
 
 @lru_cache(maxsize=200_000)
 def shash(word: str, seed: int) -> tuple[int, int]:
-    """murmur-128 of the word bytes (ner_feature_extraction.h:92-100)."""
+    """murmur-128 of the word bytes (ner_feature_extraction.h:92-100).
+    surrogateescape: stems can legally end mid-UTF-8-sequence (the
+    reference stemmer truncates BYTES — functions/stemmer.stem_word), and
+    the escape round-trips those exact bytes into the hash."""
     if not word:
         return (0, 0)
-    return murmur_hash3_128(word.encode("utf-8"), seed)
+    return murmur_hash3_128(word.encode("utf-8", "surrogateescape"), seed)
 
 
 def _schar(byte: int) -> int:

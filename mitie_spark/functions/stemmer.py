@@ -277,23 +277,41 @@ class _Stemmer:
 
 
 @lru_cache(maxsize=500_000)
-def stem_word(word: str) -> str:
-    """Lowercase + stem, per the reference wrapper (stemmer.cpp:23-35).
-    Words of length ≤ 2 pass through unstommed (the k<=1 DEPARTURE,
-    stem.c:372)."""
-    w = word.lower()
-    if len(w) <= 1:
-        return w
+def stem_word_bytes(word: str) -> bytes:
+    """BYTE-faithful reference stem (stemmer.cpp:23-35): per-byte ASCII
+    tolower (glibc C-locale tolower leaves bytes ≥0x80 — negative signed
+    chars — unchanged), then stem.c over the raw UTF-8 bytes. Running the
+    char-level port over the latin-1 decoding is bit-equivalent: every
+    byte maps to one char ≤0xFF, the vowel/suffix comparisons see the same
+    values, and the result re-encodes to the exact output bytes. Unicode-
+    aware ``str.lower()`` diverged here ('É'→'é' vs the reference's
+    unchanged 0xC3 0x89), which broke cross-engine chunk-feature parity on
+    non-ASCII words (tests/test_cross_engine.py pins it now)."""
+    b = word.encode("utf-8", "surrogateescape")
+    low = bytes(c + 32 if 0x41 <= c <= 0x5A else c for c in b)
+    if len(low) <= 1:
+        return low
+    w = low.decode("latin-1")
     z = _Stemmer(w)
     if z.k <= 1:
-        return w
+        return low
     z.step1ab()
     z.step1c()
     z.step2()
     z.step3()
     z.step4()
     z.step5()
-    return "".join(z.b[: z.k + 1])
+    return "".join(z.b[: z.k + 1]).encode("latin-1")
+
+
+def stem_word(word: str) -> str:
+    """Lowercase + stem, per the reference wrapper (stemmer.cpp:23-35).
+    Words of length ≤ 2 pass through unstommed (the k<=1 DEPARTURE,
+    stem.c:372). The stem can end mid-UTF-8-sequence (the reference
+    truncates BYTES); surrogateescape keeps that reversible — hashing
+    (functions/hashing.shash) encodes the same way, so hashed stems match
+    the reference's byte stems exactly."""
+    return stem_word_bytes(word).decode("utf-8", "surrogateescape")
 
 
 def register_udf():

@@ -104,6 +104,10 @@ TEST_SENTS = [
     ["nothing", "to", "see", "here", "."],
     # OOV words, digits (convert_numbers fold), all-caps, hyphens
     ["XJQZW", "knows", "Acme-Corp", "since", "1984", "said", "MR.", "Frank", "."],
+    # non-ASCII: chunk features hash RAW UTF-8 BYTES (signed-char prefix/
+    # suffix, byte-level tolower in the stemmer) — caught a real parity bug
+    ["naïve", "Müller", "visited", "ÉCOLE", "at", "café-bar", "日本語", "."],
+    ["Ärger", "über", "die", "STRAßE", "met", "żółć", "SEÑOR", "."],
 ]
 
 
@@ -266,6 +270,9 @@ def test_cpp_trained_relation_detector_bit_exact(cpp, artifacts):
          range(0, 1), range(3, 4)),
         (["the", "old", "Erin", "quietly", "joined", "Umbrella", "."],
          range(2, 3), range(5, 6)),
+        # non-ASCII args/context: relation n-grams hash raw UTF-8 bytes
+        (["Müller", "works", "at", "Straßenbahn-AG", "in", "München", "."],
+         range(0, 1), range(3, 4)),
     ]
     for toks, a1, a2 in pairs:
         ref = cpp_det(cpp_ner.extract_binary_relation(toks, a1, a2))

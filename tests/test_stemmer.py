@@ -61,3 +61,25 @@ def test_classic_chains():
 def test_lowercasing():  # stemmer.cpp:23-35 lowercases first
     assert stem_word("Meetings") == "meet"
     assert stem_word("CATS") == "cat"
+
+
+def test_stem_byte_semantics_non_ascii():
+    """The reference stems BYTES: dlib::tolower lowercases only A-Z (bytes
+    >=0x80 are negative signed chars, unchanged by C-locale tolower), and
+    stem.c runs over the UTF-8 byte buffer (stemmer.cpp:23-35). Unicode-
+    aware lowercasing is therefore WRONG here — pin the byte behavior."""
+    from mitie_spark.functions.stemmer import stem_word, stem_word_bytes
+
+    # non-ASCII uppercase must NOT lowercase (the reference leaves the
+    # 0xC3 0x89 bytes of 'É' alone; only the ASCII 'COLE' tail lowers)
+    assert stem_word_bytes("ÉCOLE") == "É".encode("utf-8") + b"cole"
+    assert stem_word_bytes("Müller") == "müller".encode("utf-8")
+    # pure-ASCII behavior is unchanged
+    assert stem_word("Running") == "run"
+    assert stem_word("CARESSES") == "caress"
+    # hashing round-trips the exact stem bytes even when the stem is not
+    # valid UTF-8 on its own
+    from mitie_spark.functions.hashing import murmur_hash3_128, shash
+
+    s = stem_word("ÉCOLE")
+    assert shash(s, 7) == murmur_hash3_128(stem_word_bytes("ÉCOLE"), 7)
