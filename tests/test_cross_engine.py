@@ -423,3 +423,39 @@ def test_tokenize_differential(cpp):
         # our tokens decoded utf-8 then re-encoded: compare via raw bytes
         raw = list(iter_tokens_bytes(text.encode("utf-8")))
         assert [(t, o) for t, o in raw] == [(t, o) for t, o in ref_off], text
+
+
+def test_tokenize_fuzz_differential(cpp):
+    """Property fuzz: random byte soup (NUL-free — the C API takes a
+    NUL-terminated char*) must tokenize byte-identically to the compiled
+    reference, tokens AND offsets."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mitie_spark.functions.tokenizer import iter_tokens_bytes
+
+    # mix printable ASCII, punctuation-heavy text, and arbitrary unicode
+    text_strategy = st.one_of(
+        st.text(
+            alphabet=st.sampled_from(list("aA.'() \t\n\r\"[]|,:?!-0129Uu")),
+            max_size=60,
+        ),
+        st.text(max_size=40),
+        st.binary(max_size=40).map(lambda b: b.decode("utf-8", "replace")),
+    )
+
+    @given(text_strategy)
+    @settings(
+        max_examples=300,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(text):
+        text = text.replace("\x00", " ")
+        data = text.encode("utf-8")
+        got = list(iter_tokens_bytes(data))
+        ref = cpp.tokenize_with_offsets(text)
+        assert [(t, o) for t, o in got] == [(t, o) for t, o in ref], text
+
+    check()
