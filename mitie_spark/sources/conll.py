@@ -29,7 +29,13 @@ def parse_conll_text(text: str) -> list[list[tuple[str, str]]]:
     (conll_parser.cpp:86-100)."""
     sentences: list[list[tuple[str, str]]] = []
     sentence: list[tuple[str, str]] = []
-    for ln, line in enumerate(text.split("\n"), 1):
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        # a trailing newline is a line TERMINATOR, not an empty final line
+        # (C++ getline semantics) — without this, every file ending in
+        # "\n\n" grew a phantom empty sentence
+        lines.pop()
+    for ln, line in enumerate(lines, 1):
         toks = line.split()
         if len(toks) == 4:
             if toks[3] not in _VALID_BIO:

@@ -459,3 +459,102 @@ def test_tokenize_fuzz_differential(cpp):
         assert [(t, o) for t, o in got] == [(t, o) for t, o in ref], text
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# CoNLL eval harness differential
+# ---------------------------------------------------------------------------
+
+CONLL_FILE = str(REPO / "data" / "conll" / "eval.conll")
+
+
+@pytest.fixture(scope="module")
+def conll_eval_artifacts(cpp, artifacts):
+    """A C++-trained NER with CoNLL tag names (PERSON/ORGANIZATION/
+    LOCATION) + the compiled probe wrapping the reference's own
+    evaluate_named_entity_recognizer (ner_trainer.cpp:614-688)."""
+    import math  # noqa: F401
+
+    ner_path = XENG / "ner_conll.dat"
+    probe = REFBUILD / "probe_eval"
+    if not ner_path.exists():
+        from mitie_spark.sources.conll import parse_conll_sentences
+
+        sents = parse_conll_sentences(open(CONLL_FILE).read())
+        trainer = cpp.ner_trainer(artifacts["twfe"])
+        # train on 2 of every 3 sentences; the held-out third gives the
+        # eval non-trivial FP/FN counts
+        for i, (toks, chunks) in enumerate(sents):
+            if i % 3 == 2 or not chunks:
+                continue
+            inst = cpp.ner_training_instance(toks)
+            ok = True
+            for s, e, lab in chunks:
+                try:
+                    inst.add_entity(range(s, e), lab)
+                except Exception:
+                    ok = False
+            if ok:
+                trainer.add(inst)
+        trainer.num_threads = 4
+        ner = trainer.train()
+        ner.save_to_disk(str(ner_path))
+    if not probe.exists():
+        r = subprocess.run(
+            ["g++", "-O3", "-Imitielib/include", "-Idlib",
+             str(REPO / "tests" / "cross_engine" / "probe_eval.cpp"),
+             "mitielib/libmitie.a", "-lpthread", "-o", str(probe)],
+            cwd=REFBUILD, capture_output=True, timeout=600,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"probe_eval build failed: {r.stderr[-400:]!r}")
+    return str(ner_path), str(probe)
+
+
+def test_conll_eval_matches_reference_exactly(conll_eval_artifacts):
+    """Our CoNLL eval harness (models/conll_eval) must reproduce the
+    reference's evaluate_named_entity_recognizer EXACTLY — same per-label
+    and overall precision/recall doubles (the counts are integers, the
+    ratios divide identically). The reference prints nan for a 0-dets
+    label; our harness encodes that as 0.0 (documented SQL-friendly
+    choice) — normalized before comparison."""
+    import math
+
+    from mitie_spark.models.conll_eval import evaluate_ner
+    from mitie_spark.sources.conll import parse_conll_sentences
+    from mitie_spark.sources.dlib_models import ner_model_from_dlib
+
+    ner_path, probe = conll_eval_artifacts
+    out = subprocess.run(
+        [probe, ner_path, CONLL_FILE], capture_output=True, text=True
+    ).stdout
+    ref: dict[str, tuple[float, float]] = {}
+    n_sent = None
+    for line in out.strip().splitlines():
+        parts = line.split()
+        if parts[0] == "sentences":
+            n_sent = int(parts[1])
+        elif parts[0] in ("LABEL", "OVERALL"):
+            lab = parts[1] if parts[0] == "LABEL" else "OVERALL"
+            p, r = float(parts[-2]), float(parts[-1])
+            ref[lab] = (0.0 if math.isnan(p) else p, 0.0 if math.isnan(r) else r)
+    assert n_sent and len(ref) >= 3
+
+    model = ner_model_from_dlib(ner_path)
+    sents = parse_conll_sentences(open(CONLL_FILE).read())
+    assert len(sents) == n_sent  # both parsers found the same sentences
+    rows = evaluate_ner(
+        model, [t for t, _ in sents], [c for _, c in sents]
+    )
+    got = {r["label"]: (r["precision"], r["recall"]) for r in rows}
+
+    # the reference reports every model tag; ours reports labels with any
+    # counts plus OVERALL — compare the intersection plus OVERALL, and the
+    # eval must be non-trivial (some but not all detections correct)
+    assert got["OVERALL"] == ref["OVERALL"]
+    for lab, (p, r) in ref.items():
+        if lab == "OVERALL":
+            continue
+        gp, gr = got.get(lab, (0.0, 0.0))
+        assert (gp, gr) == (p, r), lab
+    assert 0.0 < got["OVERALL"][1] <= 1.0
