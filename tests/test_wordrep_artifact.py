@@ -106,3 +106,33 @@ def test_api_facade_exposes_wordrep_artifact(wv, tmp_path):
     assert twfe.num_words_in_dictionary == len(wv.words)
     w = wv.words[0]
     assert np.array_equal(twfe.get_feature_vector(w), wv.token_features(w))
+
+
+def test_cpp_trainer_consumes_wordrep_artifact(wv, tmp_path):
+    """The REAL trained A1→A6 artifact (not a synthetic fixture) must
+    deserialize inside the reference C++ — constructing its ner_trainer
+    loads the total_word_feature_extractor (mitie_create_ner_trainer).
+    Skipped when the cross-engine build is unavailable."""
+    import shutil
+    from pathlib import Path
+
+    so = Path(__file__).resolve().parent.parent / ".refbuild" / "mitielib" / "libmitie.so"
+    if not so.exists() or shutil.which("g++") is None:
+        pytest.skip("compiled reference unavailable")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mitie_wr", str(so.parent / "mitie.py")
+    )
+    cpp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cpp)
+
+    from mitie_spark.sources.dlib_models import write_total_word_feature_extractor
+
+    p = str(tmp_path / "twfe.dat")
+    write_total_word_feature_extractor(p, wv.to_twfe_dict())
+    trainer = cpp.ner_trainer(p)  # C++ deserializes our trained artifact
+    inst = cpp.ner_training_instance(["Alice", "visited", "Acme", "."])
+    inst.add_entity(range(0, 1), "person")
+    trainer.add(inst)
+    assert trainer.size == 1
