@@ -194,6 +194,37 @@ def train_word_feature_source(seg_sents, vocab_size=2000, cca_dim=16, morph_dim=
     return ShapeAugmentedWordVectors(wv)
 
 
+def train_langid(out_dir: str = ARTIFACT_DIR) -> None:
+    """Train the char-n-gram NB lang-ID on the synthetic per-language
+    corpus and save it as a committed artifact (functions/langid — the
+    driver corpora's lang labels are text-independent, so this is the
+    learnable training source; see queries_kg._langid_model). Local NumPy
+    fit of the same counts train_spark aggregates — tiny data, no session
+    needed at artifact-build time."""
+    import numpy as np
+
+    from mitie_spark.functions.langid import (
+        N_BUCKETS,
+        _SMOOTH,
+        CharNgramLangID,
+        synthetic_lang_corpus,
+        text_buckets,
+    )
+
+    rows = synthetic_lang_corpus(n_per_lang=200, seed=13)
+    langs = sorted({l for l, _ in rows})
+    lid = {l: i for i, l in enumerate(langs)}
+    counts = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
+    for lang, text in rows:
+        counts[lid[lang]] += text_buckets(text)
+    totals = counts.sum(axis=1, keepdims=True)
+    log_w = np.log(counts + _SMOOTH) - np.log(totals + _SMOOTH * N_BUCKETS)
+    model = CharNgramLangID(
+        langs, log_w, np.full(len(langs), -np.log(len(langs)))
+    )
+    model.save(os.path.join(out_dir, "langid.npz"))
+
+
 def train_all(
     out_dir: str = ARTIFACT_DIR,
     n_train_docs: int = 4000,
@@ -213,6 +244,7 @@ def train_all(
     rel.save(os.path.join(out_dir, "relation_model.npz"))
     cat = train_text_categorizer(build_categorizer_data(800, seed))
     cat.save(os.path.join(out_dir, "text_categorizer.npz"))
+    train_langid(out_dir)
     cat_eval = build_categorizer_data(200, seed + 1)
     cat_acc = sum(1 for toks, y in cat_eval if cat(toks)[0] == y) / len(cat_eval)
     metrics = evaluate(ner, rel, n_docs=300, seed=999)

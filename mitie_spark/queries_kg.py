@@ -566,28 +566,42 @@ def text_categories(spark, sf_dir):
 _LANGID_CACHE: dict = {}
 
 
-def _langid_model(spark):
-    """Char-n-gram NB trained in ONE Spark groupBy pass over lang-labeled
-    pages, weights broadcast into the scoring UDF (functions/langid). The
-    training pages are the synthetic per-language corpus — the driver
-    test corpora label `lang` independently of the text (verified: 'zh'
-    docs carry English tokens), so they hold no learnable signal; at
-    100 TB you point train_spark at a bounded sample of genuinely
-    lang-labeled pages instead. The model is a 5×4096 matrix regardless
-    of corpus size. Cached per session like the dedup candidate frames."""
-    import pandas as pd
+def _langid_model(spark=None):
+    """Char-n-gram NB over lang-labeled pages, weights broadcast into the
+    scoring UDF (functions/langid). Loads the committed artifact
+    (models/artifacts/langid.npz — trained by models.train like the other
+    model artifacts); falls back to a one-groupBy-pass Spark training run
+    over the synthetic per-language corpus when the artifact is absent.
+    The driver test corpora label `lang` independently of the text
+    (verified: 'zh' docs carry English tokens), so they hold no learnable
+    signal; at 100 TB you point train_spark at a bounded sample of
+    genuinely lang-labeled pages instead. The model is a 5×4096 matrix
+    regardless of corpus size."""
+    import os
 
-    from mitie_spark.functions.langid import CharNgramLangID, synthetic_lang_corpus
+    from mitie_spark.functions.langid import CharNgramLangID
+    from mitie_spark.models.train import ARTIFACT_DIR
 
-    key = f"{spark.sparkContext.applicationId}:langid"
-    model = _LANGID_CACHE.get(key)
+    model = _LANGID_CACHE.get("model")
     if model is None:
-        rows = synthetic_lang_corpus(n_per_lang=200, seed=13)
-        train = spark.createDataFrame(
-            pd.DataFrame(rows, columns=["lang", "text"])
-        )
-        model = CharNgramLangID.train_spark(train, text_col="text", lang_col="lang")
-        _LANGID_CACHE[key] = model
+        path = os.path.join(ARTIFACT_DIR, "langid.npz")
+        if os.path.exists(path):
+            model = CharNgramLangID.load(path)
+        else:
+            import pandas as pd
+
+            from mitie_spark.functions.langid import synthetic_lang_corpus
+
+            if spark is None:
+                raise ValueError("no langid artifact and no SparkSession")
+            rows = synthetic_lang_corpus(n_per_lang=200, seed=13)
+            train = spark.createDataFrame(
+                pd.DataFrame(rows, columns=["lang", "text"])
+            )
+            model = CharNgramLangID.train_spark(
+                train, text_col="text", lang_col="lang"
+            )
+        _LANGID_CACHE["model"] = model
     return model
 
 
