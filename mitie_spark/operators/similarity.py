@@ -278,6 +278,10 @@ def cosine_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
+    # shuffle joins by design: at corpus scale BOTH sides can be huge (the
+    # vectors always, the pair list after a bad-parameter blocking round),
+    # so neither is safe to broadcast statically — AQE converts either
+    # side to a broadcast at runtime when its measured size allows
     joined = pairs.join(
         vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
     ).join(

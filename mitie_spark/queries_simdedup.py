@@ -518,18 +518,24 @@ def _doc_count_vectors(docs: DataFrame) -> DataFrame:
     import numpy as np
 
     def vecs_iter(batches):
+        # token→bucket memo: web text repeats tokens heavily (Zipf), so the
+        # md5 count collapses from tokens to distinct-tokens per worker
+        bucket: dict[str, int] = {}
+
+        def bk_of(t: str) -> int:
+            b = bucket.get(t)
+            if b is None:
+                b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 16) % _VDIM
+                if len(bucket) < 1_000_000:
+                    bucket[t] = b
+            return b
+
         for pdf in batches:
             ids, vs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = [t for t in (text or "").lower().split(" ") if t]
                 bk = np.fromiter(
-                    (
-                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 16)
-                        % _VDIM
-                        for t in toks
-                    ),
-                    dtype=np.int64,
-                    count=len(toks),
+                    (bk_of(t) for t in toks), dtype=np.int64, count=len(toks)
                 )
                 ids.append(doc_id)
                 vs.append(np.bincount(bk, minlength=_VDIM).astype(np.float64))
@@ -588,50 +594,28 @@ def dedup_embedding_cosine(spark, sf_dir):
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    # norm hoisted to ONE fold per row (CLAUDE.md: the sequential folds
-    # stay for oracle bit-exactness, but a doc in k candidate pairs must
-    # not pay k redundant norm folds — same value, computed once)
-    vecs = _doc_count_vectors(
-        docs.join(cand_ids, "doc_id", "left_semi")
-    ).withColumn(
-        "nrm",
-        F.sqrt(
-            F.aggregate(
-                F.transform("embedding", lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ),
-    )
+    # count vectors are INTEGER-valued, so dots and square sums are exact
+    # in float64 under any summation order — the vectorized Arrow scorer
+    # produces the same bits as DuckDB's sequential fold by construction,
+    # and the interpreted zip_with/aggregate lambdas (the last HOFs in a
+    # gated hot path) are gone from the plan
+    from mitie_spark.operators.similarity import _cos_pair_udf
+
+    vecs = _doc_count_vectors(docs.join(cand_ids, "doc_id", "left_semi"))
     out = (
         cand.join(
             vecs.select(
-                F.col("vec_id").alias("id_a"),
-                F.col("embedding").alias("va"),
-                F.col("nrm").alias("na"),
+                F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
             ),
             "id_a",
         )
         .join(
             vecs.select(
-                F.col("vec_id").alias("id_b"),
-                F.col("embedding").alias("vb"),
-                F.col("nrm").alias("nb"),
+                F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
             ),
             "id_b",
         )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.aggregate(
-                    F.zip_with("va", "vb", lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / (F.col("na") * F.col("nb"))
-            ).alias("cos"),
-        )
+        .select("id_a", "id_b", _cos_pair_udf(None)("va", "vb").alias("cos"))
         .filter(F.col("cos") >= _COS_T)
     )
     return out.select(
