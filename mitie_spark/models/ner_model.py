@@ -465,6 +465,11 @@ def dlib_f32_mean(rows: np.ndarray) -> np.ndarray:
     relation argument means (binary_relation_detector.cpp:121-133) use
     this accumulation, and NumPy's pairwise ``mean`` is one ulp off."""
     rows = np.ascontiguousarray(rows, dtype=np.float32)
+    if rows.shape[0] == 0:
+        # np.add.accumulate(...)[-1] would raise a bare IndexError; fail
+        # with the actual contract violation (the reference never takes a
+        # mean over an empty range — callers must guard their windows)
+        raise ValueError("dlib_f32_mean: empty range (no rows to average)")
     return np.add.accumulate(rows, axis=0)[-1] * np.float32(
         np.float32(1.0) / np.float32(rows.shape[0])
     )

@@ -187,6 +187,11 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Declared-dimension sanity cap: 64M pixels (a 8192x8192 RGBA16 image is
+# ~512 MB decoded — already generous for web-corpus thumbnails/photos).
+# Anything larger is treated as hostile and routed to the fallback seam.
+_PNG_MAX_PIXELS = 64 * 1024 * 1024
+
 
 def _png_defilter(raw: np.ndarray, H: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG per-row byte filters (spec §9: None/Sub/Up/Average/Paeth).
@@ -296,8 +301,34 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
     ch = _PNG_CHANNELS[color]
     bpp = ch * (bitd // 8)
     stride = W * bpp
+    # decompression-bomb guard: IHDR W/H are attacker-controlled in a web
+    # corpus, and an unbounded zlib.decompress of a crafted IDAT can
+    # allocate gigabytes inside the Arrow UDF (Spark then retries the same
+    # partition, so one hostile payload fails the whole job instead of
+    # routing to the UnsupportedMediaError fallback). Bound the declared
+    # pixel count, inflate at most the exact expected byte count, and
+    # reject streams that overflow it.
+    if W * H > _PNG_MAX_PIXELS:
+        raise UnsupportedMediaError(
+            f"PNG dimensions {W}x{H} exceed the {_PNG_MAX_PIXELS}-pixel cap"
+        )
+    expected = H * (1 + stride)  # one filter byte per scanline
     try:
-        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        dec = zlib.decompressobj()
+        inflated = dec.decompress(b"".join(idat), expected)
+        # anything beyond `expected` is parked in unconsumed_tail; one more
+        # capped call tells us whether real pixel bytes remain (a pure
+        # zlib trailer yields b"")
+        if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
+            raise UnsupportedMediaError(
+                "PNG IDAT inflates past the declared scanline size"
+            )
+        if len(inflated) != expected:
+            raise UnsupportedMediaError(
+                f"PNG IDAT inflated to {len(inflated)} bytes, "
+                f"expected {expected}"
+            )
+        raw = np.frombuffer(inflated, dtype=np.uint8)
     except zlib.error as e:
         raise UnsupportedMediaError(f"PNG inflate failed: {e}") from e
     px = _png_defilter(raw, H, stride, bpp)

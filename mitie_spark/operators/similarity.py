@@ -55,7 +55,15 @@ def _cos_pair_udf(scale: float | None):
         dots = (A * B).sum(axis=1)
         na = np.sqrt((A * A).sum(axis=1))
         nb = np.sqrt((B * B).sum(axis=1))
-        return pd.Series(dots / (na * nb))
+        # zero-norm guard: quantization can floor a tiny-magnitude vector
+        # to all zeros (components in [0, 1/scale)), and 0/0 would leak a
+        # platform-shaped NaN into ranking; emit an explicit NaN — Arrow
+        # surfaces it as SQL NULL, the same value the F.aggregate
+        # expressions this UDF replaced produced for 0/0
+        denom = na * nb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, np.nan, dots / denom)
+        return pd.Series(cos)
 
     return cos_udf
 
@@ -75,10 +83,13 @@ def brute_force_topk(
     the cosine of floor(x·scale)-quantized vectors — integer-exact dots
     make the value engine-independent (the oracle-gated form; see
     _cos_pair_udf)."""
-    q = queries.select(
+    # null embeddings cannot be scored (np.stack over a batch containing
+    # None raises and kills the whole task); drop them on BOTH sides like
+    # assign_cells does — a vector-less row has no cosine to anything
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
     )
-    c = candidates.select(
+    c = candidates.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
     )
     cos = _cos_pair_udf(quantize_scale)("qe", "ce")

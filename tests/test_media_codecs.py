@@ -412,6 +412,51 @@ def test_png_rejects_interlace_and_garbage():
         decode_png(bytes(good))
 
 
+def test_png_bomb_and_dimension_guards():
+    """Hostile payloads (web corpus!) must route to UnsupportedMediaError,
+    not allocate unbounded memory inside the Arrow UDF."""
+    import struct as _s
+    import zlib
+
+    import pytest as _pytest
+
+    from mitie_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return _s.pack(">I", len(data)) + ctype + data + _s.pack(">I", crc)
+
+    # (a) absurd declared dimensions: 1e9 x 1e9 grayscale, tiny IDAT —
+    # must be rejected on the W*H cap before any inflate/allocation
+    huge = b"\x89PNG\r\n\x1a\n"
+    huge += chunk(b"IHDR", _s.pack(">IIBBBBB", 10**9, 10**9, 8, 0, 0, 0, 0))
+    huge += chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+    huge += chunk(b"IEND", b"")
+    with _pytest.raises(UnsupportedMediaError, match="pixel cap"):
+        decode_png(huge)
+
+    # (b) decompression bomb: declares 2x2 but the IDAT inflates to 32 MB
+    # of zeros (compresses to ~32 KB) — must stop at the expected byte
+    # count and reject, never materialize the full 32 MB
+    bomb = b"\x89PNG\r\n\x1a\n"
+    bomb += chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    bomb += chunk(b"IDAT", zlib.compress(b"\x00" * (32 * 1024 * 1024)))
+    bomb += chunk(b"IEND", b"")
+    with _pytest.raises(UnsupportedMediaError, match="inflates past"):
+        decode_png(bomb)
+
+    # (c) underfull IDAT: inflates to fewer bytes than H*(1+stride)
+    short = b"\x89PNG\r\n\x1a\n"
+    short += chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    short += chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+    short += chunk(b"IEND", b"")
+    with _pytest.raises(UnsupportedMediaError, match="inflated to"):
+        decode_png(short)
+
+
 def test_png_feeds_builtin_decoder():
     from mitie_spark.operators.media_codecs import (
         FEATURE_DIM,

@@ -33,6 +33,44 @@ def test_brute_force_topk(spark, emb_df):
     assert all(r.cos > 0.99 for r in got if r.rk <= 3)
 
 
+def test_brute_force_topk_null_and_zero_norm_guards(spark):
+    """NULL embeddings must be filtered (not crash np.stack in the UDF),
+    and a vector that quantizes to all-zero must yield NaN, not a 0/0
+    platform artifact."""
+    from mitie_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, None),  # unscoreable: must be dropped, not kill the task
+        (3, [1e-9, 1e-9, 1e-9]),  # floors to all-zero under 1e6 quantization
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    c = df.filter("vec_id > 0")
+    got = {r.cid: r.cos for r in brute_force_topk(c, q, k=10).collect()}
+    assert 2 not in got  # null embedding filtered on the candidate side
+    assert got[1] > 0.98
+    quant = {
+        r.cid: r.cos
+        for r in brute_force_topk(c, q, k=10, quantize_scale=1e6).collect()
+    }
+    # NumPy-side NaN arrives as SQL NULL through Arrow — the same value
+    # the F.aggregate expressions this UDF replaced produced for 0/0
+    assert quant[3] is None
+
+    # null on the QUERY side must be filtered too
+    qn = df.filter("vec_id = 2")
+    assert brute_force_topk(c, qn, k=5).count() == 0
+
+
+def test_dlib_f32_mean_empty_range_raises():
+    from mitie_spark.models.ner_model import dlib_f32_mean
+
+    with pytest.raises(ValueError, match="empty range"):
+        dlib_f32_mean(np.zeros((0, 4), dtype=np.float32))
+
+
 def test_ivf_topk_recall(spark, emb_df):
     from mitie_spark.operators.similarity import brute_force_topk, ivf_topk
 
