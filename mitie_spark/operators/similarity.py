@@ -214,6 +214,83 @@ def ivf_topk(
     )
 
 
+def _score_one_bucket(ids, X, thr, out_a, out_b, out_c):
+    """All in-bucket pairs with cosine ≥ thr → appended to the out_* lists.
+    Chunked matmul bounds memory to CH·|bucket| scores on a degenerate
+    bucket. Shared by the distributed partition scorer and the probe-gated
+    driver path so both produce bit-identical pairs."""
+    m = len(ids)
+    norms = np.sqrt((X * X).sum(axis=1))
+    CH = 1024
+    j_idx = np.arange(m)
+    for s in range(0, m, CH):
+        e = min(s + CH, m)
+        G = X[s:e] @ X.T
+        denom = norms[s:e, None] * norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.where(denom == 0.0, np.nan, G / denom)
+        # strict upper triangle in GLOBAL indices: each unordered pair
+        # scored exactly once per bucket (NaN >= thr is False, so
+        # zero-norm rows drop here like they did under the old filter)
+        mask = (C >= thr) & (j_idx[None, :] > (s + np.arange(e - s))[:, None])
+        rr, cc = np.nonzero(mask)
+        if len(rr):
+            ia, ib = ids[s + rr], ids[cc]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            keep = lo != hi
+            out_a.append(lo[keep])
+            out_b.append(hi[keep])
+            out_c.append(C[rr, cc][keep])
+
+
+def _near_dup_driver(nn, thr, id_col, vec_col, seed, n_planes, signatures):
+    """Driver-local form of cosine_near_duplicates for probe-passed small
+    inputs: one toPandas, the shared signature + per-bucket scorers, one
+    Arrow createDataFrame back. Identical output to the distributed path
+    (same planes, same blocking, same chunked-matmul arithmetic)."""
+    pdf = nn.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    X = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, X.shape[1]))
+    sig = signatures(X, planes)  # (n, bands)
+    n, n_bands = sig.shape
+    rows = np.repeat(np.arange(n), n_bands)
+    flat = sig.ravel()
+    order = np.argsort(flat, kind="stable")
+    flat, rows = flat[order], rows[order]
+    cuts = np.flatnonzero(np.diff(flat)) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(flat)]))
+    out_a, out_b, out_c = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            sel = rows[s:e]
+            _score_one_bucket(ids[sel], X[sel], thr, out_a, out_b, out_c)
+    if out_a:
+        res = pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a).astype(np.int64),
+                "id_b": np.concatenate(out_b).astype(np.int64),
+                "cos": np.concatenate(out_c),
+            }
+        )
+        # same dedup rule as the distributed groupBy: max over the
+        # bit-identical per-band scores
+        res = res.groupby(["id_a", "id_b"], as_index=False)["cos"].max()
+    else:
+        res = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+    return nn.sparkSession.createDataFrame(
+        res, schema="id_a long, id_b long, cos double"
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     threshold: float = 0.9,
@@ -223,9 +300,11 @@ def cosine_near_duplicates(
     vec_col: str = "embedding",
     seed: int = 11,
     center: "np.ndarray | None" = None,
+    driver_max_rows: int = 100_000,
 ) -> DataFrame:
-    """Random-hyperplane LSH: sign-bit signatures → banded bucket join →
-    exact cosine verify ≥ threshold.
+    """Random-hyperplane LSH: sign-bit signatures → banded bucket grouping →
+    exact cosine verify ≥ threshold, scored per bucket with a local NumPy
+    matmul.
 
     ``center``: optional vector subtracted before projection (BLOCKING
     only — verification still scores raw cosine). All-positive vector
@@ -234,87 +313,122 @@ def cosine_near_duplicates(
     and the bucket join degenerates toward quadratic. Centering on the
     (approximate) data mean de-biases the bits; since near-identical
     vectors stay near-identical after the shift, true near-dups still
-    collide and the exact verify keeps the output sound."""
+    collide and the exact verify keeps the output sound.
+
+    ``driver_max_rows``: probe-gated driver path (the dedup_components
+    pattern). At or below this row count the whole computation — same
+    signatures, same per-bucket chunked matmul, bit-identical output —
+    runs locally in one toPandas + NumPy pass: at small scale the Spark
+    form's wall is pure fixed cost (two python-worker stages + a 160 MB
+    vector shuffle at sf0.1), measured 4-5x the local pass. Above the
+    probe the distributed path runs; callers should persist the input
+    upstream (the probe adds one bounded count job over it)."""
     r_planes = n_planes // bands
     if not (1 <= r_planes <= 32):
         raise ValueError(
             f"planes-per-band must be in [1, 32], got {r_planes} "
             f"(n_planes={n_planes}, bands={bands})"
         )
-    probe = df.select(vec_col).first()
-    if probe is None:
+    shift = None if center is None else np.asarray(center, dtype=np.float64)
+
+    # MSB-first bit weights, matching the sequential (v << 1) | bit fold
+    _bit_w = (1 << np.arange(r_planes - 1, -1, -1)).astype(np.int64)
+    # band index in the high bits, clear of the ≤32 value bits — a plain
+    # (b << 16) | v overflowed int32 above 16 planes per band and collided
+    # buckets across bands at 17-30
+    _band_hi = (np.arange(bands, dtype=np.int64) << 48)[None, :]
+
+    def _signatures(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+        """(n, dim) float64 → (n, bands) int64 band signatures; the ONE
+        implementation both the driver path and the executor UDF call, so
+        the two paths block identically by construction."""
+        if shift is not None:
+            M = M - shift
+        bits = (M @ planes.T) > 0  # (n, n_planes)
+        vals = bits.reshape(len(M), bands, r_planes).astype(np.int64) @ _bit_w
+        return _band_hi | vals  # (n, bands)
+
+    nn = df.filter(F.col(vec_col).isNotNull())
+    n_rows = nn.limit(driver_max_rows + 1).count()
+    if n_rows == 0:
         raise ValueError("cosine_near_duplicates: empty input (no vectors)")
+    if n_rows <= driver_max_rows:
+        return _near_dup_driver(
+            nn, threshold, id_col, vec_col, seed, n_planes, _signatures
+        )
+
+    probe = nn.select(vec_col).first()
     dim = len(probe[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-
-    shift = None if center is None else np.asarray(center, dtype=np.float64)
 
     @F.pandas_udf("array<long>")
     def band_udf(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype="object")
         M = np.stack(vecs.map(np.asarray).values).astype(np.float64)
-        if shift is not None:
-            M = M - shift
-        bits = (M @ planes.T) > 0  # (n, n_planes)
-        out = []
-        for row in bits:
-            sig = []
-            for b in range(bands):
-                chunk = row[b * r_planes : (b + 1) * r_planes]
-                v = 0
-                for bit in chunk:
-                    v = (v << 1) | int(bit)
-                # band index in the high bits, clear of the ≤32 value bits —
-                # a plain (b << 16) | v overflowed int32 above 16 planes per
-                # band and collided buckets across bands at 17-30
-                sig.append((b << 48) | v)
-            out.append(sig)
-        return pd.Series(out)
+        return pd.Series(list(_signatures(M, planes)))
 
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sig = df.filter(F.col(vec_col).isNotNull()).select(
+    # per-bucket local verify: each signature row CARRIES its vector, so
+    # ONE shuffle (hash-partition by bucket, vectors travel bands× each)
+    # lands every bucket's vectors in one partition where a NumPy matmul
+    # scores all in-bucket pairs locally. This replaces the previous
+    # 4-stage shape (bucket self-join → pair distinct → two per-pair
+    # vector rejoins → per-pair verify UDF) that shipped TWO full vectors
+    # per candidate pair through an exchange — measured 12s intrinsic at
+    # sf0.1 for 376 output rows; the per-bucket matmul does the identical
+    # pair set with the identical arithmetic (integer-valued count-vector
+    # dots are exact under any summation order) in a fraction of the wall.
+    # A degenerate oversized bucket is quadratic under BOTH shapes; the
+    # chunked matmul at least bounds its memory to CH·|bucket| scores at a
+    # time, and fine-grained band signatures (8+ planes/band) plus
+    # centering keep buckets small by construction.
+    thr = threshold
+
+    def _score_partition(batches):
+        """One partition = many hash-co-located buckets. Grouping locally
+        with one argsort replaces a per-group applyInPandas round-trip —
+        thousands of ~20-row buckets cost milliseconds this way where the
+        per-group Arrow exchange dominated the operator's wall. The
+        partition's rows are concatenated in memory: that is the same
+        bound applyInPandas needs for its largest group, controlled by
+        spark.sql.shuffle.partitions like any other shuffle."""
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        buckets = pdf["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        buckets = buckets[order]
+        ids = pdf["id"].to_numpy()[order]
+        X = np.stack(pdf["vec"].map(np.asarray).values).astype(np.float64)[order]
+        # group boundaries of the sorted bucket ids
+        cuts = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(buckets)]))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                _score_one_bucket(ids[s:e], X[s:e], thr, out_a, out_b, out_c)
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a).astype(np.int64),
+                    "id_b": np.concatenate(out_b).astype(np.int64),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    sigvec = nn.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
         F.explode(band_udf(F.col(vec_col))).alias("bucket"),
     )
-    l = sig.select(F.col("id").alias("id_a"), "bucket")
-    r = sig.select(F.col("id").alias("id_b"), "bucket")
-    # dedupe band-duplicate pairs on ids alone — carrying the embedding
-    # arrays through the distinct() exchange would shuffle every vector
-    # once per matching band
-    pairs = (
-        l.join(r, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    scored = sigvec.repartition(n_part, "bucket").mapInPandas(
+        _score_partition, schema="id_a long, id_b long, cos double"
     )
-    # shuffle joins by design: at corpus scale BOTH sides can be huge (the
-    # vectors always, the pair list after a bad-parameter blocking round),
-    # so neither is safe to broadcast statically — AQE converts either
-    # side to a broadcast at runtime when its measured size allows
-    joined = pairs.join(
-        vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
-    ).join(
-        vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b"
-    )
-
-    # vectorized verify: this operator is not oracle-gated, so the exact
-    # cosine can run as one NumPy batch per Arrow chunk instead of
-    # interpreted folds per pair (the folds are kept in brute_force/ivf,
-    # whose queries ARE value-hash-gated against DuckDB's fold)
-    @F.pandas_udf("double")
-    def _cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        A = np.stack(a.map(np.asarray).values).astype(np.float64)
-        B = np.stack(b.map(np.asarray).values).astype(np.float64)
-        dots = (A * B).sum(axis=1)
-        return pd.Series(
-            dots
-            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-        )
-
-    return joined.select(
-        "id_a", "id_b", _cos_batch("va", "vb").alias("cos")
-    ).filter(F.col("cos") >= threshold)
+    # a pair colliding in several bands is scored once per band with
+    # bit-identical arithmetic; max() is a deterministic dedup and the
+    # aggregated frame is output-sized (post-threshold), not candidate-sized
+    return scored.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))

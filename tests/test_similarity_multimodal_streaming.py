@@ -90,6 +90,25 @@ def test_cosine_near_duplicates(spark, emb_df):
     assert pairs == expected
 
 
+def test_cosine_near_duplicates_driver_path_matches_distributed(spark, emb_df):
+    """The probe-gated driver path and the distributed path must produce
+    bit-identical (id_a, id_b, cos) sets — same planes, same blocking,
+    same chunked-matmul arithmetic."""
+    from mitie_spark.operators.similarity import cosine_near_duplicates
+
+    local = {
+        (r.id_a, r.id_b, r.cos)
+        for r in cosine_near_duplicates(emb_df, threshold=0.9).collect()
+    }
+    dist = {
+        (r.id_a, r.id_b, r.cos)
+        for r in cosine_near_duplicates(
+            emb_df, threshold=0.9, driver_max_rows=1
+        ).collect()
+    }
+    assert local == dist and len(local) >= 6
+
+
 def test_multimodal_plumbing(spark):
     from mitie_spark.operators.multimodal import (
         decode_image,
