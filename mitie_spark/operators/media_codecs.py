@@ -192,6 +192,31 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # Anything larger is treated as hostile and routed to the fallback seam.
 _PNG_MAX_PIXELS = 64 * 1024 * 1024
 
+# Adam7 interlace pass geometry (PNG spec §8.2): (x0, y0, xstep, ystep).
+# Pass k is the sub-image of pixels at (x0+i*xstep, y0+j*ystep); each pass
+# is scanline-filtered INDEPENDENTLY (its own filter bytes, its own
+# "previous row"), so defiltering reuses _png_defilter per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(W: int, H: int) -> list[tuple[int, int, int, int, int, int]]:
+    """→ [(x0, y0, xs, ys, pass_w, pass_h)] for the non-empty Adam7 passes."""
+    out = []
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (W - x0 + xs - 1) // xs if W > x0 else 0
+        ph = (H - y0 + ys - 1) // ys if H > y0 else 0
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, xs, ys, pw, ph))
+    return out
+
 
 def _png_defilter(raw: np.ndarray, H: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG per-row byte filters (spec §9: None/Sub/Up/Average/Paeth).
@@ -255,10 +280,10 @@ def _png_defilter(raw: np.ndarray, H: int, stride: int, bpp: int) -> np.ndarray:
 def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
     """→ ((H, W) gray or (H, W, 3) RGB array, maxval). Pure stdlib+NumPy:
     chunk walk, zlib inflate, byte defilter. Supports bit depth 8/16,
-    color types 0/2/3/4/6, non-interlaced (Adam7 raises — it is rare on
-    the web and the honest failure routes to the injected-decoder seam).
-    Alpha channels are dropped (features are luma-based), palette rows
-    gather through PLTE."""
+    color types 0/2/3/4/6, both non-interlaced and Adam7-interlaced
+    streams (each Adam7 pass defilters independently, then scatters into
+    the frame via strided slicing). Alpha channels are dropped (features
+    are luma-based), palette rows gather through PLTE."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -292,8 +317,8 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         raise UnsupportedMediaError("empty PNG")
     if comp != 0 or filt != 0:
         raise UnsupportedMediaError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise UnsupportedMediaError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise UnsupportedMediaError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise UnsupportedMediaError(f"unknown PNG color type {color}")
     if bitd not in (8, 16) or (color == 3 and bitd != 8):
@@ -312,7 +337,13 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         raise UnsupportedMediaError(
             f"PNG dimensions {W}x{H} exceed the {_PNG_MAX_PIXELS}-pixel cap"
         )
-    expected = H * (1 + stride)  # one filter byte per scanline
+    if interlace:
+        passes = _adam7_pass_dims(W, H)
+        # one filter byte per scanline of each (independently filtered) pass
+        expected = sum(ph * (1 + pw * bpp) for _, _, _, _, pw, ph in passes)
+    else:
+        passes = []
+        expected = H * (1 + stride)  # one filter byte per scanline
     try:
         dec = zlib.decompressobj()
         inflated = dec.decompress(b"".join(idat), expected)
@@ -331,7 +362,19 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         raw = np.frombuffer(inflated, dtype=np.uint8)
     except zlib.error as e:
         raise UnsupportedMediaError(f"PNG inflate failed: {e}") from e
-    px = _png_defilter(raw, H, stride, bpp)
+    if interlace:
+        # Defilter each Adam7 pass as its own little image, then scatter its
+        # pixels into the full frame with strided slicing (spec §8.2).
+        full = np.zeros((H, W, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys, pw, ph in passes:
+            nbytes = ph * (1 + pw * bpp)
+            sub = _png_defilter(raw[off : off + nbytes], ph, pw * bpp, bpp)
+            full[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+            off += nbytes
+        px = full.reshape(H, stride)
+    else:
+        px = _png_defilter(raw, H, stride, bpp)
     if bitd == 16:
         arr = px.reshape(H, W, ch, 2).astype(np.uint16)
         arr = (arr[..., 0] << 8) | arr[..., 1]  # network byte order

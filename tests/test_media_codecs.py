@@ -390,7 +390,7 @@ def test_png_16bit_palette_and_alpha():
     assert np.array_equal(arr, ga[..., 0])
 
 
-def test_png_rejects_interlace_and_garbage():
+def test_png_rejects_bad_streams_and_garbage():
     import pytest as _pytest
 
     from mitie_spark.operators.media_codecs import (
@@ -401,8 +401,13 @@ def test_png_rejects_interlace_and_garbage():
 
     img = np.zeros((2, 2), dtype=np.uint8)
     rows = [img[r].tobytes() for r in range(2)]
+    # IHDR claims Adam7 but the IDAT carries a non-interlaced layout: the
+    # per-pass byte accounting must reject it, not mis-decode
     with _pytest.raises(UnsupportedMediaError):
         decode_png(_build_png(rows, color=0, interlace=1))
+    # unknown interlace method
+    with _pytest.raises(UnsupportedMediaError):
+        decode_png(_build_png(rows, color=0, interlace=2))
     with _pytest.raises(UnsupportedMediaError):
         decode_png(b"\x89PNG\r\n\x1a\n" + b"junkjunkjunk")
     # corrupt the deflate stream: must degrade, not crash
@@ -410,6 +415,116 @@ def test_png_rejects_interlace_and_garbage():
     good[-20] ^= 0xFF
     with _pytest.raises(UnsupportedMediaError):
         decode_png(bytes(good))
+
+
+_ADAM7_TEST = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _build_png_adam7(img_bytes, color, bitd=8, plte=None, filt_cycle=(0, 1, 2, 3, 4)):
+    """Independent scalar Adam7 interlacer: split the (H, W, bpp)-byte image
+    into the 7 spec passes, forward-filter each pass as its own little image
+    (prev row resets per pass), concatenate, deflate."""
+    import struct as _s
+    import zlib
+
+    H, W, bpp = img_bytes.shape
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    assert bpp == n_ch * (bitd // 8)
+    raw = bytearray()
+    fi = 0
+    for x0, y0, xs, ys in _ADAM7_TEST:
+        sub = img_bytes[y0::ys, x0::xs]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = bytes(pw * bpp)
+        for r in range(ph):
+            f = filt_cycle[fi % len(filt_cycle)]
+            fi += 1
+            cur = sub[r].tobytes()
+            raw.append(f)
+            raw += _forward_filter_row(f, cur, prev, bpp)
+            prev = cur
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return _s.pack(">I", len(data)) + ctype + data + _s.pack(">I", crc)
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", _s.pack(">IIBBBBB", W, H, bitd, color, 0, 0, 1))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_adam7_passes_tile_the_plane():
+    """Spec sanity on the test's own geometry table: the 7 passes must cover
+    every pixel of a 16x16 tile exactly once (so the golden below can't pass
+    with a consistently-wrong table that leaves holes)."""
+    cover = np.zeros((16, 16), dtype=np.int32)
+    for x0, y0, xs, ys in _ADAM7_TEST:
+        cover[y0::ys, x0::xs] += 1
+    assert (cover == 1).all()
+
+
+def test_png_adam7_gray_rgb_all_filters():
+    """Adam7 golden: an independent scalar interlacer (per-pass forward
+    filtering, all 5 filter types cycled) must decode back to the pixels."""
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(29)
+    # dims chosen to exercise every pass non-degenerately (>=8 both ways)
+    # plus ragged tails
+    for H, W in [(13, 11), (8, 8), (9, 16)]:
+        gray = rng.integers(0, 256, (H, W), dtype=np.uint8)
+        arr, maxval = decode_png(_build_png_adam7(gray[..., None], color=0))
+        assert maxval == 255 and np.array_equal(arr, gray)
+        rgb = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        arr, maxval = decode_png(_build_png_adam7(rgb, color=2))
+        assert maxval == 255 and np.array_equal(arr, rgb)
+
+
+def test_png_adam7_small_dims_empty_passes():
+    """Images smaller than the 8x8 Adam7 tile leave some passes empty; the
+    byte accounting and scatter must still reconstruct exactly."""
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(31)
+    for H, W in [(1, 1), (1, 7), (5, 1), (3, 5), (7, 7), (2, 9)]:
+        img = rng.integers(0, 256, (H, W), dtype=np.uint8)
+        arr, _ = decode_png(_build_png_adam7(img[..., None], color=0))
+        assert np.array_equal(arr, img), (H, W)
+
+
+def test_png_adam7_16bit_and_palette_and_alpha():
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(37)
+    g16 = rng.integers(0, 65536, (9, 10), dtype=np.uint16)
+    b16 = np.ascontiguousarray(g16.astype(">u2")).view(np.uint8).reshape(9, 10, 2)
+    arr, maxval = decode_png(_build_png_adam7(b16, color=0, bitd=16))
+    assert maxval == 65535 and np.array_equal(arr, g16)
+
+    pal = np.arange(48, dtype=np.uint8)  # 16 entries
+    idx = rng.integers(0, 16, (11, 9), dtype=np.uint8)
+    arr, maxval = decode_png(
+        _build_png_adam7(idx[..., None], color=3, plte=pal.tobytes())
+    )
+    assert maxval == 255 and np.array_equal(arr, pal.reshape(16, 3)[idx])
+
+    rgba = rng.integers(0, 256, (10, 13, 4), dtype=np.uint8)
+    arr, _ = decode_png(_build_png_adam7(rgba, color=6))
+    assert np.array_equal(arr, rgba[..., :3])
 
 
 def test_png_bomb_and_dimension_guards():
