@@ -1,0 +1,335 @@
+"""Pure-NumPy baseline JPEG decoder (ITU-T T.81 §F.2 / JFIF).
+
+Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
+coding, grayscale and 3-component YCbCr scans, chroma sampling factors
+whose ratios divide the max (4:4:4 / 4:2:2 / 4:2:0), restart markers
+(DRI/RSTn) and 0xFF00 byte stuffing. Progressive (SOF2), arithmetic
+coding, 12-bit precision and hierarchical modes raise
+UnsupportedMediaError, which routes callers to the injected-decoder seam
+exactly like any other unsupported payload (operators/multimodal.py).
+
+Design: the marker walk and the inherently-sequential Huffman entropy
+decode run in Python over the unstuffed scan bytes (work bounded by the
+declared MCU count, which is capped like PNG's pixel guard), while
+everything per-pixel — dequantization, zigzag placement, the 2-D IDCT
+(einsum against the DCT-III basis over ALL blocks at once), nearest
+upsampling and the YCbCr→RGB transform — is vectorized in NumPy. Safe
+inside Arrow-batched UDFs: hostile headers fail fast, no unbounded
+allocation.
+
+Reference behavior parity target: mit-nlp/MITIE has no image path at all;
+this module exists for the training-data-pipeline multimodal columns
+(SURVEY.md §2.8 "multimodal"), replacing the former PIL-injected seam for
+the dominant web image format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media_codecs import UnsupportedMediaError
+
+# zigzag scan order → raster index within the 8x8 block (T.81 Figure 5)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# IDCT basis: T[u, x] = c(u)/2 * cos((2x+1) u pi / 16); spatial = T' F T
+_U = np.arange(8, dtype=np.float64)
+_IDCT_T = np.cos((2 * _U[None, :] + 1) * _U[:, None] * np.pi / 16) * np.where(
+    _U[:, None] == 0, 1 / np.sqrt(2), 1.0
+) / 2.0
+
+# same hostile-header cap as the PNG decoder: declared dims are
+# attacker-controlled in a web corpus
+_MAX_PIXELS = 64 * 1024 * 1024
+
+
+class _Huff:
+    """Canonical Huffman table as the spec's DECODE procedure arrays
+    (T.81 §F.2.2.3): mincode/maxcode/valptr per code length."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "values")
+
+    def __init__(self, counts: bytes, values: bytes):
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            self.maxcode[ln] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+
+class _BitReader:
+    """MSB-first bit reader over one unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "buf", "cnt")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.cnt = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise UnsupportedMediaError("JPEG entropy data exhausted mid-block")
+        self.buf = (self.buf << 8) | self.data[self.pos]
+        self.pos += 1
+        self.cnt += 8
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.cnt < n:
+            self._fill()
+        self.cnt -= n
+        v = (self.buf >> self.cnt) & ((1 << n) - 1)
+        self.buf &= (1 << self.cnt) - 1
+        return v
+
+    def decode(self, table: _Huff) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.receive(1)
+            if code <= table.maxcode[ln]:
+                return table.values[table.valptr[ln] + code - table.mincode[ln]]
+        raise UnsupportedMediaError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 §F.2.2.1 EXTEND: map the t received bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect entropy-coded bytes from ``pos`` until the next real marker,
+    unstuffing 0xFF00 and splitting at RSTn boundaries. → (segments,
+    end_pos_of_scan)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(payload)
+    i = pos
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        # 0xFF: look at the next byte
+        if i + 1 >= n:
+            break
+        m = payload[i + 1]
+        if m == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:  # a real marker ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
+    """→ ((H, W) gray or (H, W, 3) RGB uint8 array, 255)."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise UnsupportedMediaError("not a JPEG payload")
+
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
+    sof = None
+    dri = 0
+    scan = None
+
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise UnsupportedMediaError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise UnsupportedMediaError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    q = np.frombuffer(body[i : i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    q = np.frombuffer(body[i : i + 128], dtype=">u2")
+                    i += 128
+                if len(q) != 64:
+                    raise UnsupportedMediaError("truncated JPEG DQT")
+                qtables[tq] = q.astype(np.int32)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                nv = sum(counts)
+                values = body[i + 17 : i + 17 + nv]
+                if len(values) != nv:
+                    raise UnsupportedMediaError("truncated JPEG DHT")
+                htables[(tc, th)] = _Huff(counts, values)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0: baseline sequential DCT
+            prec, H, W, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise UnsupportedMediaError(f"JPEG precision {prec} not supported")
+            if nc not in (1, 3):
+                raise UnsupportedMediaError(f"{nc}-component JPEG not supported")
+            if W <= 0 or H <= 0 or W * H > _MAX_PIXELS:
+                raise UnsupportedMediaError(f"JPEG dimensions {W}x{H} rejected")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            sof = (H, W, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = body[0]
+            sel = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            segs, pos = _split_scan(payload, pos + 2 + ln)
+            scan = (sel, segs)
+            break  # single-scan baseline: decode what we have
+        # APPn / COM / others: skip
+        pos += 2 + ln
+
+    if sof is None or scan is None:
+        raise UnsupportedMediaError("JPEG missing SOF0/SOS")
+    H, W, comps = sof
+    sel, segs = scan
+    if len(sel) != len(comps):
+        raise UnsupportedMediaError("non-interleaved multi-scan JPEG not supported")
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cid, tdta in sel:
+        if cid not in by_id:
+            raise UnsupportedMediaError("JPEG scan references unknown component")
+        c = dict(by_id[cid])
+        c["td"], c["ta"] = tdta >> 4, tdta & 15
+        order.append(c)
+
+    hmax = max(c["h"] for c in order)
+    vmax = max(c["v"] for c in order)
+    for c in order:
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            raise UnsupportedMediaError("unsupported JPEG sampling factors")
+    if len(order) == 1:
+        # single-component scan: the data-unit grid is the component's own
+        # ceil(W/8) x ceil(H/8); no MCU padding to sampling boundaries
+        hmax = vmax = 1
+        order[0]["h"] = order[0]["v"] = 1
+    mcx = (W + 8 * hmax - 1) // (8 * hmax)
+    mcy = (H + 8 * vmax - 1) // (8 * vmax)
+
+    for c in order:
+        if c["tq"] not in qtables:
+            raise UnsupportedMediaError("JPEG references missing quant table")
+        if (0, c["td"]) not in htables or (1, c["ta"]) not in htables:
+            raise UnsupportedMediaError("JPEG references missing Huffman table")
+        c["coef"] = np.zeros((mcy * c["v"], mcx * c["h"], 64), dtype=np.int32)
+
+    # --- entropy decode (sequential by nature; bounded by the MCU count) ---
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    preds = [0] * len(order)
+    for m in range(mcx * mcy):
+        if dri and m and m % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise UnsupportedMediaError("JPEG missing restart segment")
+            reader = _BitReader(segs[seg_i])
+            preds = [0] * len(order)
+        my, mx = divmod(m, mcx)
+        for ci, c in enumerate(order):
+            dc_t, ac_t = htables[(0, c["td"])], htables[(1, c["ta"])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                    t = reader.decode(dc_t)
+                    if t > 11:
+                        raise UnsupportedMediaError("bad JPEG DC category")
+                    preds[ci] += _extend(reader.receive(t), t)
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise UnsupportedMediaError("JPEG AC run past block end")
+                        blk[k] = _extend(reader.receive(s), s)
+                        k += 1
+
+    # --- vectorized reconstruction: dequant → zigzag → IDCT → planes ---
+    planes = []
+    for c in order:
+        bh, bw, _ = c["coef"].shape
+        flat = c["coef"].reshape(-1, 64) * qtables[c["tq"]][None, :]
+        fblk = np.zeros((flat.shape[0], 64), dtype=np.float64)
+        fblk[:, _ZIGZAG] = flat
+        spatial = np.einsum(
+            "ux,nuv,vy->nxy", _IDCT_T, fblk.reshape(-1, 8, 8), _IDCT_T
+        )
+        px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        return planes[0], 255
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return rgb, 255

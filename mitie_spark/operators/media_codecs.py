@@ -543,14 +543,18 @@ def audio_feature(samples: np.ndarray) -> np.ndarray:
 
 
 def builtin_decoder(payload: bytes) -> np.ndarray:
-    """Format-dispatching real decoder: BMP/PNM/PNG → image feature, WAV →
-    audio feature. Raises UnsupportedMediaError for formats that need a
-    codec library (JPEG/MP4/unknown) — callers fall back to an injected
+    """Format-dispatching real decoder: BMP/PNM/PNG/JPEG → image feature,
+    WAV → audio feature. Raises UnsupportedMediaError for formats that need
+    a codec library (MP4/unknown) — callers fall back to an injected
     decoder or the documented stub path."""
     kind = sniff_kind(payload or b"")
     try:
         if kind == "bmp":
             return image_feature(decode_bmp(payload))
+        if kind == "jpeg":
+            from .jpeg import decode_jpeg  # local import: jpeg.py imports us
+
+            return image_feature(decode_jpeg(payload)[0])
         if kind == "pnm":
             header = _pnm_header(payload)
             return image_feature(

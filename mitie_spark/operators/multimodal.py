@@ -58,15 +58,15 @@ def pil_image_decoder():
 
 def resolve_decoder(decoder=None):
     """Decoder resolution order: explicit injection → PIL (if installed) →
-    the pure-NumPy built-in codecs (BMP/PGM/PPM/WAV — operators/
-    media_codecs.py; real decode, no libraries needed). The explicit
-    argument is how an additional decoder drops in on a cluster: the
-    callable is captured by the mapInPandas closure and ships to executors
-    via cloudpickle, so no module install is required on the workers beyond
-    the decode library itself. The resolved callable raises
-    media_codecs.UnsupportedMediaError for formats it cannot handle
-    (PNG/JPEG/MP4 without PIL) — per-payload fallback happens in
-    ``extract_features``."""
+    the pure-NumPy built-in codecs (BMP/PGM/PPM/PNG/baseline-JPEG/WAV —
+    operators/media_codecs.py + operators/jpeg.py; real decode, no
+    libraries needed). The explicit argument is how an additional decoder
+    drops in on a cluster: the callable is captured by the mapInPandas
+    closure and ships to executors via cloudpickle, so no module install is
+    required on the workers beyond the decode library itself. The resolved
+    callable raises media_codecs.UnsupportedMediaError for formats it
+    cannot handle (MP4, progressive JPEG without PIL) — per-payload
+    fallback happens in ``extract_features``."""
     if decoder is not None:
         return decoder
     pil = pil_image_decoder()
