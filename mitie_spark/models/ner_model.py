@@ -32,6 +32,7 @@ every cache-miss chunk in the Arrow batch into one segment-reduce + matmul.
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -1084,8 +1085,15 @@ def train_chunk_classifier(
     # per-epoch L2 decay for the C analog: a full-matrix scale per EXAMPLE
     # would cost O(MAX_FEAT) each (and uniform scaling never changes the
     # argmax within one step anyway) — per epoch it shrinks old weights
-    # relative to new updates, which is the regularization effect
-    decay = max(1.0 - 1.0 / C, 0.0) if C else 1.0
+    # relative to new updates, which is the regularization effect.
+    # exp(-1/(C·N)) ≈ 1-1/(C·N) for moderate C but NEVER reaches zero:
+    # a true SVM at tiny C shrinks the norm, not the direction (argmax is
+    # scale-invariant), so a mapping that zeroes the weights mid-training
+    # (the old max(1-1/C, 0)) breaks the CV response the reference's
+    # find_max_single_variable C search walks through — it probes C values
+    # down to 0.01 (ner_trainer.cpp:383) where dlib's SVM still scores
+    # F=1 on separable data
+    decay = math.exp(-1.0 / (C * max(len(cache), 1))) if C else 1.0
     steps = 0
     for _ in range(epochs):
         order = rng.permutation(len(cache))

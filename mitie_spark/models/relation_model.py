@@ -16,6 +16,8 @@ planted synthetic corpus (the reference's .svm artifacts are not vendored).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from mitie_spark.functions.hashing import make_feat, shash
@@ -261,7 +263,7 @@ def train_relation_model(
     Margin perceptron with lazy averaging. ``C``: SVM-C analog (the
     reference BOBYQA-searches C for svm_c_linear_dcd,
     binary_relation_detector_trainer.cpp:176-238) mapped to a per-epoch L2
-    weight decay 1−1/C; None = no regularization."""
+    weight decay exp(-1/(C·N)); None = no regularization."""
     from mitie_spark.models.ner_model import DEFAULT_FS
 
     fs = fs or DEFAULT_FS
@@ -280,7 +282,9 @@ def train_relation_model(
         if pos is not None:
             y[pid[pos]] = 1.0
         cache.append((idxs, vals, dense, y))
-    decay = max(1.0 - 1.0 / C, 0.0) if C else 1.0
+    # exp(-1/(C·N)): see ner_model.train_chunk_classifier — never
+    # zeroes the direction, matching a real SVM's small-C response
+    decay = math.exp(-1.0 / (C * max(len(cache), 1))) if C else 1.0
     steps = 0
     for _ in range(epochs):
         for i in rng.permutation(len(cache)):

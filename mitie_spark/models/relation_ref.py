@@ -283,7 +283,24 @@ def train_reference_detector(
     b = 0.0
     wa = np.zeros(n_dims, dtype=np.float64)
     ba = 0.0
-    decay = max(1.0 - 1.0 / (C * max(len(samples), 1)), 0.0) if C else 1.0
+    # C may be a scalar or a per-class (C_pos, C_neg) pair — the reference
+    # trainer sets c_class1/c_class2 separately
+    # (binary_relation_detector_trainer.cpp:228-230).  The decay analog
+    # shrinks from the geometric mean (log-space midpoint of the
+    # reference's log-space search), and the per-class ratio scales the
+    # update step for that class; C_pos == C_neg reduces exactly to the
+    # single-C behavior.
+    if isinstance(C, (tuple, list)):
+        c_pos, c_neg = float(C[0]), float(C[1])
+        c_mean = float(np.sqrt(c_pos * c_neg))
+        wt = {1.0: c_pos / c_mean, -1.0: c_neg / c_mean}
+    else:
+        c_mean = C
+        wt = {1.0: 1.0, -1.0: 1.0}
+    decay = (
+        max(1.0 - 1.0 / (c_mean * max(len(samples), 1)), 0.0)
+        if c_mean else 1.0
+    )
     steps = 0
     for _ in range(epochs):
         for k in rng.permutation(len(samples)):
@@ -291,12 +308,13 @@ def train_reference_detector(
             s = sum(w[i] * v for i, v in pairs if i < n_dims) - b
             steps += 1
             if y * s < margin:
+                step = y * wt[y]
                 for i, v in pairs:
                     if i < n_dims:
-                        w[i] += y * v
-                        wa[i] += steps * y * v
-                b -= y
-                ba -= steps * y
+                        w[i] += step * v
+                        wa[i] += steps * step * v
+                b -= step
+                ba -= steps * step
         if decay != 1.0:
             w *= decay
             b *= decay
@@ -315,11 +333,19 @@ def tune_reference_C(
     epochs: int = 14,
     margin: float = 2.0,
     seed: int = 77,
-) -> float | None:
-    """6-fold-CV C search for the reference-space trainer — the same
-    protocol as models/relation_model.tune_relation_C (reference bounds
-    [1/n, 1e5/n], F-beta over TPR/TNR, (folds-1)/folds rescale, skipped
-    at <= folds positives)."""
+) -> tuple[float, float] | None:
+    """6-fold-CV (C_pos, C_neg) search for the reference-space trainer
+    through the PORTED Powell BOBYQA (models/bobyqa.py) with the
+    reference's exact calling convention
+    (binary_relation_detector_trainer.cpp:198-221): log-space search,
+    start log(5000/n) in both coordinates, bounds [log(1/n),
+    log(100000/n)], rho_begin = min(upper-lower)*0.15, rho_end =
+    log(1.2/n)-log(1/n), npt=2n+1, max 200 evals, F-beta over TPR/TNR,
+    and the winner rescaled by (folds-1)/folds before the final
+    full-data train.  Skipped (None) at <= folds positives, as the
+    reference skips it.  Returns the rescaled (C_pos, C_neg)."""
+    from mitie_spark.models.bobyqa import BobyqaFailure, find_max_bobyqa
+
     n_pos = sum(1 for y in labels if y > 0)
     if n_pos <= folds:
         return None
@@ -327,11 +353,15 @@ def tune_reference_C(
     rng = np.random.default_rng(seed)
     order = rng.permutation(n)
     fold_of = np.arange(n) % folds
-    grid = np.exp(np.linspace(np.log(1.0 / n), np.log(100000.0 / n), 9))
     sx = [samples[i] for i in order]
     sy = [labels[i] for i in order]
-    best_c, best_f = float(grid[0]), -1.0
-    for c in grid:
+    cache: dict[tuple, float] = {}
+
+    def fscore_at(v):
+        key = (float(v[0]), float(v[1]))
+        if key in cache:
+            return cache[key]
+        c = (float(np.exp(v[0])), float(np.exp(v[1])))
         tp = fp = fn = tn = 0
         for f in range(folds):
             tr = [(s, y) for s, y, g in zip(sx, sy, fold_of) if g != f]
@@ -340,7 +370,7 @@ def tune_reference_C(
                 continue
             w, b = train_reference_detector(
                 [s for s, _ in tr], [y for _, y in tr], n_dims,
-                epochs=epochs, margin=margin, seed=seed, C=float(c),
+                epochs=epochs, margin=margin, seed=seed, C=c,
             )
             for s, y in te:
                 hit = score_pairs(w, b, s) > 0
@@ -352,6 +382,26 @@ def tune_reference_C(
         tnr = tn / (tn + fp) if tn + fp else 0.0
         denom = beta * beta * tnr + tpr
         fscore = (1 + beta * beta) * tpr * tnr / denom if denom else 0.0
-        if fscore > best_f:
-            best_f, best_c = fscore, float(c)
-    return best_c * (folds - 1.0) / folds
+        cache[key] = fscore
+        return fscore
+
+    lo = float(np.log(1.0 / n))
+    hi = float(np.log(100000.0 / n))
+    x0 = float(np.log(5000.0 / n))
+    rho_begin = (hi - lo) * 0.15
+    rho_end = float(np.log(1.2 / n)) - lo
+    try:
+        x, _ = find_max_bobyqa(
+            fscore_at, [x0, x0], 5, [lo, lo], [hi, hi],
+            rho_begin, rho_end, 200,
+        )
+    except BobyqaFailure:
+        # the reference has no catch here (train() would propagate), but
+        # a tuning failure should not kill a Spark-side train job —
+        # fall back to the unsearched default, documented deviation
+        x = [x0, x0]
+    scale = (folds - 1.0) / folds
+    return (
+        float(np.exp(x[0])) * scale,
+        float(np.exp(x[1])) * scale,
+    )

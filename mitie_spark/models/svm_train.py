@@ -368,59 +368,57 @@ def cross_validate_segmenter(
     )
 
 
+LOSS_SCALE = 10.0  # ner_trainer.cpp:464
+
+
 def tune_segmenter_params(
     sentences,
     folds: int = 2,
-    max_evals: int = 20,
+    max_evals: int = 100,
     max_iterations: int = 40,
     **train_kw,
 ):
-    """Derivative-free 2-D search over (C, loss_per_missed_segment)
-    maximizing k-fold CV recall — the BOBYQA analog of
-    ner_trainer.cpp:535-560 (bounds C∈[0.1,100], loss∈[1,10], start at the
-    defaults (20, 3)). Deterministic compass search on (log10 C, loss):
-    like BOBYQA it needs only objective values, respects bounds, and runs
-    on a fixed evaluation budget. Returns (best_C, best_loss, best_recall).
-    """
-    lo = np.array([np.log10(0.1), 1.0])
-    hi = np.array([np.log10(100.0), 10.0])
-    x = np.array([np.log10(20.0), 3.0])
-    step = np.array([0.5, 2.0])
+    """2-D search over (C, loss_per_missed_segment) maximizing k-fold CV
+    recall through the PORTED Powell BOBYQA (models/bobyqa.py) with the
+    reference's exact calling convention (ner_trainer.cpp:535-560): search
+    space (C, loss*LOSS_SCALE), start (20, 30), bounds (0.1, 10)-(100,
+    100), npt=2n+1, rho_begin=15, rho_end=1, max 100 evals; on
+    bobyqa_failure fall back to the defaults (20, 3), exactly as the
+    reference's catch block does.  The optimizer's iterate trajectory is
+    bit-identical to the compiled reference (tests/test_cross_engine.py::
+    test_bobyqa_trajectory_bit_exact), so when the CV objective values
+    agree the tuned parameters agree too.  Returns
+    (best_C, best_loss, best_recall)."""
+    from mitie_spark.models.bobyqa import BobyqaFailure, find_max_bobyqa
+
     cache: dict[tuple, float] = {}
 
     def f(pt):
-        key = (round(float(pt[0]), 6), round(float(pt[1]), 6))
+        # BOBYQA legitimately revisits points (prelim + the final
+        # ntrits=-1 step); the objective is deterministic, so caching
+        # changes nothing but the wall-clock
+        key = (float(pt[0]), float(pt[1]))
         if key not in cache:
             _, rec, _ = cross_validate_segmenter(
                 sentences,
                 folds=folds,
-                C=10.0 ** float(pt[0]),
-                loss_per_missed_segment=float(pt[1]),
+                C=float(pt[0]),
+                loss_per_missed_segment=float(pt[1]) / LOSS_SCALE,
                 max_iterations=max_iterations,
                 **train_kw,
             )
             cache[key] = rec
         return cache[key]
 
-    best = f(x)
-    evals = 1
-    while evals < max_evals and step.max() > 0.05:
-        improved = False
-        for d in range(2):
-            for sgn in (+1.0, -1.0):
-                if evals >= max_evals:
-                    break
-                cand = x.copy()
-                cand[d] = np.clip(cand[d] + sgn * step[d], lo[d], hi[d])
-                if np.array_equal(cand, x):
-                    continue
-                v = f(cand)
-                evals += 1
-                if v > best:
-                    best, x, improved = v, cand, True
-        if not improved:
-            step = step / 2.0
-    return float(10.0 ** x[0]), float(x[1]), float(best)
+    try:
+        x, best = find_max_bobyqa(
+            f, [20.0, 3.0 * LOSS_SCALE], 5, [0.1, 1.0 * LOSS_SCALE],
+            [100.0, 10.0 * LOSS_SCALE], 15.0, 1.0, max_evals,
+        )
+    except BobyqaFailure:
+        # ner_trainer.cpp:555-560 — optimization ran too long: defaults
+        return 20.0, 3.0, float(cache.get((20.0, 30.0), 0.0))
+    return float(x[0]), float(x[1]) / LOSS_SCALE, float(best)
 
 
 def compute_fscore(res: np.ndarray, num_labels: int, beta: float = 0.5):
@@ -447,14 +445,17 @@ def tune_classifier_C(
     beta: float = 0.5,
     min_C: float = 0.01,
     max_C: float = 5000.0,
-    max_evals: int = 12,
+    max_evals: int = 100,
     epochs: int = 6,
     seed: int = 99,
 ):
-    """1-D derivative-free search over C maximizing k-fold CV F-beta of
-    the chunk classifier — find_max_single_variable analog of
-    ner_trainer.cpp:372-393 (start C=300, bounds [0.01, 5000]). Golden
-    -section on log10 C. Returns (best_C, best_fscore)."""
+    """1-D search over C maximizing k-fold CV F-beta of the chunk
+    classifier through the PORTED dlib find_max_single_variable
+    (models/bobyqa.py) with the reference's exact calling convention
+    (ner_trainer.cpp:381-395): start C=300, bounds [0.01, 5000], eps=1,
+    max_iter=100, initial_search_radius=100; on
+    optimize_single_variable_failure fall back to C=300, exactly as the
+    reference's catch block does.  Returns (best_C, best_fscore)."""
     from mitie_spark.models.ner_model import (
         NerModel,
         train_chunk_classifier,
@@ -490,23 +491,23 @@ def tune_classifier_C(
                 res[y, pred] += 1
         return compute_fscore(res, num_labels, beta)
 
-    # golden-section over log10 C
-    gr = (np.sqrt(5.0) - 1.0) / 2.0
-    a, b_ = np.log10(min_C), np.log10(max_C)
-    c = b_ - gr * (b_ - a)
-    d = a + gr * (b_ - a)
-    fc, fd = cv_score(10.0**c), cv_score(10.0**d)
-    evals = 2
-    while evals < max_evals:
-        if fc >= fd:
-            b_, d, fd = d, c, fc
-            c = b_ - gr * (b_ - a)
-            fc = cv_score(10.0**c)
-        else:
-            a, c, fc = c, d, fd
-            d = a + gr * (b_ - a)
-            fd = cv_score(10.0**d)
-        evals += 1
-    if fc >= fd:
-        return float(10.0**c), float(fc)
-    return float(10.0**d), float(fd)
+    from mitie_spark.models.bobyqa import (
+        OptimizeSingleVariableFailure,
+        find_max_single_variable,
+    )
+
+    cache: dict[float, float] = {}
+
+    def f(C):
+        if C not in cache:
+            cache[C] = cv_score(float(C))
+        return cache[C]
+
+    try:
+        best_C, best_f = find_max_single_variable(
+            f, 300.0, min_C, max_C, 1.0, max_evals, 100.0
+        )
+    except OptimizeSingleVariableFailure:
+        # ner_trainer.cpp:389-393 — ran too long: C = 300
+        return 300.0, float(cache.get(300.0, 0.0))
+    return float(best_C), float(best_f)

@@ -558,3 +558,428 @@ def test_conll_eval_matches_reference_exactly(conll_eval_artifacts):
         gp, gr = got.get(lab, (0.0, 0.0))
         assert (gp, gr) == (p, r), lab
     assert 0.0 < got["OVERALL"][1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# BOBYQA / find_max_single_variable — the reference's hyperparameter
+# optimizers (ner_trainer.cpp:552, binary_relation_detector_trainer.cpp:217,
+# ner_trainer.cpp:387, text_categorizer_trainer.cpp:260) vs the Python port
+# (mitie_spark/models/bobyqa.py).  The probes dump every objective
+# evaluation as C99 hex doubles; the tests replay each case through the
+# port with operation-order-identical twin objectives and require the FULL
+# iterate trajectory — every queried point, every objective value, the
+# final iterate, and the failure behavior — to match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(z):
+    z = (z + 0x9E3779B97F4A7C15) & _MASK64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return z ^ (z >> 31)
+
+
+def _unit(tag):
+    return float(_splitmix64(tag) >> 40) * 2.0 ** -24
+
+
+def _mk_noise(seed):
+    import math as m
+
+    def f(v):
+        h = seed
+        for x in v:
+            q = m.floor(x * 4096.0)
+            h = _splitmix64(h ^ (int(q) & _MASK64))
+        f_ = (v[0] - 0.3) * (v[0] - 0.3) + (v[1] + 0.2) * (v[1] + 0.2)
+        f_ = f_ + float(h >> 40) * 2.0 ** -30
+        return f_
+
+    return f
+
+
+def _quad(v):
+    return ((v[0] - 1.7) * (v[0] - 1.7) + 2.3 * (v[1] + 0.4) * (v[1] + 0.4)
+            + 0.5 * v[0] * v[1])
+
+
+def _rosen(v):
+    return (100.0 * (v[1] - v[0] * v[0]) * (v[1] - v[0] * v[0])
+            + (1.0 - v[0]) * (1.0 - v[0]))
+
+
+def _nerlike(v):
+    return -((v[0] - 37.0) * (v[0] - 37.0) / 500.0
+             + (v[1] - 55.0) * (v[1] - 55.0) / 800.0)
+
+
+def _step2(v):
+    import math as m
+    return m.floor(v[0] / 10.0) * 0.125 + m.floor(v[1] / 20.0) * 0.0625
+
+
+def _bowl3(v):
+    return ((v[0] - 0.9) * (v[0] - 0.9) + 1.7 * (v[1] + 1.1) * (v[1] + 1.1)
+            + 0.3 * (v[2] - 2.2) * (v[2] - 2.2) + 0.25 * v[0] * v[2])
+
+
+_BOBYQA_OBJS = {
+    "quad": _quad, "rosen": _rosen, "ner_smooth": _nerlike,
+    "ner_step": _step2, "ner_const": lambda v: 1.0, "rel_smooth": _nerlike,
+    "noise1": _mk_noise(1), "noise2": _mk_noise(2), "noise3": _mk_noise(3),
+    "active": _quad, "budget": _rosen, "bowl3_full": _bowl3,
+    "bowl3_2n1": _bowl3,
+}
+
+
+def _sv_smooth(c):
+    return -(c - 731.0) * (c - 731.0) / 1e6
+
+
+_SV_OBJS = {
+    "sv_const": lambda c: 1.0,
+    "sv_smooth": _sv_smooth,
+    "sv_step": lambda c: __import__("math").floor(c / 250.0) * 0.0625,
+    "sv_tight": _sv_smooth,
+}
+
+
+def _build_probe(src_name, bin_name):
+    probe = REFBUILD / bin_name
+    src = REPO / "tests" / "cross_engine" / src_name
+    if not probe.exists() or probe.stat().st_mtime < src.stat().st_mtime:
+        r = subprocess.run(
+            ["g++", "-O3", "-I", str(REFBUILD / "dlib"), str(src),
+             "-o", str(probe)],
+            capture_output=True, text=True, timeout=600,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"{bin_name} build failed: {r.stderr[-400:]!r}")
+    return probe
+
+
+@pytest.fixture(scope="module")
+def bobyqa_probe_out(libmitie):
+    probe = _build_probe("probe_bobyqa.cpp", "probe_bobyqa")
+    r = subprocess.run([str(probe)], capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0
+    cases = {}
+    for line in r.stdout.splitlines():
+        parts = line.split()
+        tag, name = parts[0], parts[1]
+        c = cases.setdefault(
+            name, {"evals": [], "result": None, "failed": False})
+        if tag == "C":
+            c["n"], c["npt"] = int(parts[2]), int(parts[3])
+            c["rhobeg"] = float.fromhex(parts[4])
+            c["rhoend"] = float.fromhex(parts[5])
+            c["maxfun"], c["mode"] = int(parts[6]), parts[7]
+        elif tag == "B":
+            vals = [float.fromhex(p) for p in parts[2:]]
+            n = c["n"]
+            c["x0"], c["lo"], c["hi"] = vals[:n], vals[n:2 * n], vals[2 * n:]
+        elif tag == "E":
+            c["evals"].append(([float.fromhex(p) for p in parts[3:-1]],
+                               float.fromhex(parts[-1])))
+        elif tag == "R":
+            c["result"] = ([float.fromhex(p) for p in parts[2:-1]],
+                           float.fromhex(parts[-1]))
+        elif tag == "X":
+            c["failed"] = True
+    assert len(cases) == 17
+    return cases
+
+
+def test_bobyqa_trajectory_bit_exact(bobyqa_probe_out):
+    """Every BOBYQA case: the Python port queries the reference's exact
+    point sequence and returns its exact final iterate (hex-double
+    equality, no tolerance)."""
+    from mitie_spark.models.bobyqa import (
+        BobyqaFailure,
+        find_max_bobyqa,
+        find_min_bobyqa,
+    )
+
+    ran = 0
+    for name, c in bobyqa_probe_out.items():
+        if c["mode"] == "sv":
+            continue
+        mine = []
+        obj = _BOBYQA_OBJS[name]
+
+        def logged(v, _o=obj, _m=mine):
+            f = _o(v)
+            _m.append((list(v), f))
+            return f
+
+        runner = find_max_bobyqa if c["mode"] == "max" else find_min_bobyqa
+        failed, result = False, None
+        try:
+            x, fv = runner(logged, c["x0"], c["npt"], c["lo"], c["hi"],
+                           c["rhobeg"], c["rhoend"], c["maxfun"])
+            result = (x, fv)
+        except BobyqaFailure:
+            failed = True
+        assert failed == c["failed"], name
+        assert mine == c["evals"], name  # full trajectory, bit-for-bit
+        if not failed:
+            assert result[0] == c["result"][0], name
+            assert result[1] == c["result"][1], name
+        ran += 1
+    assert ran == 13
+
+
+def test_single_variable_trajectory_bit_exact(bobyqa_probe_out):
+    """find_max_single_variable (the classifier-C search): same
+    bit-for-bit trajectory contract."""
+    from mitie_spark.models.bobyqa import (
+        OptimizeSingleVariableFailure,
+        find_max_single_variable,
+    )
+
+    ran = 0
+    for name, c in bobyqa_probe_out.items():
+        if c["mode"] != "sv":
+            continue
+        mine = []
+        obj = _SV_OBJS[name]
+
+        def logged(v, _o=obj, _m=mine):
+            f = _o(v)
+            _m.append(([v], f))
+            return f
+
+        failed, result = False, None
+        try:
+            x, fv = find_max_single_variable(
+                logged, c["x0"][0], c["lo"][0], c["hi"][0], c["rhoend"],
+                c["maxfun"], c["rhobeg"])
+            result = ([x], fv)
+        except OptimizeSingleVariableFailure:
+            failed = True
+        assert failed == c["failed"], name
+        assert mine == c["evals"], name
+        if not failed:
+            assert result[0] == c["result"][0], name
+            assert result[1] == c["result"][1], name
+        ran += 1
+    assert ran == 4
+
+
+def test_bobyqa_rescue_bit_exact(libmitie):
+    """RESCUE (optimization_bobyqa.h:2020-2633) driven directly on two
+    crafted model states (reinstatement-only and forced re-evaluation):
+    every output array the reference mutates — xbase, xpt, fval, gopt,
+    hq, pq, bmat, zmat, sl, su — plus nf/kopt and the objective
+    evaluation stream must match bit-for-bit."""
+    from mitie_spark.models.bobyqa import _rescue
+
+    probe = _build_probe("probe_bobyqa_rescue.cpp", "probe_bobyqa_rescue")
+    r = subprocess.run([str(probe)], capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0
+    cases = {}
+    for line in r.stdout.splitlines():
+        p = line.split()
+        if p[0] == "E":
+            cases.setdefault(p[1], {}).setdefault("evals", []).append(
+                ([float.fromhex(v) for v in p[3:-1]],
+                 float.fromhex(p[-1])))
+        elif p[0] == "A":
+            cases.setdefault(p[1], {}).setdefault("arrays", {})[p[2]] = [
+                float.fromhex(v) for v in p[3:]]
+        elif p[0] == "S":
+            cases.setdefault(p[1], {})["nf_kopt"] = (int(p[2]), int(p[3]))
+    assert set(cases) == {"rescue1", "rescue2"}
+
+    for variant in (1, 2):
+        name = f"rescue{variant}"
+        n, npt = 2, 5
+        ndim, nptm, kopt = npt + n, npt - n - 1, 3
+        xl = [0.0] + [-10.0] * n
+        xu = [0.0] + [10.0] * n
+        xbase = [0.0] + [_unit(100 + j) - 0.5 for j in range(n)]
+        xopt = [0.0] + [(_unit(200 + j) - 0.5) * 0.5 for j in range(n)]
+        gopt = [0.0] + [(_unit(300 + j) - 0.5) * 4.0 for j in range(n)]
+        sl = [0.0] + [xl[j + 1] - xbase[j + 1] for j in range(n)]
+        su = [0.0] + [xu[j + 1] - xbase[j + 1] for j in range(n)]
+        fval = [0.0] + [_unit(400 + k) * 10.0 for k in range(npt)]
+        pq = [0.0] + [(_unit(500 + k) - 0.5) * 2.0 for k in range(npt)]
+        xpt = [[0.0] * (n + 1) for _ in range(npt + 1)]
+        for k in range(npt):
+            for j in range(n):
+                xpt[k + 1][j + 1] = (_unit(600 + k * 7 + j) - 0.5) * 0.8
+        fval[kopt] = -1.0
+        for j in range(1, n + 1):
+            xpt[kopt][j] = xopt[j]
+        if variant == 2:
+            for k in range(1, npt + 1):
+                if k != kopt:
+                    for j in range(1, n + 1):
+                        xpt[k][j] = xopt[j] + (0.0078125 if j == 1
+                                               else -0.015625)
+        hq = [0.0] + [(_unit(700 + i) - 0.5) * 1.5
+                      for i in range(n * (n + 1) // 2)]
+        bmat = [[0.0] * (n + 1) for _ in range(ndim + 1)]
+        for i in range(ndim * n):
+            bmat[i % ndim + 1][i // ndim + 1] = (_unit(800 + i) - 0.5) * 1.2
+        zmat = [[0.0] * (nptm + 1) for _ in range(npt + 1)]
+        for i in range(npt * nptm):
+            zmat[i % npt + 1][i // npt + 1] = (_unit(900 + i) - 0.5) * 1.1
+        vlag = [0.0] * (ndim + 1)
+
+        evals = []
+
+        def calfun(v, _m=evals):
+            f = ((v[0] - 0.25) * (v[0] - 0.25)
+                 + 3.0 * (v[1] + 0.75) * (v[1] + 0.75))
+            _m.append((list(v), f))
+            return f
+
+        nf, kopt_out = _rescue(
+            calfun, n, npt, xl, xu, 50, xbase, xpt, fval, xopt, gopt, hq,
+            pq, bmat, zmat, ndim, sl, su, 9, 0.25, kopt, vlag)
+
+        c = cases[name]
+        assert (nf, kopt_out) == c["nf_kopt"], name
+        assert evals == c.get("evals", []), name
+
+        def flat(m, rows, cols):
+            return [m[i % rows + 1][i // rows + 1]
+                    for i in range(rows * cols)]
+
+        got = {
+            "xbase": xbase[1:], "xopt": xopt[1:], "gopt": gopt[1:],
+            "sl": sl[1:], "su": su[1:], "fval": fval[1:], "pq": pq[1:],
+            "hq": hq[1:], "xpt": flat(xpt, npt, n),
+            "bmat": flat(bmat, ndim, n), "zmat": flat(zmat, npt, nptm),
+        }
+        for key, val in got.items():
+            assert val == c["arrays"][key], f"{name}.{key}"
+
+
+@pytest.fixture(scope="module")
+def cpp_tuning_stream(cpp):
+    """stdout of the C++ ner_trainer (which ALWAYS runs the BOBYQA
+    segmenter search and the find_max_single_variable classifier search)
+    on the tiny fixture — cached under xeng_test, keyed by SPEC_VERSION."""
+    cache = XENG / f"tune_stdout.{SPEC_VERSION}.txt"
+    if cache.exists():
+        return cache.read_text()
+    XENG.mkdir(parents=True, exist_ok=True)
+    twfe = XENG / "twfe.dat"
+    if not twfe.exists():
+        _make_twfe(str(twfe))
+    trainer = cpp.ner_trainer(str(twfe))
+    for i in range(40):
+        p, o = PEOPLE[i % len(PEOPLE)], ORGS[i % len(ORGS)]
+        if i % 3 == 0:
+            toks = ["the", p, "joined", o, "and", "left", "."]
+            ents = [(range(1, 2), "person"), (range(3, 4), "org")]
+        else:
+            toks = [p, "visited", o, "at", "the", "office", "."]
+            ents = [(range(0, 1), "person"), (range(2, 3), "org")]
+        inst = cpp.ner_training_instance(toks)
+        for rng_, lab in ents:
+            inst.add_entity(rng_, lab)
+        trainer.add(inst)
+    trainer.num_threads = 4
+    # the trainer writes its tuning trace to C-level stdout (fd 1)
+    saved = os.dup(1)
+    fd = os.open(str(cache) + ".tmp", os.O_WRONLY | os.O_CREAT | os.O_TRUNC)
+    os.dup2(fd, 1)
+    os.close(fd)
+    try:
+        trainer.train()
+    finally:
+        os.dup2(saved, 1)
+        os.close(saved)
+    (cache.parent / (cache.name + ".tmp")).rename(cache)
+    return cache.read_text()
+
+
+def test_auto_tune_reproduces_cpp_trainer_tuned_params(cpp_tuning_stream):
+    """END-TO-END: our api.ner_trainer with auto_tune=True lands on the
+    SAME tuned hyperparameters as the compiled reference trainer on the
+    tiny fixture — segmenter (best C, best loss) AND classifier best C.
+
+    Why this is a trajectory test and not a coincidence: on this fixture
+    the C++ CV objective is constant (every probed point scores 1.0 —
+    asserted below), so the optimizer's pure iterate geometry alone
+    decides the winner.  Our CV objectives are also 1.0 at every point
+    our (bit-identical) optimizers probe, so equality of the tuned
+    values is exactly equality of Powell trajectories.  The classifier
+    comparison is at cout's 6-significant-digit precision; the optimizer
+    itself is verified bit-exact in test_bobyqa_trajectory_bit_exact."""
+    import re
+
+    from mitie_spark import api
+    from mitie_spark.models import svm_train
+
+    # --- parse the reference's tuning trace ---
+    seg_evals = re.findall(
+        r"^C: (\S+)   loss: (\S+) \t(\S+)$", cpp_tuning_stream, re.M)
+    cls_evals = re.findall(
+        r"^C: (\S+)   f-score: (\S+)$", cpp_tuning_stream, re.M)
+    bests = re.findall(r"^best C: (\S+)$", cpp_tuning_stream, re.M)
+    best_loss = re.findall(r"^best loss: (\S+)$", cpp_tuning_stream, re.M)
+    assert len(seg_evals) >= 5 and len(cls_evals) >= 5
+    assert len(bests) == 2 and len(best_loss) == 1
+    # the premise: constant-1.0 objective on this fixture, both searches
+    assert all(s == "1" for _, _, s in seg_evals)
+    assert all(s == "1" for _, s in cls_evals)
+    ref_seg_C, ref_seg_loss = float(bests[0]), float(best_loss[0])
+    ref_cls_C = bests[1]
+
+    # --- run OUR auto-tune end-to-end, recording what train() receives ---
+    seen = {}
+    orig_seg, orig_cls = svm_train.tune_segmenter_params, svm_train.tune_classifier_C
+
+    def rec_seg(*a, **k):
+        out = orig_seg(*a, **k)
+        seen["seg"] = out
+        return out
+
+    def rec_cls(*a, **k):
+        out = orig_cls(*a, **k)
+        seen["cls"] = out
+        return out
+
+    svm_train.tune_segmenter_params = rec_seg
+    svm_train.tune_classifier_C = rec_cls
+    try:
+        trainer = api.ner_trainer()
+        trainer.auto_tune = True
+        for i in range(40):
+            p, o = PEOPLE[i % len(PEOPLE)], ORGS[i % len(ORGS)]
+            if i % 3 == 0:
+                toks = ["the", p, "joined", o, "and", "left", "."]
+                ents = [(range(1, 2), "person"), (range(3, 4), "org")]
+            else:
+                toks = [p, "visited", o, "at", "the", "office", "."]
+                ents = [(range(0, 1), "person"), (range(2, 3), "org")]
+            inst = api.ner_training_instance(toks)
+            for rng_, lab in ents:
+                inst.add_entity(rng_, lab)
+            trainer.add(inst)
+        ner = trainer.train()
+    finally:
+        svm_train.tune_segmenter_params = orig_seg
+        svm_train.tune_classifier_C = orig_cls
+
+    my_seg_C, my_seg_loss, my_seg_rec = seen["seg"]
+    my_cls_C, my_cls_f = seen["cls"]
+    # our CV objectives were also constant-1.0 (the trajectory premise)
+    assert my_seg_rec == 1.0
+    assert my_cls_f == 1.0
+    # tuned segmenter params: exact equality (both integers here)
+    assert (my_seg_C, my_seg_loss) == (ref_seg_C, ref_seg_loss)
+    # tuned classifier C: equality at cout's 6-sigfig print precision
+    assert f"{my_cls_C:.6g}" == ref_cls_C
+    # and the auto-tuned model still works
+    toks = ["Erin", "visited", "Umbrella", "."]
+    spans = [(r.start, r.stop, t) for r, t, _ in ner.extract_entities(toks)]
+    assert (0, 1, "person") in spans and (2, 3, "org") in spans

@@ -143,11 +143,16 @@ def test_cross_validate_and_tuning_bounds():
     )
     assert 0.0 <= p <= 1.0 and 0.0 <= r <= 1.0
     C, loss, rec = tune_segmenter_params(
-        sents, folds=2, max_evals=5, max_iterations=20
+        sents, folds=2, max_evals=30, max_iterations=20
     )
     assert 0.1 <= C <= 100.0
     assert 1.0 <= loss <= 10.0
     assert rec >= 0.5  # separable toy data: tuned model must segment well
+    # BOBYQA is deterministic: same data, same trajectory, same winner
+    C2, loss2, rec2 = tune_segmenter_params(
+        sents, folds=2, max_evals=30, max_iterations=20
+    )
+    assert (C, loss, rec) == (C2, loss2, rec2)
 
 
 def test_compute_fscore_reference_semantics():
@@ -181,7 +186,7 @@ def test_tune_classifier_C_runs_and_bounds():
         exs.append((toks, 2, 3, 0))
         exs.append((toks, 4, 5, 1))
     C, f = tune_classifier_C(
-        exs, num_labels=1, folds=2, max_evals=4, epochs=3
+        exs, num_labels=1, folds=2, max_evals=40, epochs=3
     )
     assert 0.01 <= C <= 5000.0
     assert 0.0 <= f <= 1.0
