@@ -271,6 +271,9 @@ def token_ngram_jaccard(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    low_t_exact_max_docs: int = 200_000,
+    minhash_hashes: int = 16,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold over token n-gram sets — a pure DataFrame
     program (no UDF), with a threshold-adaptive join strategy:
@@ -282,13 +285,24 @@ def token_ngram_jaccard(
       Search", WWW'07). The inverted-index join touches rare grams
       preferentially, killing the hot-gram quadratic blowup; candidates are
       verified exactly with array_intersect, so the strategy is lossless.
-    - threshold < 0.5 → full inverted-index pair counting: the prefix is
-      nearly the whole set at low thresholds (|prefix| ≈ (1−t)·|x|), so
-      filtering is pure overhead there and counting intersections directly
-      from the index is cheaper.
+    - threshold < 0.5, corpus ≤ ``low_t_exact_max_docs`` → full
+      inverted-index pair counting: the prefix is nearly the whole set at
+      low thresholds (|prefix| ≈ (1−t)·|x|), so filtering is pure overhead
+      there and counting intersections directly from the index is cheaper.
+    - threshold < 0.5, corpus LARGER than the probe → MinHash pre-blocking
+      + exact verify: the full inverted index is quadratic in hot grams and
+      does not survive 100×, so candidates come from ``minhash_hashes``
+      single-row LSH bands over the gram sets (capture probability for a
+      pair at J = t is 1−(1−t)^b, ≈0.96 at t=0.18/b=16), buckets capped at
+      ``max_bucket`` (boilerplate guard), then every candidate is verified
+      with the exact array_intersect Jaccard. Above the probe the result
+      is recall-bounded rather than exhaustive — the documented trade at
+      web scale; below it (every gated query) the operator stays exact.
 
-    Both strategies return identical rows (the DuckDB oracle brute-forces
-    the same set; equality unit-tested across strategies).
+    The exact strategies return identical rows (the DuckDB oracle
+    brute-forces the same set; equality unit-tested across strategies, and
+    the MinHash escape is equality-tested on a corpus where its capture
+    probability is ~1).
 
     The input is repartitioned by compute: the gram explode multiplies rows
     ~30× before the first exchange, so an unsplittable single-row-group
@@ -326,6 +340,35 @@ def token_ngram_jaccard(
     )
     inv = grams.select("id", F.explode("grams").alias("g"))
 
+    def _verify_exact(cand: DataFrame) -> DataFrame:
+        """Exact Jaccard on candidate pairs only (array_intersect is a JVM
+        built-in, not an interpreted lambda)."""
+        ga = grams.select(
+            F.col("id").alias("id_a"),
+            F.col("grams").alias("ga"),
+            F.size("grams").alias("sz_a"),
+        )
+        gb = grams.select(
+            F.col("id").alias("id_b"),
+            F.col("grams").alias("gb"),
+            F.size("grams").alias("sz_b"),
+        )
+        inter = F.size(F.array_intersect("ga", "gb"))
+        out = (
+            cand.join(ga, "id_a")
+            .join(gb, "id_b")
+            .withColumn("inter", inter)
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+        )
+        return out.filter(F.col("jaccard") >= threshold)
+
     if threshold >= 0.5:
         # global total order: (doc frequency asc, gram asc) — rare first
         dfreq = inv.groupBy("g").agg(F.count("*").alias("dfq"))
@@ -361,33 +404,51 @@ def token_ngram_jaccard(
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )
-        # exact verification on candidate pairs only (array_intersect is a
-        # JVM built-in, not an interpreted lambda)
-        ga = grams.select(
-            F.col("id").alias("id_a"),
-            F.col("grams").alias("ga"),
-            F.size("grams").alias("sz_a"),
+        return _verify_exact(cand)
+
+    # low threshold: probe the corpus size before committing to the exact
+    # full-inverted-index strategy (quadratic in hot grams — the first
+    # thing that dies at 100×). The probe count reuses the persisted gram
+    # build, so it costs one cheap job, not a recompute.
+    if grams.count() > low_t_exact_max_docs:
+        # MinHash pre-blocking: b single-hash bands over the gram set.
+        # min(xxhash64(i, g)) is a classic per-seed minhash; two docs
+        # collide in band i with probability J(a, b), so a pair at J = t
+        # is captured by some band with probability 1 − (1 − t)^b.
+        sigs = inv.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
+                for i in range(minhash_hashes)
+            ]
         )
-        gb = grams.select(
-            F.col("id").alias("id_b"),
-            F.col("grams").alias("gb"),
-            F.size("grams").alias("sz_b"),
+        bands = sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.col(f"h{i}").alias("bkey"),
+                        )
+                        for i in range(minhash_hashes)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        # boilerplate guard: a degenerate bucket (shared header/footer
+        # grams) would go quadratic — cap it like minhash_lsh does
+        bsizes = bands.groupBy("band", "bkey").agg(F.count("*").alias("bn"))
+        bands = bands.join(
+            bsizes.filter(F.col("bn") <= max_bucket), ["band", "bkey"]
+        ).drop("bn")
+        cand = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "bkey"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
         )
-        inter = F.size(F.array_intersect("ga", "gb"))
-        out = (
-            cand.join(ga, "id_a")
-            .join(gb, "id_b")
-            .withColumn("inter", inter)
-            .select(
-                "id_a",
-                "id_b",
-                (
-                    F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-                ).alias("jaccard"),
-            )
-        )
-        return out.filter(F.col("jaccard") >= threshold)
+        return _verify_exact(cand)
 
     sizes = grams.select("id", F.size("grams").alias("sz"))
     pair_inter = (

@@ -1,12 +1,18 @@
 """Pure-NumPy baseline JPEG decoder (ITU-T T.81 §F.2 / JFIF).
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
-coding, grayscale and 3-component YCbCr scans, chroma sampling factors
-whose ratios divide the max (4:4:4 / 4:2:2 / 4:2:0), restart markers
-(DRI/RSTn) and 0xFF00 byte stuffing. Progressive (SOF2), arithmetic
-coding, 12-bit precision and hierarchical modes raise
-UnsupportedMediaError, which routes callers to the injected-decoder seam
-exactly like any other unsupported payload (operators/multimodal.py).
+Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 — full
+spectral selection + successive approximation: interleaved DC first/
+refinement scans, per-component AC band scans with EOBn run coding and
+the correction-bit refinement procedure of T.81 §G.1.2.3), 8-bit
+samples, Huffman entropy coding, grayscale and 3-component scans (JFIF
+YCbCr by default; Adobe APP14 transform=0 or R/G/B component IDs decode
+as direct RGB with no color transform), chroma sampling factors whose
+ratios divide the max (4:4:4 / 4:2:2 / 4:2:0), restart markers
+(DRI/RSTn), 0xFF00 byte stuffing, and DHT/DRI redefinition between
+scans (tables are snapshotted per SOS). Arithmetic coding, 12-bit
+precision and hierarchical modes raise UnsupportedMediaError, which
+routes callers to the injected-decoder seam exactly like any other
+unsupported payload (operators/multimodal.py).
 
 Design: the marker walk and the inherently-sequential Huffman entropy
 decode run in Python over the unstuffed scan bytes (work bounded by the
@@ -156,6 +162,214 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
+def _resolve_scan(scan, by_id, need_dc: bool, need_ac: bool) -> list[dict]:
+    """Bind a scan's component selectors to the frame components and check
+    the Huffman tables it references exist (in the DHT state snapshotted
+    at this scan's SOS)."""
+    order = []
+    ht = scan["htables"]
+    for cid, tdta in scan["sel"]:
+        if cid not in by_id:
+            raise UnsupportedMediaError("JPEG scan references unknown component")
+        c = by_id[cid]
+        td, ta = tdta >> 4, tdta & 15
+        if need_dc and (0, td) not in ht:
+            raise UnsupportedMediaError("JPEG references missing Huffman table")
+        if need_ac and (1, ta) not in ht:
+            raise UnsupportedMediaError("JPEG references missing Huffman table")
+        order.append({"c": c, "dc": ht.get((0, td)), "ac": ht.get((1, ta))})
+    return order
+
+
+class _RestartReader:
+    """Iterates a scan's entropy segments: a fresh _BitReader after every
+    DRI-many units (restart resets DC predictors and the EOB run)."""
+
+    __slots__ = ("segs", "dri", "i", "reader", "unit")
+
+    def __init__(self, segs, dri):
+        self.segs = segs
+        self.dri = dri
+        self.i = 0
+        self.reader = _BitReader(segs[0])
+        self.unit = 0
+
+    def next_unit(self) -> bool:
+        """Advance the unit counter; True iff a restart boundary was
+        crossed (caller must reset predictors / EOB run)."""
+        if self.dri and self.unit and self.unit % self.dri == 0:
+            self.i += 1
+            if self.i >= len(self.segs):
+                raise UnsupportedMediaError("JPEG missing restart segment")
+            self.reader = _BitReader(self.segs[self.i])
+            self.unit += 1
+            return True
+        self.unit += 1
+        return False
+
+
+def _decode_baseline_scan(order, scan, mcx, mcy) -> None:
+    """Sequential DCT scan (T.81 §F.2): DC diff + AC run-length per block,
+    all components interleaved per MCU."""
+    rr = _RestartReader(scan["segs"], scan["dri"])
+    preds = [0] * len(order)
+    for m in range(mcx * mcy):
+        if rr.next_unit():
+            preds = [0] * len(order)
+        reader = rr.reader
+        my, mx = divmod(m, mcx)
+        for ci, oc in enumerate(order):
+            c, dc_t, ac_t = oc["c"], oc["dc"], oc["ac"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                    t = reader.decode(dc_t)
+                    if t > 11:
+                        raise UnsupportedMediaError("bad JPEG DC category")
+                    preds[ci] += _extend(reader.receive(t), t)
+                    blk[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(ac_t)
+                        r, s = rs >> 4, rs & 15
+                        if s > 10:
+                            # 8-bit baseline AC categories are 1..10
+                            # (T.81 Table F.2); hostile tables can emit up
+                            # to 15, whose int32 dequant product silently
+                            # wraps — mirror the DC t > 11 check above
+                            raise UnsupportedMediaError("bad JPEG AC category")
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise UnsupportedMediaError("JPEG AC run past block end")
+                        blk[k] = _extend(reader.receive(s), s)
+                        k += 1
+
+
+def _decode_progressive_scan(scan, by_id, mcx, mcy) -> None:
+    """One SOF2 scan (T.81 §G.2): DC scans (Ss=0) are interleaved over the
+    scan's components; AC scans (Ss>0) carry exactly one component in its
+    own data-unit raster. Ah=0 is the first pass for the band, Ah>0 a
+    successive-approximation refinement adding bit Al."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if not (0 <= ss <= se <= 63 and al <= 13):
+        raise UnsupportedMediaError("bad JPEG progressive scan parameters")
+    if ss == 0:
+        if se != 0:
+            raise UnsupportedMediaError("JPEG DC scan with Se != 0")
+        order = _resolve_scan(scan, by_id, need_dc=ah == 0, need_ac=False)
+        rr = _RestartReader(scan["segs"], scan["dri"])
+        preds = [0] * len(order)
+        for m in range(mcx * mcy):
+            if rr.next_unit():
+                preds = [0] * len(order)
+            reader = rr.reader
+            my, mx = divmod(m, mcx)
+            for ci, oc in enumerate(order):
+                c = oc["c"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        if ah == 0:  # first DC pass: diff-coded, scaled
+                            t = reader.decode(oc["dc"])
+                            if t > 11:
+                                raise UnsupportedMediaError("bad JPEG DC category")
+                            preds[ci] += _extend(reader.receive(t), t)
+                            blk[0] = preds[ci] << al
+                        else:  # refinement: one bit per block
+                            if reader.receive(1):
+                                blk[0] |= 1 << al
+        return
+
+    # AC scan: exactly one component (T.81 §G.1.1.1)
+    if len(scan["sel"]) != 1:
+        raise UnsupportedMediaError("JPEG progressive AC scan with >1 component")
+    oc = _resolve_scan(scan, by_id, need_dc=False, need_ac=True)[0]
+    c, ac_t = oc["c"], oc["ac"]
+    bw, bh = c["bw"], c["bh"]
+    rr = _RestartReader(scan["segs"], scan["dri"])
+    eobrun = 0
+    for m in range(bw * bh):
+        if rr.next_unit():
+            eobrun = 0
+        reader = rr.reader
+        blk = c["coef"][m // bw, m % bw]
+        if ah == 0:
+            # first AC pass for this band (§G.1.2.2): run-length + EOBn
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode(ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                if s > 10:
+                    raise UnsupportedMediaError("bad JPEG AC category")
+                k += r
+                if k > se:
+                    raise UnsupportedMediaError("JPEG AC run past band end")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:
+            # AC refinement (§G.1.2.3): correction bits for known-nonzero
+            # coefficients, newly-nonzero values are ±1<<al
+            bit = 1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += reader.receive(r)
+                            break  # remaining coeffs handled below
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise UnsupportedMediaError(
+                                "bad JPEG AC refinement magnitude")
+                        val = bit if reader.receive(1) else -bit
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.receive(1) and not (blk[k] & bit):
+                                blk[k] += bit if blk[k] > 0 else -bit
+                        else:
+                            if r == 0:
+                                if val:
+                                    blk[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+                    else:
+                        if val:
+                            raise UnsupportedMediaError(
+                                "JPEG AC refinement run past band end")
+            if eobrun > 0:
+                # inside an EOB run: only correction bits for nonzeros
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.receive(1) and not (blk[k] & bit):
+                            blk[k] += bit if blk[k] > 0 else -bit
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
     """→ ((H, W) gray or (H, W, 3) RGB uint8 array, 255)."""
     if payload[:3] != b"\xff\xd8\xff":
@@ -164,8 +378,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
     sof = None
+    progressive = False
     dri = 0
-    scan = None
+    scans: list[dict] = []
+    adobe_transform = None  # APP14 "Adobe" color-transform flag
 
     pos = 2
     n = len(payload)
@@ -207,7 +423,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                     raise UnsupportedMediaError("truncated JPEG DHT")
                 htables[(tc, th)] = _Huff(counts, values)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0: baseline sequential DCT
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive DCT
+            if len(body) < 6:
+                raise UnsupportedMediaError("truncated JPEG SOF body")
             prec, H, W, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise UnsupportedMediaError(f"JPEG precision {prec} not supported")
@@ -215,101 +433,84 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                 raise UnsupportedMediaError(f"{nc}-component JPEG not supported")
             if W <= 0 or H <= 0 or W * H > _MAX_PIXELS:
                 raise UnsupportedMediaError(f"JPEG dimensions {W}x{H} rejected")
+            if len(body) < 6 + 3 * nc:
+                raise UnsupportedMediaError("truncated JPEG SOF components")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             sof = (H, W, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) not supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise UnsupportedMediaError("truncated JPEG DRI body")
             (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE:  # APP14 — Adobe color-transform declaration
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS — entropy data follows the header
+            if not body:
+                raise UnsupportedMediaError("truncated JPEG SOS body")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise UnsupportedMediaError("truncated JPEG SOS components")
             sel = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             segs, pos = _split_scan(payload, pos + 2 + ln)
-            scan = (sel, segs)
-            break  # single-scan baseline: decode what we have
+            scans.append({
+                "sel": sel, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 15,
+                "segs": segs, "htables": dict(htables), "dri": dri,
+            })
+            if not progressive:
+                break  # single-scan baseline: decode what we have
+            continue  # progressive: keep walking (more scans / DHT / EOI)
         # APPn / COM / others: skip
         pos += 2 + ln
 
-    if sof is None or scan is None:
-        raise UnsupportedMediaError("JPEG missing SOF0/SOS")
+    if sof is None or not scans:
+        raise UnsupportedMediaError("JPEG missing SOF/SOS")
     H, W, comps = sof
-    sel, segs = scan
-    if len(sel) != len(comps):
-        raise UnsupportedMediaError("non-interleaved multi-scan JPEG not supported")
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cid, tdta in sel:
-        if cid not in by_id:
-            raise UnsupportedMediaError("JPEG scan references unknown component")
-        c = dict(by_id[cid])
-        c["td"], c["ta"] = tdta >> 4, tdta & 15
-        order.append(c)
 
-    hmax = max(c["h"] for c in order)
-    vmax = max(c["v"] for c in order)
-    for c in order:
+    # frame geometry: sampling factors / MCU grid over ALL components
+    if len(comps) == 1:
+        # single-component frame: data units are the component's own
+        # ceil(W/8) x ceil(H/8) raster; no MCU padding (T.81 A.2.2)
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
         if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
             raise UnsupportedMediaError("unsupported JPEG sampling factors")
-    if len(order) == 1:
-        # single-component scan: the data-unit grid is the component's own
-        # ceil(W/8) x ceil(H/8); no MCU padding to sampling boundaries
-        hmax = vmax = 1
-        order[0]["h"] = order[0]["v"] = 1
     mcx = (W + 8 * hmax - 1) // (8 * hmax)
     mcy = (H + 8 * vmax - 1) // (8 * vmax)
-
-    for c in order:
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
         if c["tq"] not in qtables:
             raise UnsupportedMediaError("JPEG references missing quant table")
-        if (0, c["td"]) not in htables or (1, c["ta"]) not in htables:
-            raise UnsupportedMediaError("JPEG references missing Huffman table")
         c["coef"] = np.zeros((mcy * c["v"], mcx * c["h"], 64), dtype=np.int32)
+        # the component's own data-unit grid (non-interleaved scans)
+        c["bw"] = (-(-W * c["h"] // hmax) + 7) // 8
+        c["bh"] = (-(-H * c["v"] // vmax) + 7) // 8
 
-    # --- entropy decode (sequential by nature; bounded by the MCU count) ---
-    seg_i = 0
-    reader = _BitReader(segs[0])
-    preds = [0] * len(order)
-    for m in range(mcx * mcy):
-        if dri and m and m % dri == 0:
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise UnsupportedMediaError("JPEG missing restart segment")
-            reader = _BitReader(segs[seg_i])
-            preds = [0] * len(order)
-        my, mx = divmod(m, mcx)
-        for ci, c in enumerate(order):
-            dc_t, ac_t = htables[(0, c["td"])], htables[(1, c["ta"])]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
-                    t = reader.decode(dc_t)
-                    if t > 11:
-                        raise UnsupportedMediaError("bad JPEG DC category")
-                    preds[ci] += _extend(reader.receive(t), t)
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise UnsupportedMediaError("JPEG AC run past block end")
-                        blk[k] = _extend(reader.receive(s), s)
-                        k += 1
+    if not progressive:
+        scan = scans[0]
+        if len(scan["sel"]) != len(comps):
+            raise UnsupportedMediaError(
+                "non-interleaved multi-scan JPEG not supported")
+        order = _resolve_scan(scan, by_id, need_dc=True, need_ac=True)
+        _decode_baseline_scan(order, scan, mcx, mcy)
+    else:
+        for scan in scans:
+            _decode_progressive_scan(scan, by_id, mcx, mcy)
 
     # --- vectorized reconstruction: dequant → zigzag → IDCT → planes ---
     planes = []
-    for c in order:
+    for c in comps:
         bh, bw, _ = c["coef"].shape
         flat = c["coef"].reshape(-1, 64) * qtables[c["tq"]][None, :]
         fblk = np.zeros((flat.shape[0], 64), dtype=np.float64)
@@ -327,6 +528,12 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
 
     if len(planes) == 1:
         return planes[0], 255
+    # 3-component color space: JFIF default is YCbCr; Adobe APP14
+    # transform=0 (and the informal component-ID convention 'R','G','B')
+    # mean the planes are already RGB and must NOT be color-transformed
+    ids = [c["id"] for c in comps]
+    if adobe_transform == 0 or (adobe_transform is None and ids == [0x52, 0x47, 0x42]):
+        return np.stack(planes, axis=-1), 255
     y, cb, cr = (p.astype(np.float64) for p in planes)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -3,11 +3,11 @@
 The container has no PIL/opencv/ffmpeg, but these formats need no codec
 library at all — BMP (BI_RGB), binary PNM (P5/P6), and RIFF/WAVE PCM are
 plain headers over raw sample arrays, and PNG is stdlib zlib inflate plus
-a NumPy byte-defilter (non-interlaced and Adam7). Baseline JPEG decodes in
+a NumPy byte-defilter (non-interlaced and Adam7). Baseline AND progressive JPEG decode in
 the sibling module (operators/jpeg.py, dispatched from builtin_decoder).
 These decoders make the multimodal path (operators/multimodal.py) REAL
 for those formats: payload bytes → pixel/sample arrays → deterministic
-feature vectors, with genuinely codec-bound formats (MP4, progressive
+feature vectors, with genuinely codec-bound formats (MP4, arithmetic-coded
 JPEG) still routed to an injected decoder or the documented fallback.
 
 Everything is deterministic and vectorized (header parse in ``struct``,

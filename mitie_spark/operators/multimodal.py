@@ -65,7 +65,7 @@ def resolve_decoder(decoder=None):
     closure and ships to executors via cloudpickle, so no module install is
     required on the workers beyond the decode library itself. The resolved
     callable raises media_codecs.UnsupportedMediaError for formats it
-    cannot handle (MP4, progressive JPEG without PIL) — per-payload
+    cannot handle (MP4, arithmetic-coded JPEG) — per-payload
     fallback happens in ``extract_features``."""
     if decoder is not None:
         return decoder

@@ -271,6 +271,33 @@ def test_token_ngram_jaccard_prefix_matches_counting(spark):
     assert len(a) > 0  # the testdata corpus does contain near-dups
 
 
+def test_token_ngram_jaccard_minhash_escape_matches_exact(spark):
+    """Above the low-threshold size probe the operator escapes to MinHash
+    pre-blocking + exact verify (the full inverted index is quadratic in
+    hot grams at 100x). On the sf0.001 corpus the 16-band capture
+    probability for every emitted pair is ~1, so the escape must return
+    the exact strategy's rows; the escape path must also be free of
+    cartesian products."""
+    from mitie_spark.operators.dedup import token_ngram_jaccard
+    from mitie_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])[
+        "documents"
+    ]
+    exact = token_ngram_jaccard(docs, n=2, threshold=0.3)
+    escaped = token_ngram_jaccard(
+        docs, n=2, threshold=0.3, low_t_exact_max_docs=1
+    )
+    plan = escaped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    a = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in exact.collect()}
+    b = {(r.id_a, r.id_b): round(r.jaccard, 9) for r in escaped.collect()}
+    # MinHash blocking can only MISS pairs, never invent them; and on this
+    # corpus (near-dups at J >= 0.45 with 16 bands) it misses none
+    assert b == a
+    assert len(a) > 0
+
+
 def test_token_ngram_jaccard_prefix_threshold_boundary(spark):
     """Regression: 0.56*25 = 14.000000000000002 in double; a naive ceil
     made the AllPairs prefix one gram too short and dropped pairs whose

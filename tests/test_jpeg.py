@@ -139,9 +139,11 @@ def _seg(marker, body):
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(img, subsample=False, restart=0):
+def encode_jpeg(img, subsample=False, restart=0, rgb_direct=False):
     """Scalar baseline encoder: (H,W) gray or (H,W,3) RGB uint8 → JFIF
-    bytes. All-ones quant tables; 4:4:4 or (subsample=True) 4:2:0."""
+    bytes. All-ones quant tables; 4:4:4 or (subsample=True) 4:2:0.
+    rgb_direct=True stores the RGB planes untransformed and declares it
+    via an Adobe APP14 transform=0 segment."""
     import struct
 
     img = np.asarray(img)
@@ -150,6 +152,10 @@ def encode_jpeg(img, subsample=False, restart=0):
     if gray:
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
+    elif rgb_direct:
+        assert not subsample
+        planes = [img[..., i].astype(np.float64) for i in range(3)]
+        samp = [(1, 1), (1, 1), (1, 1)]
     else:
         r, g, b = (img[..., i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -179,6 +185,9 @@ def encode_jpeg(img, subsample=False, restart=0):
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if rgb_direct:
+        # Adobe APP14, transform byte 0 = no color transform (RGB planes)
+        out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # quant table 0, all ones
     out += _seg(0xDB, bytes([0x01]) + bytes([1] * 64))  # quant table 1
     ncomp = 1 if gray else 3
@@ -346,3 +355,331 @@ def test_jpeg_decode_image_no_fake_needed():
     feat = decode_image(payload, deterministic_fake=False)
     assert feat.shape == (64,)
     assert not np.array_equal(feat, fake_decode(payload))
+
+
+def test_jpeg_adobe_rgb_no_color_transform():
+    """APP14 Adobe transform=0 declares direct-RGB planes: the decoder
+    must skip the YCbCr transform (ADVICE r4: those files previously
+    decoded with wrong colors)."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img, rgb_direct=True)
+    out, scale = decode_jpeg(data)
+    assert scale == 255 and out.shape == img.shape
+    # all-ones quant: IDCT(DCT(x)) rounds back within 1
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+    # and a YCbCr-encoded twin of the same image decodes to ~the same
+    # pixels (sanity that the two paths are actually different transforms)
+    out2, _ = decode_jpeg(encode_jpeg(img))
+    assert int(np.abs(out2.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_jpeg_hostile_ac_category_rejected():
+    """AC magnitude category s>10 is illegal in 8-bit baseline (T.81
+    Table F.2); a hostile Huffman table emitting s=11 must raise
+    UnsupportedMediaError instead of wrapping int32 coefficients
+    (ADVICE r4)."""
+    import struct
+
+    # minimal 8x8 gray: custom AC table whose only value is 0x0B (r=0,s=11)
+    ac_counts = bytes([0, 1] + [0] * 14)  # one 2-bit code
+    ac_values = bytes([0x0B])
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_VALUES)
+    out += _seg(0xC4, bytes([0x10]) + ac_counts + ac_values)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _BitWriter()
+    dc_codes = _huff_codes(_DC_COUNTS, _DC_VALUES)
+    ln, code = dc_codes[0]
+    w.put(ln, code)          # DC category 0 (diff = 0)
+    w.put(2, 0b00)           # the hostile AC code → s=11
+    w.put(11, 0)             # its 11 magnitude bits
+    out += w.flush() + b"\xff\xd9"
+    with pytest.raises(UnsupportedMediaError, match="AC category"):
+        decode_jpeg(bytes(out))
+
+
+def test_jpeg_truncated_bodies_fail_fast():
+    """Truncated SOF0/SOS/DRI bodies raise UnsupportedMediaError from
+    decode_jpeg itself, not struct.error/IndexError (ADVICE r4: direct
+    callers previously saw raw parse exceptions)."""
+    import struct
+
+    valid_prefix = bytearray(b"\xff\xd8")
+    valid_prefix += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+
+    # SOF0 body shorter than the fixed header
+    bad_sof = bytes(valid_prefix) + _seg(0xC0, b"\x08\x00")
+    with pytest.raises(UnsupportedMediaError, match="SOF"):
+        decode_jpeg(bad_sof)
+
+    # SOF0 declares 3 components but carries none
+    bad_sof2 = bytes(valid_prefix) + _seg(
+        0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3]))
+    with pytest.raises(UnsupportedMediaError, match="SOF"):
+        decode_jpeg(bad_sof2)
+
+    good_sof = bytes(valid_prefix) + _seg(
+        0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+
+    # empty SOS body
+    with pytest.raises(UnsupportedMediaError, match="SOS"):
+        decode_jpeg(good_sof + _seg(0xDA, b""))
+
+    # SOS declares 3 selectors but carries one byte
+    with pytest.raises(UnsupportedMediaError, match="SOS"):
+        decode_jpeg(good_sof + _seg(0xDA, bytes([3, 1, 0])))
+
+    # DRI with a 1-byte body
+    with pytest.raises(UnsupportedMediaError, match="DRI"):
+        decode_jpeg(good_sof + _seg(0xDD, b"\x01"))
+
+
+# --------------------------------------------------------------------------
+# independent progressive (SOF2) encoder — spectral selection + successive
+# approximation per T.81 §G.1.2.2/G.1.2.3, used to golden-test the
+# decoder's four progressive scan paths (DC first/refine, AC first/refine,
+# EOBn runs, ZRL-with-correction-bits)
+# --------------------------------------------------------------------------
+
+# the standard-style AC table lacks EOBn symbols for runs > 1; progressive
+# needs (r<<4)|0 for r = 1..14 — same all-8-bit-codes geometry
+_ACP_SYMBOLS = _AC_SYMBOLS + [(r << 4) for r in range(1, 15)]
+_ACP_COUNTS = bytes([0] * 7 + [len(_ACP_SYMBOLS)] + [0] * 8)
+_ACP_VALUES = bytes(_ACP_SYMBOLS)
+
+
+def _coef_blocks(img):
+    """→ (H, W, per-component [zigzag-coefficient blocks in raster order]).
+    Gray or RGB 4:4:4, all-ones quant — the same coefficients the baseline
+    encoder produces, so progressive and baseline decodes must be
+    pixel-identical."""
+    img = np.asarray(img)
+    H, W = img.shape[:2]
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    bh, bw = (H + 7) // 8, (W + 7) // 8
+    comps = []
+    for p in planes:
+        pp = _pad_blocks(p, bh, bw)
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                f = _A @ (pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _A.T
+                q = np.round(f).astype(int)
+                blocks.append([int(q.flat[i]) for i in _ZZ])
+        comps.append(blocks)
+    return H, W, bh, bw, comps
+
+
+class _EobRun:
+    """Pending EOBn run + (refinement) buffered correction bits."""
+
+    def __init__(self, w, ac_codes):
+        self.w, self.ac = w, ac_codes
+        self.n = 0
+        self.bits = []
+
+    def add(self, corr_bits=()):
+        self.n += 1
+        self.bits.extend(corr_bits)
+        if self.n == 0x4000:
+            self.flush()
+
+    def flush(self):
+        if self.n == 0:
+            return
+        r = self.n.bit_length() - 1
+        ln, code = self.ac[r << 4]
+        self.w.put(ln, code)
+        if r:
+            self.w.put(r, self.n - (1 << r))
+        for b in self.bits:
+            self.w.put(1, b)
+        self.n = 0
+        self.bits = []
+
+
+def _w_dc_first(w, comps, al, dc_codes):
+    preds = [0] * len(comps)
+    for m in range(len(comps[0])):
+        for ci, blocks in enumerate(comps):
+            v = blocks[m][0] >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _category(diff)
+            ln, code = dc_codes[t]
+            w.put(ln, code)
+            w.put(t, _enc_value(diff, t))
+
+
+def _w_dc_refine(w, comps, al):
+    for m in range(len(comps[0])):
+        for blocks in comps:
+            w.put(1, (blocks[m][0] >> al) & 1)
+
+
+def _w_ac_first(w, blocks, ss, se, al, ac_codes):
+    eob = _EobRun(w, ac_codes)
+    for zz in blocks:
+        v = [
+            (1 if zz[k] > 0 else -1) * ((zz[k] if zz[k] > 0 else -zz[k]) >> al)
+            for k in range(ss, se + 1)
+        ]
+        last = max((i for i, x in enumerate(v) if x), default=-1)
+        if last < 0:
+            eob.add()
+            continue
+        eob.flush()
+        run = 0
+        for i in range(last + 1):
+            if v[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                w.put(ln, code)
+                run -= 16
+            s = _category(v[i])
+            ln, code = ac_codes[(run << 4) | s]
+            w.put(ln, code)
+            w.put(s, _enc_value(v[i], s))
+            run = 0
+        if last < se - ss:
+            eob.add()
+    eob.flush()
+
+
+def _w_ac_refine(w, blocks, ss, se, al, ac_codes):
+    eob = _EobRun(w, ac_codes)
+    for zz in blocks:
+        t = [(zz[k] if zz[k] > 0 else -zz[k]) >> al for k in range(ss, se + 1)]
+        sgn = [1 if zz[k] > 0 else 0 for k in range(ss, se + 1)]
+        # positions with t==1 become nonzero IN THIS PASS; t>1 already were
+        last_new = max((i for i, x in enumerate(t) if x == 1), default=-1)
+        if last_new < 0:
+            eob.add([x & 1 for x in t if x > 1])
+            continue
+        eob.flush()
+        run = 0
+        br = []
+        for i in range(last_new + 1):
+            if t[i] == 0:
+                run += 1
+                continue
+            if t[i] > 1:
+                br.append(t[i] & 1)
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                w.put(ln, code)
+                for b_ in br:
+                    w.put(1, b_)
+                br = []
+                run -= 16
+            ln, code = ac_codes[(run << 4) | 1]
+            w.put(ln, code)
+            w.put(1, sgn[i])
+            for b_ in br:
+                w.put(1, b_)
+            br = []
+            run = 0
+        tail = [t[i] & 1 for i in range(last_new + 1, len(t)) if t[i] > 1]
+        if last_new < len(t) - 1:
+            eob.add(tail)
+    eob.flush()
+
+
+def encode_jpeg_progressive(img):
+    """Progressive 4:4:4 / gray encoder: DC first (Al=1) → AC first per
+    band per component (Al=1) → AC refinements (→ Al=0) → DC refinement."""
+    import struct
+
+    H, W, bh, bw, comps = _coef_blocks(img)
+    nc = len(comps)
+    dc_codes = _huff_codes(_DC_COUNTS, _DC_VALUES)
+    ac_codes = _huff_codes(_ACP_COUNTS, _ACP_VALUES)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2
+    out += _seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_VALUES)
+    out += _seg(0xC4, bytes([0x10]) + _ACP_COUNTS + _ACP_VALUES)
+
+    def sos(sel_ids, ss, se, ah, al):
+        body = bytes([len(sel_ids)])
+        for cid in sel_ids:
+            body += bytes([cid, 0x00 if ss == 0 else 0x10])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def scan(header, writer):
+        nonlocal out
+        out += header
+        w = _BitWriter()
+        writer(w)
+        out += w.flush()
+
+    all_ids = list(range(1, nc + 1))
+    scan(sos(all_ids, 0, 0, 0, 1), lambda w: _w_dc_first(w, comps, 1, dc_codes))
+    for ci in range(nc):
+        scan(sos([ci + 1], 1, 5, 0, 1),
+             lambda w, b=comps[ci]: _w_ac_first(w, b, 1, 5, 1, ac_codes))
+        scan(sos([ci + 1], 6, 63, 0, 1),
+             lambda w, b=comps[ci]: _w_ac_first(w, b, 6, 63, 1, ac_codes))
+    for ci in range(nc):
+        scan(sos([ci + 1], 1, 5, 1, 0),
+             lambda w, b=comps[ci]: _w_ac_refine(w, b, 1, 5, 0, ac_codes))
+        scan(sos([ci + 1], 6, 63, 1, 0),
+             lambda w, b=comps[ci]: _w_ac_refine(w, b, 6, 63, 0, ac_codes))
+    scan(sos(all_ids, 0, 0, 1, 0), lambda w: _w_dc_refine(w, comps, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_matches_baseline_gray():
+    """Progressive decode must be pixel-identical to the baseline decode of
+    the same coefficients (same all-ones quant, same DCT)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    base, _ = decode_jpeg(encode_jpeg(img))
+    prog, scale = decode_jpeg(encode_jpeg_progressive(img))
+    assert scale == 255
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_matches_baseline_rgb():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(19, 26, 3), dtype=np.uint8)
+    base, _ = decode_jpeg(encode_jpeg(img))
+    prog, _ = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_smooth_and_sparse():
+    """A smooth gradient (long EOB runs, sparse AC) and a constant image
+    (everything EOB) — the EOBn paths."""
+    x = np.linspace(0, 255, 40)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    base, _ = decode_jpeg(encode_jpeg(img))
+    prog, _ = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(prog, base)
+
+    const = np.full((16, 16), 131, dtype=np.uint8)
+    base, _ = decode_jpeg(encode_jpeg(const))
+    prog, _ = decode_jpeg(encode_jpeg_progressive(const))
+    assert np.array_equal(prog, base)
