@@ -921,7 +921,19 @@ def embedding_near_duplicates(spark, sf_dir):
     # per invocation would accumulate corpus-sized cached copies
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _VEC_CACHE:
-        _VEC_CACHE[key] = _doc_count_vectors(by_compute(docs)).persist()
+        # size the build's partitions from the SCAN width instead of full
+        # by_compute: the count-vector work is ~0.2 ms/doc, so at sf0.1
+        # (5k docs) a 32-partition stage is ~0.8 s of compute behind
+        # ~4.7 s of cold python-worker spawn (measured A/B; this host
+        # first-touch-faults at ~15 MB/s — CLAUDE.md). 4× the byte-split
+        # scan width caps the query's cold worker demand at small scale
+        # without a count job; large corpora scan wide, so min() picks
+        # the full cluster width and the 100× behavior is unchanged.
+        scan_parts = docs.rdd.getNumPartitions()
+        parts = min(
+            spark.sparkContext.defaultParallelism, max(4, scan_parts * 4)
+        )
+        _VEC_CACHE[key] = _doc_count_vectors(docs.repartition(parts)).persist()
     vecs = _VEC_CACHE[key]
     # center the projections on an approximate data mean (deterministic
     # doc_id sample): count vectors are all-positive, so uncentered sign
