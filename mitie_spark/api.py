@@ -616,13 +616,16 @@ class binary_relation_detector_trainer:
         self._neg: list[tuple[list[str], tuple[int, int], tuple[int, int]]] = []
         self.beta = 0.1
         self.num_threads = 4
-        # SVM-C analog (the reference BOBYQA-searches C around this —
-        # binary_relation_detector_trainer.cpp:176-238); None disables
-        # the decay-based regularization
-        self.C: float | None = None
-        # auto_tune mirrors the reference's 6-fold-CV F-beta C search
-        # (the reference ALWAYS runs it; opt-in here because it multiplies
-        # training cost by the grid × fold budget). Skipped — like the
+        # On a dlib-backed NER this is the reference trainer's true
+        # per-class SVM C — a scalar or a (C_pos, C_neg) pair handed to
+        # the ported DCD solver verbatim (models/dcd.py); None uses the
+        # reference's default/tuned flow.  On a native NER it remains the
+        # decay analog of models/relation_model.train_relation_model.
+        self.C: float | tuple[float, float] | None = None
+        # auto_tune runs the reference's exact BOBYQA 6-fold-CV F-beta C
+        # search (binary_relation_detector_trainer.cpp:176-238; the
+        # reference ALWAYS runs it — opt-in here because it multiplies
+        # training cost by the eval × fold budget). Skipped — like the
         # reference — when there are ≤ 6 positives.
         self.auto_tune = False
 
@@ -657,13 +660,16 @@ class binary_relation_detector_trainer:
         if getattr(fs, "kind", "") == "dlib":
             # a dlib-backed NER extracts REFERENCE-space features
             # (extract_binary_relation emits them for real .svm files), so
-            # the detector must be trained in that space — a native-space
-            # model could never score what this NER extracts
+            # the detector is trained in that space with the EXACT ported
+            # reference stack (models/dcd.brdt_train: default-seeded
+            # shuffle → optional log-space BOBYQA over threaded-6-fold-CV
+            # F-beta → rescale → dlib DCD solve) — the trained decision
+            # function is bit-identical to the compiled reference's,
+            # verified end-to-end in tests/test_cross_engine.py for both
+            # the tuned and untuned paths.
+            from mitie_spark.models.dcd import brdt_train
             from mitie_spark.models.relation_ref import (
-                NUM_HASH_DIMS,
                 reference_relation_pairs,
-                train_reference_detector,
-                tune_reference_C,
             )
 
             ner = self._ner._model
@@ -678,15 +684,21 @@ class binary_relation_detector_trainer:
                     reference_relation_pairs(toks, ner.X(toks), a1, a2)
                 )
                 labels.append(-1.0)
-            n_dims = 2 * fs.dims + NUM_HASH_DIMS
-            C = self.C
-            if self.auto_tune:
-                tuned = tune_reference_C(
-                    samples, labels, n_dims, beta=self.beta
+            C_override = None
+            if self.C is not None:
+                C_override = (
+                    (float(self.C[0]), float(self.C[1]))
+                    if isinstance(self.C, (tuple, list))
+                    else (float(self.C), float(self.C))
                 )
-                if tuned is not None:
-                    C = tuned
-            w, b = train_reference_detector(samples, labels, n_dims, C=C)
+            w, b, _ = brdt_train(
+                samples,
+                labels,
+                num_pos=len(self._pos),
+                beta=self.beta,
+                auto_tune=self.auto_tune,
+                C_override=C_override,
+            )
             return binary_relation_detector(
                 _ref_det=(w, b),
                 name=self.relation_name,

@@ -259,149 +259,3 @@ class DlibRelationModel(RelationModel):
             "export dlib detectors with "
             "sources.dlib_models.write_binary_relation_detector"
         )
-
-
-def train_reference_detector(
-    samples: list,
-    labels: list,
-    n_dims: int,
-    epochs: int = 14,
-    margin: float = 2.0,
-    seed: int = 77,
-    C: float | None = None,
-) -> tuple[np.ndarray, float]:
-    """Averaged margin perceptron over REFERENCE-space sparse pair lists →
-    (w, b) with decision value ``score_pairs(w, b, pairs)``. This is what
-    lets ``binary_relation_detector_trainer`` work on a dlib-backed NER:
-    the NER extracts reference-space features
-    (binary_relation_detector.cpp:110-189), so the detector must be
-    trained in that space — a native-space model could never score them.
-    Same solver analogs as models/relation_model.train_relation_model
-    (C → per-epoch L2 decay)."""
-    rng = np.random.default_rng(seed)
-    w = np.zeros(n_dims, dtype=np.float64)
-    b = 0.0
-    wa = np.zeros(n_dims, dtype=np.float64)
-    ba = 0.0
-    # C may be a scalar or a per-class (C_pos, C_neg) pair — the reference
-    # trainer sets c_class1/c_class2 separately
-    # (binary_relation_detector_trainer.cpp:228-230).  The decay analog
-    # shrinks from the geometric mean (log-space midpoint of the
-    # reference's log-space search), and the per-class ratio scales the
-    # update step for that class; C_pos == C_neg reduces exactly to the
-    # single-C behavior.
-    if isinstance(C, (tuple, list)):
-        c_pos, c_neg = float(C[0]), float(C[1])
-        c_mean = float(np.sqrt(c_pos * c_neg))
-        wt = {1.0: c_pos / c_mean, -1.0: c_neg / c_mean}
-    else:
-        c_mean = C
-        wt = {1.0: 1.0, -1.0: 1.0}
-    decay = (
-        max(1.0 - 1.0 / (c_mean * max(len(samples), 1)), 0.0)
-        if c_mean else 1.0
-    )
-    steps = 0
-    for _ in range(epochs):
-        for k in rng.permutation(len(samples)):
-            pairs, y = samples[k], labels[k]
-            s = sum(w[i] * v for i, v in pairs if i < n_dims) - b
-            steps += 1
-            if y * s < margin:
-                step = y * wt[y]
-                for i, v in pairs:
-                    if i < n_dims:
-                        w[i] += step * v
-                        wa[i] += steps * step * v
-                b -= step
-                ba -= steps * step
-        if decay != 1.0:
-            w *= decay
-            b *= decay
-            wa *= decay
-            ba *= decay
-    n = max(steps, 1)
-    return w - wa / n, float(b - ba / n)
-
-
-def tune_reference_C(
-    samples: list,
-    labels: list,
-    n_dims: int,
-    folds: int = 6,
-    beta: float = 0.1,
-    epochs: int = 14,
-    margin: float = 2.0,
-    seed: int = 77,
-) -> tuple[float, float] | None:
-    """6-fold-CV (C_pos, C_neg) search for the reference-space trainer
-    through the PORTED Powell BOBYQA (models/bobyqa.py) with the
-    reference's exact calling convention
-    (binary_relation_detector_trainer.cpp:198-221): log-space search,
-    start log(5000/n) in both coordinates, bounds [log(1/n),
-    log(100000/n)], rho_begin = min(upper-lower)*0.15, rho_end =
-    log(1.2/n)-log(1/n), npt=2n+1, max 200 evals, F-beta over TPR/TNR,
-    and the winner rescaled by (folds-1)/folds before the final
-    full-data train.  Skipped (None) at <= folds positives, as the
-    reference skips it.  Returns the rescaled (C_pos, C_neg)."""
-    from mitie_spark.models.bobyqa import BobyqaFailure, find_max_bobyqa
-
-    n_pos = sum(1 for y in labels if y > 0)
-    if n_pos <= folds:
-        return None
-    n = len(samples)
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(n)
-    fold_of = np.arange(n) % folds
-    sx = [samples[i] for i in order]
-    sy = [labels[i] for i in order]
-    cache: dict[tuple, float] = {}
-
-    def fscore_at(v):
-        key = (float(v[0]), float(v[1]))
-        if key in cache:
-            return cache[key]
-        c = (float(np.exp(v[0])), float(np.exp(v[1])))
-        tp = fp = fn = tn = 0
-        for f in range(folds):
-            tr = [(s, y) for s, y, g in zip(sx, sy, fold_of) if g != f]
-            te = [(s, y) for s, y, g in zip(sx, sy, fold_of) if g == f]
-            if not tr or not te:
-                continue
-            w, b = train_reference_detector(
-                [s for s, _ in tr], [y for _, y in tr], n_dims,
-                epochs=epochs, margin=margin, seed=seed, C=c,
-            )
-            for s, y in te:
-                hit = score_pairs(w, b, s) > 0
-                if y > 0:
-                    tp, fn = (tp + 1, fn) if hit else (tp, fn + 1)
-                else:
-                    fp, tn = (fp + 1, tn) if hit else (fp, tn + 1)
-        tpr = tp / (tp + fn) if tp + fn else 0.0
-        tnr = tn / (tn + fp) if tn + fp else 0.0
-        denom = beta * beta * tnr + tpr
-        fscore = (1 + beta * beta) * tpr * tnr / denom if denom else 0.0
-        cache[key] = fscore
-        return fscore
-
-    lo = float(np.log(1.0 / n))
-    hi = float(np.log(100000.0 / n))
-    x0 = float(np.log(5000.0 / n))
-    rho_begin = (hi - lo) * 0.15
-    rho_end = float(np.log(1.2 / n)) - lo
-    try:
-        x, _ = find_max_bobyqa(
-            fscore_at, [x0, x0], 5, [lo, lo], [hi, hi],
-            rho_begin, rho_end, 200,
-        )
-    except BobyqaFailure:
-        # the reference has no catch here (train() would propagate), but
-        # a tuning failure should not kill a Spark-side train job —
-        # fall back to the unsearched default, documented deviation
-        x = [x0, x0]
-    scale = (folds - 1.0) / folds
-    return (
-        float(np.exp(x[0])) * scale,
-        float(np.exp(x[1])) * scale,
-    )

@@ -983,3 +983,201 @@ def test_auto_tune_reproduces_cpp_trainer_tuned_params(cpp_tuning_stream):
     toks = ["Erin", "visited", "Umbrella", "."]
     spans = [(r.start, r.stop, t) for r, t, _ in ner.extract_entities(toks)]
     assert (0, 1, "person") in spans and (2, 3, "org") in spans
+
+
+# ---------------------------------------------------------------------------
+# DCD trainer differential (mitie_spark/models/dcd.py) — the exact solver
+# binary_relation_detector_trainer.cpp:155-232 drives.  probe_dcd.cpp pins
+# the four layers separately (rand stream, randomize_samples permutation,
+# the DCD solve, the threaded 6-fold CV); the end-to-end tests compare
+# whole trained detectors against the reference's own trainer.
+# ---------------------------------------------------------------------------
+
+
+def _dcd_probe_dataset():
+    """Mirror of probe_dcd.cpp's LCG-generated sparse dataset — keep the
+    two in sync."""
+    state = 42
+    mask = (1 << 64) - 1
+
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) & mask
+        return state >> 33
+
+    samples, labels = [], []
+    for i in range(30):
+        label = 1 if i % 2 == 0 else -1
+        m = {(0 if label > 0 else 1): 1.0}
+        for _ in range(7):
+            idx = 2 + nxt() % 58
+            val = ((nxt() % 9) + 1) * 0.25
+            m[idx] = m.get(idx, 0.0) + val
+        if i % 7 == 0:
+            label = -label
+        samples.append(sorted(m.items()))
+        labels.append(float(label))
+    return samples, labels
+
+
+@pytest.fixture(scope="module")
+def dcd_probe_out(libmitie):
+    probe = _build_probe("probe_dcd.cpp", "probe_dcd")
+    r = subprocess.run([str(probe)], capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0
+    out = {"D": {}}
+    for line in r.stdout.splitlines():
+        parts = line.split()
+        if parts[0] == "R":
+            out["R"] = [int(v) for v in parts[1:]]
+        elif parts[0] == "P":
+            out["P"] = [int(v) for v in parts[1:]]
+        elif parts[0] == "D":
+            b = float.fromhex(parts[2])
+            sv = []
+            for tok in parts[3:]:
+                i, v = tok.split(":")
+                sv.append((int(i), float.fromhex(v)))
+            out["D"][int(parts[1])] = (b, sv)
+        elif parts[0] == "C":
+            out["C"] = (float.fromhex(parts[1]), float.fromhex(parts[2]))
+    assert set(out) == {"R", "P", "D", "C"} and len(out["D"]) == 3
+    return out
+
+
+def test_dlib_rand_stream_bit_exact(dcd_probe_out):
+    """DlibRand reproduces dlib::rand's post-prime uint32 stream."""
+    from mitie_spark.models.dcd import DlibRand
+
+    r = DlibRand()
+    assert [r.get_random_32bit_number() for _ in range(12)] == dcd_probe_out["R"]
+
+
+def test_randomize_samples_permutation_bit_exact(dcd_probe_out):
+    """The end-first Fisher-Yates (svm.h:995-1032) lands the same
+    permutation with the same default-seeded rand."""
+    from mitie_spark.models.dcd import randomize_samples
+
+    ids = list(range(30))
+    dummy = [0] * 30
+    randomize_samples(ids, dummy)
+    assert ids == dcd_probe_out["P"]
+
+
+def test_dcd_train_bit_exact(dcd_probe_out):
+    """svm_c_linear_dcd_train returns the reference's exact decision
+    function — w hex-double-for-hex-double, b included — across interior,
+    clamped and asymmetric-C regimes (shuffle RNG + shrinking included)."""
+    from mitie_spark.models.dcd import svm_c_linear_dcd_train
+
+    samples, labels = _dcd_probe_dataset()
+    for t, (c1, c2) in enumerate([(1.0, 1.0), (0.3, 2.0), (25.0, 0.05)]):
+        w, b = svm_c_linear_dcd_train(samples, labels, c1, c2)
+        ref_b, ref_sv = dcd_probe_out["D"][t]
+        assert b == ref_b, t
+        # the reference basis vector is dense-in-sparse (assign keeps
+        # zeros): every index 0..dims-1 in order
+        assert [i for i, _ in ref_sv] == list(range(len(w))), t
+        assert w.tolist() == [v for _, v in ref_sv], t
+
+
+def test_threaded_cv_bit_exact(dcd_probe_out):
+    """cross_validate_trainer reproduces cross_validate_trainer_threaded's
+    exact per-class accuracies (fold composition + fold-order sum)."""
+    from mitie_spark.models.dcd import cross_validate_trainer
+
+    samples, labels = _dcd_probe_dataset()
+    got = cross_validate_trainer(samples, labels, 6, 0.8, 1.7)
+    assert got == dcd_probe_out["C"]
+
+
+def test_our_relation_trainer_matches_cpp_trained_artifact(cpp, artifacts):
+    """END-TO-END (untuned path): api.binary_relation_detector_trainer on
+    the artifacts fixture (4 positives <= 6 folds, so the reference skips
+    the BOBYQA search and uses the rescaled default C) produces the SAME
+    decision function the compiled reference trainer saved to .svm —
+    train-here == train-there, bit-for-bit."""
+    from mitie_spark import api
+    from mitie_spark.sources.dlib_models import (
+        read_binary_relation_detector,
+        relation_weights_from_detector,
+    )
+
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    tr = api.binary_relation_detector_trainer("people.person.employer", my_ner)
+    for toks, a1, a2 in REL_POS:
+        tr.add_positive_binary_relation(toks, a1, a2)
+    for toks, a1, a2 in REL_NEG:
+        tr.add_negative_binary_relation(toks, a1, a2)
+    mine = tr.train()
+    w_my, b_my = mine._det
+
+    det = read_binary_relation_detector(artifacts["svm"])
+    w_ref, b_ref = relation_weights_from_detector(det, n_dims=len(w_my))
+    assert b_my == b_ref
+    assert np.array_equal(w_my, w_ref)
+
+
+TUNED_REL_POS = [
+    (["Alice", "works", "at", "Acme", "w0", "."], range(0, 1), range(3, 4)),
+    (["Bob", "works", "at", "Globex", "w1", "."], range(0, 1), range(3, 4)),
+    (["Carol", "joined", "Initech", "w2", "."], range(0, 1), range(2, 3)),
+    (["Dave", "works", "at", "Umbrella", "w3", "."], range(0, 1), range(3, 4)),
+    (["Erin", "works", "at", "Acme", "w4", "."], range(0, 1), range(3, 4)),
+    (["Frank", "joined", "Globex", "w5", "."], range(0, 1), range(2, 3)),
+    (["Alice", "works", "at", "Initech", "w6", "."], range(0, 1), range(3, 4)),
+    (["Bob", "joined", "Umbrella", "w7", "."], range(0, 1), range(2, 3)),
+]
+TUNED_REL_NEG = [
+    (["Acme", "hired", "by", "Alice", "w8", "."], range(0, 1), range(3, 4)),
+    (["Globex", "said", "Bob", "left", "w9", "."], range(0, 1), range(2, 3)),
+    (["Carol", "met", "Dave", "at", "noon", "."], range(0, 1), range(2, 3)),
+    (["Initech", "fell", "as", "Erin", "watched", "."], range(0, 1), range(3, 4)),
+    (["Frank", "and", "Carol", "left", "w10", "."], range(0, 1), range(2, 3)),
+    (["Umbrella", "near", "Dave", "w11", "."], range(0, 1), range(2, 3)),
+    (["Erin", "saw", "Acme", "fall", "w12", "."], range(2, 3), range(0, 1)),
+    (["Bob", "met", "Frank", "w13", "."], range(0, 1), range(2, 3)),
+]
+
+
+def test_relation_auto_tune_reproduces_cpp_tuned_detector(cpp, artifacts):
+    """END-TO-END (tuned path): with 8 positives (> 6 folds) the reference
+    trainer runs its full log-space BOBYQA search over the threaded
+    6-fold-CV F-beta objective before the final train.  Our
+    auto_tune=True reproduces the resulting decision function exactly —
+    which transitively pins the tuned (C1, C2) too, since the final DCD
+    solve is bit-deterministic in them.  The C++-trained detector is
+    cached beside the other xeng artifacts, keyed by SPEC_VERSION."""
+    from mitie_spark import api
+    from mitie_spark.sources.dlib_models import (
+        read_binary_relation_detector,
+        relation_weights_from_detector,
+    )
+
+    svm_path = XENG / f"rel_tuned.{SPEC_VERSION}.svm"
+    if not svm_path.exists():
+        ner = cpp.named_entity_extractor(artifacts["ner"])
+        rt = cpp.binary_relation_detector_trainer("people.person.tuned", ner)
+        for toks, a1, a2 in TUNED_REL_POS:
+            rt.add_positive_binary_relation(toks, a1, a2)
+        for toks, a1, a2 in TUNED_REL_NEG:
+            rt.add_negative_binary_relation(toks, a1, a2)
+        rt.num_threads = 4
+        det = rt.train()
+        det.save_to_disk(str(svm_path))
+
+    my_ner = api.named_entity_extractor(artifacts["ner"])
+    tr = api.binary_relation_detector_trainer("people.person.tuned", my_ner)
+    for toks, a1, a2 in TUNED_REL_POS:
+        tr.add_positive_binary_relation(toks, a1, a2)
+    for toks, a1, a2 in TUNED_REL_NEG:
+        tr.add_negative_binary_relation(toks, a1, a2)
+    tr.auto_tune = True
+    mine = tr.train()
+    w_my, b_my = mine._det
+
+    det = read_binary_relation_detector(str(svm_path))
+    w_ref, b_ref = relation_weights_from_detector(det, n_dims=len(w_my))
+    assert b_my == b_ref
+    assert np.array_equal(w_my, w_ref)
