@@ -7,8 +7,10 @@ a NumPy byte-defilter (non-interlaced and Adam7). Baseline AND progressive JPEG 
 the sibling module (operators/jpeg.py, dispatched from builtin_decoder).
 These decoders make the multimodal path (operators/multimodal.py) REAL
 for those formats: payload bytes → pixel/sample arrays → deterministic
-feature vectors, with genuinely codec-bound formats (MP4, arithmetic-coded
-JPEG) still routed to an injected decoder or the documented fallback.
+feature vectors.  MP4 container parsing (boxes, sample tables, frame
+byte-range extraction) is real too — operators/mp4.py — so only the
+codec BITSTREAMS (H.264/HEVC/AAC, arithmetic-coded JPEG) route to an
+injected decoder or the documented fallback.
 
 Everything is deterministic and vectorized (header parse in ``struct``,
 pixel/sample math in NumPy) — safe inside Arrow-batched UDFs.

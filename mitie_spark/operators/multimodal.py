@@ -4,8 +4,11 @@ Treats image/audio/video as ``binary`` columns with a metadata struct,
 exactly as the pages table treats ``html``. The Spark-side plumbing —
 schemas, Arrow batch shapes, partition sizing for large blobs, UDF
 signatures — is real and tested. Decode is REAL for raw-container formats
-(BMP/PGM/PPM/WAV via the pure-NumPy codecs in operators/media_codecs.py)
-and for anything an injected decoder or PIL handles; compressed formats
+(BMP/PGM/PPM/WAV via the pure-NumPy codecs in operators/media_codecs.py),
+for PNG and baseline+progressive JPEG (operators/jpeg.py), and for the
+MP4 CONTAINER layer (operators/mp4.py: sample tables + keyframe byte
+extraction; only the codec bitstream stays behind the seam), plus
+anything an injected decoder or PIL handles; compressed formats
 without a decoder raise ``NotImplementedError`` unless
 ``deterministic_fake=True``, which produces a seeded fake feature vector
 derived from the payload bytes so downstream operators (similarity, dedup)
@@ -208,11 +211,18 @@ def synth_media_table(spark, n: int = 50, seed: int = 3):
                 encode_wav(0.5 * np.sin(2 * np.pi * f * t), rate=16000)
             )
         else:
-            blob = bytearray(
-                rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
-            )
-            blob[4:8] = b"ftyp"  # mp4 magic → routed to the fallback path
-            payloads.append(bytes(blob))
+            # a REAL spec-valid MP4 container (operators/mp4.py) holding
+            # seeded opaque frame bytes: the container/sample-table layer
+            # parses for real (sample_video_frames extracts exact coded
+            # frame bytes); only codec decode hits the fallback path
+            from mitie_spark.operators.mp4 import encode_mp4
+
+            frames = [
+                rng.integers(0, 256, size=int(rng.integers(40, 120)),
+                             dtype=np.uint8).tobytes()
+                for _ in range(12)
+            ]
+            payloads.append(encode_mp4(frames, fps=4, sync_every=3))
         metas.append(
             {
                 "mime": {
