@@ -1181,3 +1181,117 @@ def test_relation_auto_tune_reproduces_cpp_tuned_detector(cpp, artifacts):
     w_ref, b_ref = relation_weights_from_detector(det, n_dims=len(w_my))
     assert b_my == b_ref
     assert np.array_equal(w_my, w_ref)
+
+
+# ---------------------------------------------------------------------------
+# OCA multiclass SVM port (mitie_spark/models/oca.py) — the solver stack
+# MITIE's NER segment classifier and text categorizer train with
+# (ner_trainer.cpp:281-405, text_categorizer_trainer.cpp:144-270).
+# probe_multiclass.cpp runs dlib's OWN oca/solve_qp_using_smo/
+# structural_svm_problem::get_risk/cross_validate_multiclass_trainer/
+# find_max_single_variable over the deterministic (non-threaded) problem
+# shape and dumps hex doubles; see the probe header for why the threaded
+# trainer itself is not a bit-stable target.
+# ---------------------------------------------------------------------------
+
+
+def _multiclass_probe_dataset():
+    """Mirror of probe_multiclass.cpp's LCG-generated 3-class dataset —
+    keep the two in sync."""
+    state = 42
+    mask = (1 << 64) - 1
+
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) & mask
+        return state >> 33
+
+    samples, labels = [], []
+    for i in range(24):
+        lab = i % 3
+        m = {lab: 2.0}
+        for _ in range(5):
+            idx = 3 + nxt() % 37
+            val = ((nxt() % 9) + 1) * 0.25
+            m[idx] = m.get(idx, 0.0) + val
+        samples.append(sorted(m.items()))
+        labels.append(lab)
+    return samples, labels
+
+
+@pytest.fixture(scope="module")
+def multiclass_probe_out(libmitie):
+    probe = _build_probe("probe_multiclass.cpp", "probe_multiclass")
+    r = subprocess.run([str(probe)], capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0
+    out = {"W": {}, "O": {}, "V": np.zeros((3, 3)), "E": [], "T": None}
+    for line in r.stdout.splitlines():
+        p = line.split()
+        if p[0] == "W":
+            out["W"][int(p[1])] = np.array([float.fromhex(v) for v in p[2:]])
+        elif p[0] == "O":
+            out["O"][int(p[1])] = float.fromhex(p[2])
+        elif p[0] == "V":
+            out["V"][int(p[1]), int(p[2])] = float(p[3])
+        elif p[0] == "E":
+            out["E"].append((float.fromhex(p[1]), float.fromhex(p[2])))
+        elif p[0] == "T":
+            out["T"] = float.fromhex(p[1])
+    assert len(out["W"]) == 3 and out["T"] is not None and out["E"]
+    return out
+
+
+def test_oca_multiclass_train_bit_exact(multiclass_probe_out):
+    """svm_multiclass_linear_train reproduces dlib's OCA weight vector and
+    returned objective hex-double-for-hex-double across three (C, eps,
+    max_iterations) regimes — the full cutting-plane trajectory (SMO
+    subproblems, plane pruning, stopping rule) is pinned transitively."""
+    from mitie_spark.models.oca import svm_multiclass_linear_train
+
+    samples, labels = _multiclass_probe_dataset()
+    cases = [(300.0, 0.0001, 2000), (1.0, 0.001, 10000), (25.0, 0.001, 2000)]
+    for t, (C, eps, mi) in enumerate(cases):
+        W, b, labs, obj = svm_multiclass_linear_train(
+            samples, labels, C=C, eps=eps, max_iterations=mi
+        )
+        assert labs == [0, 1, 2]
+        w_full = np.hstack([W, b[:, None]]).reshape(-1)
+        assert np.array_equal(w_full, multiclass_probe_out["W"][t]), t
+        assert obj == multiclass_probe_out["O"][t], t
+
+
+def test_oca_multiclass_cv_bit_exact(multiclass_probe_out):
+    """cross_validate_multiclass_trainer reproduces dlib's rotating
+    per-class fold composition and confusion counts exactly."""
+    from mitie_spark.models.oca import (
+        cross_validate_multiclass_trainer,
+        svm_multiclass_linear_train,
+    )
+
+    samples, labels = _multiclass_probe_dataset()
+
+    def train_fn(x, y):
+        w, b, labs, _ = svm_multiclass_linear_train(
+            x, y, C=300.0, eps=0.001, max_iterations=2000
+        )
+        return w, b, labs
+
+    cv = cross_validate_multiclass_trainer(train_fn, samples, labels, 2)
+    assert np.array_equal(cv, multiclass_probe_out["V"])
+
+
+def test_oca_tuning_trajectory_bit_exact(multiclass_probe_out):
+    """tune_multiclass_C walks find_max_single_variable through the SAME
+    (C, f-score) evaluation sequence as the compiled reference flow and
+    lands the same tuned C — every objective value along the line search
+    matches bitwise because the CV confusion counts are integers and the
+    F-beta formula is computed in the reference's operation order."""
+    from mitie_spark.models.oca import tune_multiclass_C
+
+    samples, labels = _multiclass_probe_dataset()
+    evals = []
+    C = tune_multiclass_C(samples, labels, beta=0.5, num_labels=3,
+                          evals=evals)
+    assert evals == multiclass_probe_out["E"]
+    assert C == multiclass_probe_out["T"]
