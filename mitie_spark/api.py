@@ -574,7 +574,10 @@ class ner_trainer:
             )
 
             seg_C, seg_loss, _ = tune_segmenter_params(seg_sents)
-            if len(cls_examples) > 1:
+            # the svm solver runs the reference's exact
+            # find_max_single_variable C search inside
+            # train_chunk_classifier_svm instead of the analog tuner
+            if self.solver != "svm" and len(cls_examples) > 1:
                 cls_C, _ = tune_classifier_C(
                     cls_examples, num_labels=len(tags), beta=self.beta
                 )
@@ -596,12 +599,28 @@ class ner_trainer:
                 max_iterations=int(self.max_iterations),
                 loss_per_missed_segment=seg_loss,
             )
-        Ws, Wd, b = train_chunk_classifier(
-            cls_examples,
-            epochs=12,
-            n_classes=not_entity + 1,
-            C=cls_C,
-        )
+        if self.solver == "svm":
+            # the reference's exact chunk-classifier flow: OCA multiclass
+            # SVM (+ the 2-fold-CV F-beta C search when auto_tune), bit-
+            # identical to the compiled trainer's deterministic shape
+            # (ner_trainer.cpp:361-405 via models/oca.py)
+            from mitie_spark.models.svm_train import train_chunk_classifier_svm
+
+            Ws, Wd, b = train_chunk_classifier_svm(
+                cls_examples,
+                n_classes=not_entity + 1,
+                C=cls_C,
+                beta=self.beta,
+                num_labels=len(tags),
+                auto_tune=self.auto_tune,
+            )
+        else:
+            Ws, Wd, b = train_chunk_classifier(
+                cls_examples,
+                epochs=12,
+                n_classes=not_entity + 1,
+                C=cls_C,
+            )
         model = NerModel(W_seg, T_seg, Ws, Wd, b, tags)
         return named_entity_extractor(_model=model)
 
@@ -726,12 +745,25 @@ class binary_relation_detector_trainer:
 
 
 class text_categorizer_trainer:
-    """mitie.py:782-827 — labeled token lists, train() → text_categorizer."""
+    """mitie.py:782-827 — labeled token lists, train() → text_categorizer.
+
+    ``solver = "svm"`` runs the reference's exact OCA flow
+    (text_categorizer_trainer.cpp:120-280 via models/oca.py): combined
+    BoW(+mean word vector) features, randomize_samples, the optional
+    find_max_single_variable C search (auto_tune — the reference always
+    runs it; opt-in here because it multiplies training cost by the CV
+    budget), final train at C=300/eps=1e-4.  The word-feature extractor
+    comes from ``filename`` (a dlib .dat or our .npz); None trains
+    BoW-only, like a default-constructed extractor.  The default
+    "perceptron" solver keeps the fast native analog."""
 
     def __init__(self, filename: str | None = None):
         self._data: list[tuple[list[str], str]] = []
         self.beta = 0.5
         self.num_threads = 4
+        self.solver = "perceptron"
+        self.auto_tune = False
+        self._filename = filename
 
     @property
     def size(self) -> int:
@@ -741,8 +773,22 @@ class text_categorizer_trainer:
         self._data.append((list(tokens), str(label)))
 
     def train(self) -> text_categorizer:
-        from mitie_spark.models.text_categorizer import train_text_categorizer
-
         if not self._data:
             raise ValueError("no labeled examples")
+        if self.solver == "svm":
+            from mitie_spark.models.text_categorizer import (
+                train_text_categorizer_svm,
+            )
+
+            fs = (
+                total_word_feature_extractor(self._filename)._wv
+                if self._filename
+                else None
+            )
+            model = train_text_categorizer_svm(
+                self._data, fs=fs, beta=self.beta, auto_tune=self.auto_tune
+            )
+            return text_categorizer(_model=model)
+        from mitie_spark.models.text_categorizer import train_text_categorizer
+
         return text_categorizer(_model=train_text_categorizer(self._data))

@@ -67,6 +67,7 @@ __all__ = [
     "tune_segmenter_params",
     "compute_fscore",
     "tune_classifier_C",
+    "train_chunk_classifier_svm",
 ]
 
 
@@ -511,3 +512,70 @@ def tune_classifier_C(
         # ner_trainer.cpp:389-393 — ran too long: C = 300
         return 300.0, float(cache.get(300.0, 0.0))
     return float(best_C), float(best_f)
+
+
+def train_chunk_classifier_svm(
+    examples,
+    n_classes: int,
+    C: float = 300.0,
+    eps: float = 0.0001,
+    max_iterations: int = 2000,
+    beta: float = 0.5,
+    num_labels: int | None = None,
+    auto_tune: bool = False,
+    fs=None,
+):
+    """The reference's EXACT chunk-classifier training
+    (ner_trainer.cpp:361-405) via the OCA multiclass port (models/oca.py):
+    samples are the dlib ner_sample layout (sorted hashed sparse pairs +
+    the dense 5-block vector at MAX_FEAT+i, ner_feature_extraction.cpp
+    :382-387), the optional C search is find_max_single_variable over the
+    2-fold CV F-beta (run, like the reference, only when every class has
+    >= 2 examples; falls back to C=300 on line-search failure), and the
+    final train uses eps=1e-4 / 2000 iterations.
+
+    Returns (W_sparse, W_dense, b) in NerModel layout — b NEGATED, because
+    dlib scores w·x − b while score_feature_rows adds b (the same
+    convention sources/dlib_models.py:1130 uses when loading .dat files).
+    Classes absent from the training labels keep zero rows.
+    """
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import chunk_features
+    from mitie_spark.models.oca import (
+        count_of_least_common_label,
+        svm_multiclass_linear_train,
+        tune_multiclass_C,
+    )
+
+    fs = fs or DEFAULT_FS
+    samples, labels = [], []
+    for tokens, s, e, y in examples:
+        X = sentence_matrix(tokens, fs)
+        idxs, vals, dense = chunk_features(tokens, X, s, e)
+        idx_full = np.concatenate(
+            [idxs.astype(np.int64),
+             MAX_FEAT + np.arange(dense.shape[0], dtype=np.int64)]
+        )
+        val_full = np.concatenate([vals, dense.astype(np.float64)])
+        samples.append((idx_full, val_full))
+        labels.append(int(y))
+
+    if auto_tune and count_of_least_common_label(labels) > 1:
+        nl = num_labels if num_labels is not None else n_classes - 1
+        C = tune_multiclass_C(
+            samples, labels, beta=beta, num_labels=nl,
+            max_iterations=max_iterations,
+        )
+
+    W, bd, labs, _ = svm_multiclass_linear_train(
+        samples, labels, C=C, eps=eps, max_iterations=max_iterations
+    )
+    n_dense = 5 * fs.dims
+    Ws = np.zeros((n_classes, MAX_FEAT))
+    Wd = np.zeros((n_classes, n_dense))
+    b = np.zeros(n_classes)
+    for row, lab in enumerate(labs):
+        Ws[lab] = W[row, :MAX_FEAT]
+        Wd[lab, : W.shape[1] - MAX_FEAT] = W[row, MAX_FEAT:]
+        b[lab] = -bd[row]
+    return Ws, Wd, b

@@ -167,3 +167,94 @@ def categorize_documents(df, model_path: str, id_col="doc_id", text_col="text"):
             )
 
     return df.mapInPandas(run, schema="id:bigint,label:string,score:double")
+
+
+# ---------------------------------------------------------------------------
+# The reference's EXACT text-categorizer training flow
+# (text_categorizer_trainer.cpp:120-280) via the OCA multiclass port
+# ---------------------------------------------------------------------------
+
+
+def extract_combined_features(tokens: list[str], fs=None):
+    """text_feature_extraction.cpp:11-74 as one dlib text_sample: the
+    sorted-unique hashed BoW pairs (``make_feat(shash(word, 0))`` +
+    ``make_feat(shash(stem_word(word), 10))``, duplicates summed per
+    make_sparse_vector_inplace) followed — when a word-feature extractor
+    with nonzero dims is given — by the float32 mean word vector at
+    MAX_FEAT+i (sequential sum + reciprocal-multiply division, the
+    ``all_sum`` loop at :24-29).  Returns (idx int64 sorted, val float64).
+    """
+    from mitie_spark.functions.hashing import MAX_FEAT
+    from mitie_spark.models.ner_model import dlib_f32_mean
+
+    if not tokens:
+        raise ValueError("extract_BoW_features requires a non-empty doc")
+    idxs = np.empty(2 * len(tokens), dtype=np.int64)
+    vals = np.empty(2 * len(tokens), dtype=np.float64)
+    for j, word in enumerate(tokens):
+        i, v = make_feat(shash(word, 0))
+        idxs[2 * j], vals[2 * j] = i, v
+        i, v = make_feat(shash(stem_word(word), 10))
+        idxs[2 * j + 1], vals[2 * j + 1] = i, v
+    order = np.argsort(idxs, kind="stable")
+    idxs, vals = idxs[order], vals[order]
+    uniq, starts = np.unique(idxs, return_index=True)
+    sums = np.add.reduceat(vals, starts)
+    if fs is not None and fs.dims > 0:
+        mean = dlib_f32_mean(
+            np.stack([fs.token_features(w) for w in tokens])
+        ).astype(np.float64)
+        uniq = np.concatenate(
+            [uniq, MAX_FEAT + np.arange(len(mean), dtype=np.int64)]
+        )
+        sums = np.concatenate([sums, mean])
+    return uniq, sums
+
+
+def train_text_categorizer_svm(
+    data: list[tuple[list[str], str]],
+    fs=None,
+    beta: float = 0.5,
+    auto_tune: bool = False,
+):
+    """text_categorizer_trainer.cpp:120-280: label ids in first-seen order
+    (get_label_id, :283-297), combined features, randomize_samples with a
+    default-seeded dlib::rand, the optional find_max_single_variable C
+    search over the 2-fold CV F-beta (only when every label has >= 2
+    texts; C=300 fallback), final OCA train at C (default 300), eps=1e-4,
+    2000 iterations.  ``fs`` is a word-feature extractor (dims > 0 adds
+    the mean-vector block) or None for BoW-only, like a default
+    total_word_feature_extractor.  Returns a DlibTextCategorizer."""
+    from mitie_spark.models.dcd import randomize_samples
+    from mitie_spark.models.oca import (
+        count_of_least_common_label,
+        svm_multiclass_linear_train,
+        tune_multiclass_C,
+    )
+    from mitie_spark.sources.dlib_models import DlibTextCategorizer
+
+    tags: list[str] = []
+    tag_id: dict[str, int] = {}
+    labels: list[int] = []
+    samples = []
+    for tokens, label in data:
+        if label not in tag_id:
+            tag_id[label] = len(tags)
+            tags.append(label)
+        labels.append(tag_id[label])
+        samples.append(extract_combined_features(tokens, fs))
+
+    randomize_samples(samples, labels)
+
+    C = 300.0
+    if auto_tune and count_of_least_common_label(labels) > 1:
+        C = tune_multiclass_C(
+            samples, labels, beta=beta, num_labels=len(tags),
+            max_iterations=2000,
+        )
+    W, b, labs, _ = svm_multiclass_linear_train(
+        samples, labels, C=C, eps=0.0001, max_iterations=2000
+    )
+    df = {"weights": W, "b": b, "labels": labs}
+    fe = fs.to_dict() if fs is not None and fs.dims > 0 else None
+    return DlibTextCategorizer(tags, df, fe)

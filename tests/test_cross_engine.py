@@ -1295,3 +1295,37 @@ def test_oca_tuning_trajectory_bit_exact(multiclass_probe_out):
                           evals=evals)
     assert evals == multiclass_probe_out["E"]
     assert C == multiclass_probe_out["T"]
+
+
+def test_our_svm_text_categorizer_matches_cpp_trained_bit_exact(cpp, artifacts):
+    """END-TO-END: text_categorizer_trainer(solver="svm", auto_tune) on the
+    SAME 60 texts and twfe reproduces the compiled trainer's categorizer —
+    weights, biases, labels and every score BIT-IDENTICAL to the .dat the
+    C++ trainer wrote.
+
+    Why bitwise equality holds even though the reference trainer is
+    threaded: every PSI value here is float32-exact (BoW entries are
+    multiples of 1.5, the mean-vector block is float32), and float64 sums
+    of a few dozen such values are EXACT — no rounding — so the threaded
+    wrapper's accumulation order (and its timing-dependent buffering
+    branch) cannot change the subgradients, and the whole OCA trajectory
+    is forced.  At real-corpus scale that argument weakens; the
+    deterministic-shape parity is pinned separately by
+    probe_multiclass.cpp."""
+    from mitie_spark import api
+
+    tr = api.text_categorizer_trainer(artifacts["twfe"])
+    tr.solver = "svm"
+    tr.auto_tune = True  # the reference trainer always tunes
+    for i in range(30):
+        p, o = PEOPLE[i % len(PEOPLE)], ORGS[i % len(ORGS)]
+        tr.add_labeled_text([p, "works", "at", o, "."], "employment")
+        tr.add_labeled_text(["the", "price", "of", o, "fell", "."], "finance")
+    mine = tr.train()._model
+    ref = api.text_categorizer(artifacts["cat"])._model
+
+    assert mine.tags == ref.tags
+    assert mine.labels == ref.labels
+    assert mine.W.shape == ref.W.shape
+    assert np.array_equal(mine.W, ref.W)
+    assert np.array_equal(mine.bvec, ref.bvec)

@@ -193,3 +193,39 @@ def test_problem_dims_include_bias_blocks():
     # w == 0: every sample's oracle picks a wrong class at loss 1
     assert risk == 1.0
     assert sub.shape == (41 * 3,)
+
+
+def test_compact_support_solve_is_bit_identical_to_dense():
+    """The default support-compaction path (hashed features relabeled onto
+    their support before solving) reproduces the dense solve bit-for-bit —
+    INCLUDING the -0.0 weights at untouched positions that fall out of the
+    dense ``w_k = -alpha_0*(+0) - ...`` chain."""
+    state = 7
+    mask = (1 << 64) - 1
+
+    def nxt():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) & mask
+        return state >> 33
+
+    samples, labels = [], []
+    for i in range(20):
+        lab = i % 3
+        m = {lab * 1000: 2.0}
+        for _ in range(4):
+            idx = 10 + nxt() % 99990
+            m[idx] = m.get(idx, 0.0) + ((nxt() % 9) + 1) * 0.25
+        samples.append(sorted(m.items()))
+        labels.append(lab)
+
+    out = {}
+    for compact in (True, False):
+        W, b, labs, obj = svm_multiclass_linear_train(
+            samples, labels, C=50.0, eps=0.0001, max_iterations=2000,
+            compact=compact,
+        )
+        full = np.hstack([W, b[:, None]]).reshape(-1)
+        out[compact] = (" ".join(v.hex() for v in full), obj, labs)
+    assert out[True] == out[False]
+    # the scatter really fills -0.0 (hex distinguishes it from +0.0)
+    assert "-0x0.0p+0" in out[True][0]

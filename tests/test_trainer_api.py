@@ -201,3 +201,46 @@ def test_relation_trainer_auto_tune_cv(trained_ner):
         scores.append((det(rel) > 0, pos is not None))
     acc = sum(int(p == t) for p, t in scores) / len(scores)
     assert acc >= 0.9
+
+
+def test_ner_trainer_svm_solver_chunk_classifier():
+    """solver="svm" trains the chunk classifier with the OCA multiclass
+    port (the reference's exact flow) and still learns the planted
+    entities.  Determinism and bit-parity of the solver live in
+    tests/test_oca.py (goldens) and tests/test_cross_engine.py."""
+    from mitie_spark.api import ner_trainer, ner_training_instance
+
+    trainer = ner_trainer()
+    trainer.solver = "svm"
+    for toks, ments, _ in _sentences(20, seed=11):
+        inst = ner_training_instance(toks)
+        for s, e, tag, _surf in ments:
+            inst.add_entity(range(s, e), tag)
+        trainer.add(inst)
+    ner = trainer.train()
+
+    hits = total = 0
+    for toks, ments, _ in _sentences(25, seed=12):
+        pred = {
+            (r.start, r.stop, tag) for r, tag, _ in ner.extract_entities(toks)
+        }
+        want = {(s, e, tag) for s, e, tag, _ in ments}
+        hits += len(pred & want)
+        total += len(want)
+    assert total and hits / total >= 0.85
+
+
+def test_text_categorizer_trainer_svm_solver():
+    """solver="svm" (BoW-only, no extractor) trains the reference's exact
+    OCA flow and classifies held-out synthetic docs accurately."""
+    from mitie_spark.api import text_categorizer_trainer
+    from mitie_spark.models.train import build_categorizer_data
+
+    trainer = text_categorizer_trainer()
+    trainer.solver = "svm"
+    for toks, label in build_categorizer_data(60, seed=31):
+        trainer.add_labeled_text(toks, label)
+    cat = trainer.train()
+    held = build_categorizer_data(60, seed=32)
+    acc = sum(1 for toks, y in held if cat(toks)[0] == y) / len(held)
+    assert acc >= 0.8
