@@ -36,11 +36,13 @@ class UnsupportedMediaError(ValueError):
 
 def sniff_kind(payload: bytes) -> str | None:
     """Magic-byte detection: 'bmp' | 'pnm' | 'wav' | 'png' | 'jpeg' |
-    'mp4' | None."""
+    'gif' | 'mp4' | None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] in (b"P5", b"P6") and payload[2:3] in b" \t\r\n":
         return "pnm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -546,8 +548,8 @@ def audio_feature(samples: np.ndarray) -> np.ndarray:
 
 
 def builtin_decoder(payload: bytes) -> np.ndarray:
-    """Format-dispatching real decoder: BMP/PNM/PNG/JPEG → image feature,
-    WAV → audio feature. Raises UnsupportedMediaError for formats that need
+    """Format-dispatching real decoder: BMP/PNM/PNG/JPEG/GIF → image
+    feature, WAV → audio feature. Raises UnsupportedMediaError for formats that need
     a codec library (MP4/unknown) — callers fall back to an injected
     decoder or the documented stub path."""
     kind = sniff_kind(payload or b"")
@@ -558,6 +560,10 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
             from .jpeg import decode_jpeg  # local import: jpeg.py imports us
 
             return image_feature(decode_jpeg(payload)[0])
+        if kind == "gif":
+            from .gif import decode_gif  # local import: gif.py imports us
+
+            return image_feature(decode_gif(payload))
         if kind == "pnm":
             header = _pnm_header(payload)
             return image_feature(

@@ -5,7 +5,8 @@ exactly as the pages table treats ``html``. The Spark-side plumbing —
 schemas, Arrow batch shapes, partition sizing for large blobs, UDF
 signatures — is real and tested. Decode is REAL for raw-container formats
 (BMP/PGM/PPM/WAV via the pure-NumPy codecs in operators/media_codecs.py),
-for PNG and baseline+progressive JPEG (operators/jpeg.py), and for the
+for PNG and baseline+progressive JPEG (operators/jpeg.py), for GIF incl.
+animation/interlace/transparency (operators/gif.py), and for the
 MP4 CONTAINER layer (operators/mp4.py: sample tables + keyframe byte
 extraction; only the codec bitstream stays behind the seam), plus
 anything an injected decoder or PIL handles; compressed formats
@@ -61,9 +62,9 @@ def pil_image_decoder():
 
 def resolve_decoder(decoder=None):
     """Decoder resolution order: explicit injection → PIL (if installed) →
-    the pure-NumPy built-in codecs (BMP/PGM/PPM/PNG/baseline-JPEG/WAV —
-    operators/media_codecs.py + operators/jpeg.py; real decode, no
-    libraries needed). The explicit argument is how an additional decoder
+    the pure-NumPy built-in codecs (BMP/PGM/PPM/PNG/JPEG/GIF/WAV —
+    operators/media_codecs.py + operators/jpeg.py + operators/gif.py; real
+    decode, no libraries needed). The explicit argument is how an additional decoder
     drops in on a cluster: the callable is captured by the mapInPandas
     closure and ships to executors via cloudpickle, so no module install is
     required on the workers beyond the decode library itself. The resolved
