@@ -1,17 +1,20 @@
 """Pure-NumPy baseline JPEG decoder (ITU-T T.81 §F.2 / JFIF).
 
-Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 — full
+Scope: baseline sequential DCT (SOF0), extended sequential DCT (SOF1 —
+8- or 12-bit samples) AND progressive DCT (SOF2, 8- or 12-bit — full
 spectral selection + successive approximation: interleaved DC first/
 refinement scans, per-component AC band scans with EOBn run coding and
-the correction-bit refinement procedure of T.81 §G.1.2.3), 8-bit
-samples, Huffman entropy coding, grayscale and 3-component scans (JFIF
+the correction-bit refinement procedure of T.81 §G.1.2.3), Huffman
+entropy coding, grayscale and 3-component scans (JFIF
 YCbCr by default; Adobe APP14 transform=0 or R/G/B component IDs decode
 as direct RGB with no color transform), chroma sampling factors whose
 ratios divide the max (4:4:4 / 4:2:2 / 4:2:0), restart markers
 (DRI/RSTn), 0xFF00 byte stuffing, and DHT/DRI redefinition between
-scans (tables are snapshotted per SOS). Arithmetic coding, 12-bit
-precision and hierarchical modes raise UnsupportedMediaError, which
-routes callers to the injected-decoder seam exactly like any other
+scans (tables are snapshotted per SOS). 12-bit frames return uint16
+samples with maxval 4095 (the level shift is 2**(P-1) and the Huffman
+category bounds widen to DC 0..15 / AC 1..14 per T.81 Tables F.1/F.2).
+Arithmetic coding and hierarchical modes raise UnsupportedMediaError,
+which routes callers to the injected-decoder seam exactly like any other
 unsupported payload (operators/multimodal.py).
 
 Design: the marker walk and the inherently-sequential Huffman entropy
@@ -208,9 +211,11 @@ class _RestartReader:
         return False
 
 
-def _decode_baseline_scan(order, scan, mcx, mcy) -> None:
+def _decode_baseline_scan(order, scan, mcx, mcy, dc_max=11, ac_max=10) -> None:
     """Sequential DCT scan (T.81 §F.2): DC diff + AC run-length per block,
-    all components interleaved per MCU."""
+    all components interleaved per MCU. ``dc_max``/``ac_max`` are the
+    legal Huffman category bounds for the frame's sample precision
+    (T.81 Tables F.1/F.2: 11/10 for 8-bit, 15/14 for 12-bit)."""
     rr = _RestartReader(scan["segs"], scan["dri"])
     preds = [0] * len(order)
     for m in range(mcx * mcy):
@@ -224,7 +229,7 @@ def _decode_baseline_scan(order, scan, mcx, mcy) -> None:
                 for bx in range(c["h"]):
                     blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
                     t = reader.decode(dc_t)
-                    if t > 11:
+                    if t > dc_max:
                         raise UnsupportedMediaError("bad JPEG DC category")
                     preds[ci] += _extend(reader.receive(t), t)
                     blk[0] = preds[ci]
@@ -232,11 +237,11 @@ def _decode_baseline_scan(order, scan, mcx, mcy) -> None:
                     while k < 64:
                         rs = reader.decode(ac_t)
                         r, s = rs >> 4, rs & 15
-                        if s > 10:
-                            # 8-bit baseline AC categories are 1..10
-                            # (T.81 Table F.2); hostile tables can emit up
-                            # to 15, whose int32 dequant product silently
-                            # wraps — mirror the DC t > 11 check above
+                        if s > ac_max:
+                            # AC categories are 1..10 (8-bit) / 1..14
+                            # (12-bit) per T.81 Table F.2; hostile tables
+                            # can emit up to 15, whose dequant product
+                            # silently wraps — mirror the DC check above
                             raise UnsupportedMediaError("bad JPEG AC category")
                         if s == 0:
                             if r != 15:
@@ -250,7 +255,7 @@ def _decode_baseline_scan(order, scan, mcx, mcy) -> None:
                         k += 1
 
 
-def _decode_progressive_scan(scan, by_id, mcx, mcy) -> None:
+def _decode_progressive_scan(scan, by_id, mcx, mcy, dc_max=11, ac_max=10) -> None:
     """One SOF2 scan (T.81 §G.2): DC scans (Ss=0) are interleaved over the
     scan's components; AC scans (Ss>0) carry exactly one component in its
     own data-unit raster. Ah=0 is the first pass for the band, Ah>0 a
@@ -276,7 +281,7 @@ def _decode_progressive_scan(scan, by_id, mcx, mcy) -> None:
                         blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
                         if ah == 0:  # first DC pass: diff-coded, scaled
                             t = reader.decode(oc["dc"])
-                            if t > 11:
+                            if t > dc_max:
                                 raise UnsupportedMediaError("bad JPEG DC category")
                             preds[ci] += _extend(reader.receive(t), t)
                             blk[0] = preds[ci] << al
@@ -315,7 +320,7 @@ def _decode_progressive_scan(scan, by_id, mcx, mcy) -> None:
                         break
                     k += 16  # ZRL
                     continue
-                if s > 10:
+                if s > ac_max:
                     raise UnsupportedMediaError("bad JPEG AC category")
                 k += r
                 if k > se:
@@ -371,7 +376,8 @@ def _decode_progressive_scan(scan, by_id, mcx, mcy) -> None:
 
 
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
-    """→ ((H, W) gray or (H, W, 3) RGB uint8 array, 255)."""
+    """→ ((H, W) gray or (H, W, 3) RGB array, maxval) — uint8/255 for
+    8-bit frames, uint16/4095 for 12-bit (SOF1/SOF2) frames."""
     if payload[:3] != b"\xff\xd8\xff":
         raise UnsupportedMediaError("not a JPEG payload")
 
@@ -423,11 +429,13 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                     raise UnsupportedMediaError("truncated JPEG DHT")
                 htables[(tc, th)] = _Huff(counts, values)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive DCT
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline (8-bit only per T.81 §B.2.2) / SOF1 extended
+            # sequential / SOF2 progressive DCT (both 8- or 12-bit)
             if len(body) < 6:
                 raise UnsupportedMediaError("truncated JPEG SOF body")
             prec, H, W, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec != 8 and not (prec == 12 and marker != 0xC0):
                 raise UnsupportedMediaError(f"JPEG precision {prec} not supported")
             if nc not in (1, 3):
                 raise UnsupportedMediaError(f"{nc}-component JPEG not supported")
@@ -439,11 +447,12 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            sof = (H, W, comps)
+            sof = (H, W, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported"
+                f"JPEG mode SOF{marker - 0xC0} (lossless/hierarchical/"
+                "arithmetic) not supported"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -474,7 +483,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
 
     if sof is None or not scans:
         raise UnsupportedMediaError("JPEG missing SOF/SOS")
-    H, W, comps = sof
+    H, W, comps, prec = sof
+    dc_max, ac_max = (11, 10) if prec == 8 else (15, 14)
+    mid, maxval = 1 << (prec - 1), (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
 
     # frame geometry: sampling factors / MCU grid over ALL components
     if len(comps) == 1:
@@ -503,22 +515,24 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
             raise UnsupportedMediaError(
                 "non-interleaved multi-scan JPEG not supported")
         order = _resolve_scan(scan, by_id, need_dc=True, need_ac=True)
-        _decode_baseline_scan(order, scan, mcx, mcy)
+        _decode_baseline_scan(order, scan, mcx, mcy, dc_max, ac_max)
     else:
         for scan in scans:
-            _decode_progressive_scan(scan, by_id, mcx, mcy)
+            _decode_progressive_scan(scan, by_id, mcx, mcy, dc_max, ac_max)
 
     # --- vectorized reconstruction: dequant → zigzag → IDCT → planes ---
     planes = []
     for c in comps:
         bh, bw, _ = c["coef"].shape
-        flat = c["coef"].reshape(-1, 64) * qtables[c["tq"]][None, :]
+        # int64: a 12-bit DC category-15 value (±32767) against a 16-bit
+        # quant entry sits exactly at the int32 edge — don't flirt with it
+        flat = c["coef"].reshape(-1, 64).astype(np.int64) * qtables[c["tq"]][None, :]
         fblk = np.zeros((flat.shape[0], 64), dtype=np.float64)
         fblk[:, _ZIGZAG] = flat
         spatial = np.einsum(
             "ux,nuv,vy->nxy", _IDCT_T, fblk.reshape(-1, 8, 8), _IDCT_T
         )
-        px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        px = np.clip(np.round(spatial) + mid, 0, maxval).astype(out_dtype)
         plane = (
             px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
@@ -527,16 +541,17 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         planes.append(plane[:H, :W])
 
     if len(planes) == 1:
-        return planes[0], 255
+        return planes[0], maxval
     # 3-component color space: JFIF default is YCbCr; Adobe APP14
     # transform=0 (and the informal component-ID convention 'R','G','B')
     # mean the planes are already RGB and must NOT be color-transformed
     ids = [c["id"] for c in comps]
     if adobe_transform == 0 or (adobe_transform is None and ids == [0x52, 0x47, 0x42]):
-        return np.stack(planes, axis=-1), 255
+        return np.stack(planes, axis=-1), maxval
     y, cb, cr = (p.astype(np.float64) for p in planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
-    return rgb, 255
+    ctr = float(mid)  # chroma zero point scales with precision (T.81 A.3.1)
+    r = y + 1.402 * (cr - ctr)
+    g = y - 0.344136 * (cb - ctr) - 0.714136 * (cr - ctr)
+    b = y + 1.772 * (cb - ctr)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxval).astype(out_dtype)
+    return rgb, maxval

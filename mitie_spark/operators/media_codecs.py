@@ -559,7 +559,10 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
         if kind == "jpeg":
             from .jpeg import decode_jpeg  # local import: jpeg.py imports us
 
-            return image_feature(decode_jpeg(payload)[0])
+            arr, maxval = decode_jpeg(payload)
+            # maxval is 4095 for 12-bit SOF1/SOF2 frames — scaling by the
+            # header keeps features consistent across precisions
+            return image_feature(arr, maxval=maxval)
         if kind == "gif":
             from .gif import decode_gif  # local import: gif.py imports us
 

@@ -49,6 +49,14 @@ _AC_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 
 _AC_COUNTS = bytes([0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8)
 _AC_VALUES = bytes(_AC_SYMBOLS)
 
+# 12-bit variants (T.81 Tables F.1/F.2): 16 DC categories at code length
+# 5; all 226 AC run/size symbols (magnitudes 1..14) at code length 8
+_DC12_COUNTS = bytes([0, 0, 0, 0, 16] + [0] * 11)
+_DC12_VALUES = bytes(range(16))
+_AC12_SYMBOLS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+_AC12_COUNTS = bytes([0] * 7 + [len(_AC12_SYMBOLS)] + [0] * 8)
+_AC12_VALUES = bytes(_AC12_SYMBOLS)
+
 
 def _huff_codes(counts, values):
     codes, code, k = {}, 0, 0
@@ -92,9 +100,9 @@ def _enc_value(v, t):
     return v if v >= 0 else v + (1 << t) - 1
 
 
-def _encode_block(w, blk, pred, dc_codes, ac_codes):
+def _encode_block(w, blk, pred, dc_codes, ac_codes, shift=128.0):
     """blk: 8x8 float pixels (already level-shifted NOT applied)."""
-    f = _A @ (blk - 128.0) @ _A.T
+    f = _A @ (blk - shift) @ _A.T
     q = np.round(f).astype(int)
     zz = [int(q.flat[i]) for i in _ZZ]
     diff = zz[0] - pred
@@ -139,13 +147,16 @@ def _seg(marker, body):
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(img, subsample=False, restart=0, rgb_direct=False):
+def encode_jpeg(img, subsample=False, restart=0, rgb_direct=False, precision=8):
     """Scalar baseline encoder: (H,W) gray or (H,W,3) RGB uint8 → JFIF
     bytes. All-ones quant tables; 4:4:4 or (subsample=True) 4:2:0.
     rgb_direct=True stores the RGB planes untransformed and declares it
-    via an Adobe APP14 transform=0 segment."""
+    via an Adobe APP14 transform=0 segment. precision=12 emits an
+    extended-sequential (SOF1) frame over uint16 samples 0..4095 with the
+    widened Huffman category tables."""
     import struct
 
+    shift = float(1 << (precision - 1))
     img = np.asarray(img)
     H, W = img.shape[:2]
     gray = img.ndim == 2
@@ -159,8 +170,8 @@ def encode_jpeg(img, subsample=False, restart=0, rgb_direct=False):
     else:
         r, g, b = (img[..., i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        cb = shift - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = shift + 0.5 * r - 0.418688 * g - 0.081312 * b
         if subsample:
             # 2x2 box average (pad odd dims by edge replication first)
             def box(p):
@@ -180,8 +191,16 @@ def encode_jpeg(img, subsample=False, restart=0, rgb_direct=False):
         _pad_blocks(p, mcy * v, mcx * h) for p, (h, v) in zip(planes, samp)
     ]
 
-    dc_codes = _huff_codes(_DC_COUNTS, _DC_VALUES)
-    ac_codes = _huff_codes(_AC_COUNTS, _AC_VALUES)
+    if precision == 8:
+        dc_counts, dc_values = _DC_COUNTS, _DC_VALUES
+        ac_counts, ac_values = _AC_COUNTS, _AC_VALUES
+        sof_marker = 0xC0
+    else:
+        dc_counts, dc_values = _DC12_COUNTS, _DC12_VALUES
+        ac_counts, ac_values = _AC12_COUNTS, _AC12_VALUES
+        sof_marker = 0xC1  # extended sequential
+    dc_codes = _huff_codes(dc_counts, dc_values)
+    ac_codes = _huff_codes(ac_counts, ac_values)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -191,15 +210,15 @@ def encode_jpeg(img, subsample=False, restart=0, rgb_direct=False):
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # quant table 0, all ones
     out += _seg(0xDB, bytes([0x01]) + bytes([1] * 64))  # quant table 1
     ncomp = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", H, W) + bytes([ncomp])
     for i, (h, v) in enumerate(samp):
         sof += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(sof_marker, sof)
     # one DC + one AC table shared via two ids (exercises table selection)
-    out += _seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_VALUES)
-    out += _seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_VALUES)
-    out += _seg(0xC4, bytes([0x01]) + _DC_COUNTS + _DC_VALUES)
-    out += _seg(0xC4, bytes([0x11]) + _AC_COUNTS + _AC_VALUES)
+    out += _seg(0xC4, bytes([0x00]) + dc_counts + dc_values)
+    out += _seg(0xC4, bytes([0x10]) + ac_counts + ac_values)
+    out += _seg(0xC4, bytes([0x01]) + dc_counts + dc_values)
+    out += _seg(0xC4, bytes([0x11]) + ac_counts + ac_values)
     if restart:
         out += _seg(0xDD, struct.pack(">H", restart))
     sos = bytes([ncomp])
@@ -224,7 +243,9 @@ def encode_jpeg(img, subsample=False, restart=0, rgb_direct=False):
                 for bx in range(h):
                     r0, c0 = (my * v + by) * 8, (mx * h + bx) * 8
                     blk = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
-                    preds[ci] = _encode_block(w, blk, preds[ci], dc_codes, ac_codes)
+                    preds[ci] = _encode_block(
+                        w, blk, preds[ci], dc_codes, ac_codes, shift=shift
+                    )
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -450,12 +471,18 @@ _ACP_SYMBOLS = _AC_SYMBOLS + [(r << 4) for r in range(1, 15)]
 _ACP_COUNTS = bytes([0] * 7 + [len(_ACP_SYMBOLS)] + [0] * 8)
 _ACP_VALUES = bytes(_ACP_SYMBOLS)
 
+# 12-bit progressive: the widened AC table plus the EOBn run symbols
+_ACP12_SYMBOLS = _AC12_SYMBOLS + [(r << 4) for r in range(1, 15)]
+_ACP12_COUNTS = bytes([0] * 7 + [len(_ACP12_SYMBOLS)] + [0] * 8)
+_ACP12_VALUES = bytes(_ACP12_SYMBOLS)
 
-def _coef_blocks(img):
+
+def _coef_blocks(img, precision=8):
     """→ (H, W, per-component [zigzag-coefficient blocks in raster order]).
     Gray or RGB 4:4:4, all-ones quant — the same coefficients the baseline
     encoder produces, so progressive and baseline decodes must be
     pixel-identical."""
+    shift = float(1 << (precision - 1))
     img = np.asarray(img)
     H, W = img.shape[:2]
     if img.ndim == 2:
@@ -464,8 +491,8 @@ def _coef_blocks(img):
         r, g, b = (img[..., i].astype(np.float64) for i in range(3))
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            shift - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            shift + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
     bh, bw = (H + 7) // 8, (W + 7) // 8
     comps = []
@@ -474,7 +501,7 @@ def _coef_blocks(img):
         blocks = []
         for by in range(bh):
             for bx in range(bw):
-                f = _A @ (pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ _A.T
+                f = _A @ (pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - shift) @ _A.T
                 q = np.round(f).astype(int)
                 blocks.append([int(q.flat[i]) for i in _ZZ])
         comps.append(blocks)
@@ -599,26 +626,33 @@ def _w_ac_refine(w, blocks, ss, se, al, ac_codes):
     eob.flush()
 
 
-def encode_jpeg_progressive(img):
+def encode_jpeg_progressive(img, precision=8):
     """Progressive 4:4:4 / gray encoder: DC first (Al=1) → AC first per
-    band per component (Al=1) → AC refinements (→ Al=0) → DC refinement."""
+    band per component (Al=1) → AC refinements (→ Al=0) → DC refinement.
+    precision=12 uses the widened category tables over uint16 samples."""
     import struct
 
-    H, W, bh, bw, comps = _coef_blocks(img)
+    H, W, bh, bw, comps = _coef_blocks(img, precision=precision)
     nc = len(comps)
-    dc_codes = _huff_codes(_DC_COUNTS, _DC_VALUES)
-    ac_codes = _huff_codes(_ACP_COUNTS, _ACP_VALUES)
+    if precision == 8:
+        dcc, dcv, acc, acv = _DC_COUNTS, _DC_VALUES, _ACP_COUNTS, _ACP_VALUES
+    else:
+        dcc, dcv, acc, acv = (
+            _DC12_COUNTS, _DC12_VALUES, _ACP12_COUNTS, _ACP12_VALUES,
+        )
+    dc_codes = _huff_codes(dcc, dcv)
+    ac_codes = _huff_codes(acc, acv)
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     out += _seg(0xDB, bytes([0x01]) + bytes([1] * 64))
-    sof = bytes([8]) + struct.pack(">HH", H, W) + bytes([nc])
+    sof = bytes([precision]) + struct.pack(">HH", H, W) + bytes([nc])
     for i in range(nc):
         sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
     out += _seg(0xC2, sof)  # SOF2
-    out += _seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_VALUES)
-    out += _seg(0xC4, bytes([0x10]) + _ACP_COUNTS + _ACP_VALUES)
+    out += _seg(0xC4, bytes([0x00]) + dcc + dcv)
+    out += _seg(0xC4, bytes([0x10]) + acc + acv)
 
     def sos(sel_ids, ss, se, ah, al):
         body = bytes([len(sel_ids)])
@@ -683,3 +717,95 @@ def test_jpeg_progressive_smooth_and_sparse():
     base, _ = decode_jpeg(encode_jpeg(const))
     prog, _ = decode_jpeg(encode_jpeg_progressive(const))
     assert np.array_equal(prog, base)
+
+
+# --------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1) — widened category bounds, uint16 path
+# --------------------------------------------------------------------------
+
+
+def test_jpeg12_constant_image_known_answer():
+    """Constant 12-bit gray: pins the 2048 level shift and the uint16
+    clamp; level 4095 drives DC diff 16376 → category 15 (the widened
+    T.81 Table F.1 bound) through both engines."""
+    for level in (0, 1234, 2048, 3000, 4095):
+        img = np.full((16, 24), level, dtype=np.uint16)
+        arr, maxval = decode_jpeg(encode_jpeg(img, precision=12))
+        assert maxval == 4095 and arr.dtype == np.uint16
+        assert np.array_equal(arr, img), level
+
+
+def test_jpeg12_gray_roundtrip_near_exact():
+    rng = np.random.default_rng(61)
+    for H, W in [(8, 8), (17, 23), (5, 100)]:
+        img = rng.integers(0, 4096, (H, W)).astype(np.uint16)
+        arr, maxval = decode_jpeg(encode_jpeg(img, precision=12))
+        assert maxval == 4095 and arr.shape == (H, W)
+        err = np.abs(arr.astype(int) - img.astype(int))
+        # all-ones quant: only coefficient rounding, same absolute bound
+        # in sample units as the 8-bit suite
+        assert err.max() <= 4 and err.mean() < 1.0, (H, W, err.max())
+
+
+def test_jpeg12_rgb_roundtrip_and_restarts():
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 4096, (24, 31, 3)).astype(np.uint16)
+    arr, maxval = decode_jpeg(encode_jpeg(img, precision=12))
+    assert maxval == 4095 and arr.shape == (24, 31, 3)
+    err = np.abs(arr.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+    # restart markers reset the (12-bit-sized) DC predictors identically
+    a1, _ = decode_jpeg(encode_jpeg(img, precision=12, restart=2))
+    assert np.array_equal(arr, a1)
+
+
+def test_jpeg_sof1_8bit_equals_sof0():
+    """Extended sequential at 8-bit is the same scan procedure; flipping
+    the marker must not change a pixel."""
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (19, 21), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    base, _ = decode_jpeg(bytes(payload))
+    i = payload.index(bytes([0xFF, 0xC0]))
+    payload[i + 1] = 0xC1
+    ext, maxval = decode_jpeg(bytes(payload))
+    assert maxval == 255
+    assert np.array_equal(base, ext)
+
+
+def test_jpeg_sof0_rejects_12bit_precision():
+    """Baseline is 8-bit only (T.81 §B.2.2): a 12-bit frame mislabeled
+    SOF0 must route to the seam, not decode with wrong bounds."""
+    img = np.full((8, 8), 100, dtype=np.uint16)
+    payload = bytearray(encode_jpeg(img, precision=12))
+    i = payload.index(bytes([0xFF, 0xC1]))
+    payload[i + 1] = 0xC0
+    with pytest.raises(UnsupportedMediaError, match="precision"):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg12_feature_scale_matches_8bit():
+    """builtin_decoder scales by the header maxval: the same image at
+    8- and 12-bit precision must produce (nearly) the same feature."""
+    from mitie_spark.operators.media_codecs import builtin_decoder
+
+    rng = np.random.default_rng(73)
+    img8 = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    img12 = ((img8.astype(np.uint32) * 4095 + 127) // 255).astype(np.uint16)
+    f8 = builtin_decoder(encode_jpeg(img8))
+    f12 = builtin_decoder(encode_jpeg(img12, precision=12))
+    assert f12.dtype == np.float32
+    np.testing.assert_allclose(f8, f12, atol=0.01)
+
+
+def test_jpeg12_progressive_matches_sequential():
+    """12-bit progressive (SOF2, precision 12): all four scan paths at the
+    widened category bounds must reproduce the sequential decode exactly
+    (same coefficients, same all-ones quant)."""
+    rng = np.random.default_rng(79)
+    for shape in [(24, 17), (19, 18, 3)]:
+        img = rng.integers(0, 4096, shape).astype(np.uint16)
+        seq, _ = decode_jpeg(encode_jpeg(img, precision=12))
+        prog, maxval = decode_jpeg(encode_jpeg_progressive(img, precision=12))
+        assert maxval == 4095 and prog.dtype == np.uint16
+        assert np.array_equal(prog, seq), shape
