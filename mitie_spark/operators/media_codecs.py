@@ -184,8 +184,8 @@ def encode_pnm(arr: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# PNG (stdlib zlib inflate + NumPy defilter; 8/16-bit, gray/RGB/palette/
-# alpha, non-interlaced)
+# PNG (stdlib zlib inflate + NumPy defilter; 1/2/4/8/16-bit,
+# gray/RGB/palette/alpha, non-interlaced and Adam7)
 # ---------------------------------------------------------------------------
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -282,13 +282,26 @@ def _png_defilter(raw: np.ndarray, H: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _unpack_subbyte(px: np.ndarray, H: int, W: int, bitd: int) -> np.ndarray:
+    """(H, rowbytes) packed MSB-first 1/2/4-bit samples (PNG spec §7.2:
+    low-depth scanlines pack left-to-right from the high bit, last byte
+    zero-padded) → (H, W) uint8 sample values."""
+    bits = np.unpackbits(px, axis=1)[:, : W * bitd].reshape(H, W, bitd)
+    weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights[None, None, :]).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
     """→ ((H, W) gray or (H, W, 3) RGB array, maxval). Pure stdlib+NumPy:
-    chunk walk, zlib inflate, byte defilter. Supports bit depth 8/16,
-    color types 0/2/3/4/6, both non-interlaced and Adam7-interlaced
-    streams (each Adam7 pass defilters independently, then scatters into
-    the frame via strided slicing). Alpha channels are dropped (features
-    are luma-based), palette rows gather through PLTE."""
+    chunk walk, zlib inflate, byte defilter. Supports the full spec depth
+    table (§11.2.2: gray at 1/2/4/8/16, palette at 1/2/4/8, RGB/alpha at
+    8/16), both non-interlaced and Adam7-interlaced streams (each Adam7
+    pass defilters independently, then scatters into the frame via strided
+    slicing). Sub-byte scanlines defilter as bytes with a one-byte lag
+    (§9: filters are byte-wise regardless of depth) and then unpack
+    MSB-first; gray maxval is (1<<depth)-1 so callers scale by the header.
+    Alpha channels are dropped (features are luma-based), palette rows
+    gather through PLTE."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -326,11 +339,16 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         raise UnsupportedMediaError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise UnsupportedMediaError(f"unknown PNG color type {color}")
-    if bitd not in (8, 16) or (color == 3 and bitd != 8):
+    # spec §11.2.2 depth table: gray 1/2/4/8/16, palette 1/2/4/8, the
+    # multi-channel types 8/16 only
+    allowed = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color, (8, 16))
+    if bitd not in allowed:
         raise UnsupportedMediaError(f"PNG bit depth {bitd}/color {color} not supported")
     ch = _PNG_CHANNELS[color]
-    bpp = ch * (bitd // 8)
-    stride = W * bpp
+    # filters operate on bytes with a lag of one full pixel, floored to one
+    # byte for sub-byte depths (spec §9)
+    bpp = max(1, ch * bitd // 8)
+    stride = (W * ch * bitd + 7) // 8
     # decompression-bomb guard: IHDR W/H are attacker-controlled in a web
     # corpus, and an unbounded zlib.decompress of a crafted IDAT can
     # allocate gigabytes inside the Arrow UDF (Spark then retries the same
@@ -344,8 +362,11 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         )
     if interlace:
         passes = _adam7_pass_dims(W, H)
-        # one filter byte per scanline of each (independently filtered) pass
-        expected = sum(ph * (1 + pw * bpp) for _, _, _, _, pw, ph in passes)
+        # one filter byte per scanline of each (independently filtered)
+        # pass; each pass packs its own scanlines to a byte boundary
+        expected = sum(
+            ph * (1 + (pw * ch * bitd + 7) // 8) for _, _, _, _, pw, ph in passes
+        )
     else:
         passes = []
         expected = H * (1 + stride)  # one filter byte per scanline
@@ -367,7 +388,20 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         raw = np.frombuffer(inflated, dtype=np.uint8)
     except zlib.error as e:
         raise UnsupportedMediaError(f"PNG inflate failed: {e}") from e
-    if interlace:
+    if interlace and bitd < 8:
+        # Sub-byte Adam7: each pass unpacks from its own byte-padded
+        # scanlines to per-pixel values, which scatter directly.
+        full = np.zeros((H, W), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys, pw, ph in passes:
+            rb = (pw * bitd + 7) // 8
+            nbytes = ph * (1 + rb)
+            sub = _png_defilter(raw[off : off + nbytes], ph, rb, 1)
+            full[y0::ys, x0::xs] = _unpack_subbyte(sub, ph, pw, bitd)
+            off += nbytes
+        arr = full[..., None]
+        maxval = (1 << bitd) - 1
+    elif interlace:
         # Defilter each Adam7 pass as its own little image, then scatter its
         # pixels into the full frame with strided slicing (spec §8.2).
         full = np.zeros((H, W, bpp), dtype=np.uint8)
@@ -380,7 +414,11 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         px = full.reshape(H, stride)
     else:
         px = _png_defilter(raw, H, stride, bpp)
-    if bitd == 16:
+    if bitd < 8:
+        if not interlace:
+            arr = _unpack_subbyte(px, H, W, bitd)[..., None]
+        maxval = (1 << bitd) - 1
+    elif bitd == 16:
         arr = px.reshape(H, W, ch, 2).astype(np.uint16)
         arr = (arr[..., 0] << 8) | arr[..., 1]  # network byte order
         maxval = 65535

@@ -297,9 +297,10 @@ def _forward_filter_row(filt, cur, prev, bpp):
     return bytes(out)
 
 
-def _build_png(pixels, color, bitd=8, filters=None, interlace=0, plte=None):
+def _build_png(pixels, color, bitd=8, filters=None, interlace=0, plte=None, width=None):
     """Hand-built PNG with a chosen filter per row (forward-filtered by the
-    independent scalar implementation above)."""
+    independent scalar implementation above). ``width`` is required for
+    sub-byte depths (packed rows don't determine it)."""
     import struct as _s
     import zlib
 
@@ -320,7 +321,7 @@ def _build_png(pixels, color, bitd=8, filters=None, interlace=0, plte=None):
         return _s.pack(">I", len(data)) + ctype + data + _s.pack(">I", crc)
 
     n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    W = stride // (n_ch * (bitd // 8))
+    W = width if width is not None else stride // (n_ch * (bitd // 8))
     out = b"\x89PNG\r\n\x1a\n"
     out += chunk(b"IHDR", _s.pack(">IIBBBBB", W, H, bitd, color, 0, 0, interlace))
     if plte is not None:
@@ -504,6 +505,145 @@ def test_png_adam7_small_dims_empty_passes():
         img = rng.integers(0, 256, (H, W), dtype=np.uint8)
         arr, _ = decode_png(_build_png_adam7(img[..., None], color=0))
         assert np.array_equal(arr, img), (H, W)
+
+
+# --------------------------------------------------------------------------
+# sub-byte depths (1/2/4-bit gray + palette; spec §7.2 MSB-first packing)
+# --------------------------------------------------------------------------
+
+
+def _pack_row(vals, bitd):
+    """Independent scalar packer: sample values → MSB-first packed bytes
+    (PNG spec §7.2), zero-padded to the byte boundary."""
+    acc, nbits, out = 0, 0, bytearray()
+    for v in vals:
+        acc = (acc << bitd) | int(v)
+        nbits += bitd
+        if nbits == 8:
+            out.append(acc)
+            acc, nbits = 0, 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def test_png_subbyte_gray_all_filters():
+    """1/2/4-bit gray: scalar-packed scanlines through every filter type
+    must decode to the sample values with maxval (1<<depth)-1. Filters
+    act on the PACKED bytes with a one-byte lag (spec §9)."""
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(37)
+    for bitd in (1, 2, 4):
+        for H, W in [(10, 6), (7, 13), (3, 1)]:
+            img = rng.integers(0, 1 << bitd, (H, W), dtype=np.uint8)
+            rows = [_pack_row(img[r], bitd) for r in range(H)]
+            filters = [(r * 3) % 5 for r in range(H)]
+            arr, maxval = decode_png(
+                _build_png(rows, color=0, bitd=bitd, filters=filters, width=W)
+            )
+            assert maxval == (1 << bitd) - 1, bitd
+            assert np.array_equal(arr, img), (bitd, H, W)
+
+
+def test_png_subbyte_padding_bits_ignored():
+    """W not a multiple of samples-per-byte leaves padding bits in the last
+    byte of each scanline; hostile nonzero padding must not leak into
+    pixels (the spec only requires encoders to zero it)."""
+    from mitie_spark.operators.media_codecs import decode_png
+
+    img = np.array([[1, 0, 1], [0, 1, 1]], dtype=np.uint8)
+    rows = []
+    for r in img:
+        b = bytearray(_pack_row(r, 1))
+        b[-1] |= 0x1F  # set all 5 padding bits
+        rows.append(bytes(b))
+    arr, maxval = decode_png(_build_png(rows, color=0, bitd=1, width=3))
+    assert maxval == 1 and np.array_equal(arr, img)
+
+
+def test_png_subbyte_palette():
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(41)
+    plte_arr = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for bitd in (1, 2, 4):
+        n = 1 << bitd
+        img = rng.integers(0, n, (9, 11), dtype=np.uint8)
+        rows = [_pack_row(img[r], bitd) for r in range(9)]
+        arr, maxval = decode_png(
+            _build_png(
+                rows, color=3, bitd=bitd, width=11, plte=plte_arr[:n].tobytes()
+            )
+        )
+        assert maxval == 255
+        assert np.array_equal(arr, plte_arr[:n][img]), bitd
+
+
+def test_png_subbyte_adam7():
+    """Sub-byte Adam7: each pass packs its own scanlines to a byte
+    boundary and filters independently; the strided scatter must
+    reconstruct exactly."""
+    import struct as _s
+    import zlib
+
+    from mitie_spark.operators.media_codecs import decode_png
+
+    rng = np.random.default_rng(43)
+    for bitd in (1, 2, 4):
+        for H, W in [(13, 11), (3, 5), (1, 9), (16, 16)]:
+            img = rng.integers(0, 1 << bitd, (H, W), dtype=np.uint8)
+            raw = bytearray()
+            for x0, y0, xs, ys in _ADAM7_TEST:
+                sub = img[y0::ys, x0::xs]
+                ph, pw = sub.shape
+                if ph == 0 or pw == 0:
+                    continue
+                prev = bytes((pw * bitd + 7) // 8)
+                for r in range(ph):
+                    cur = _pack_row(sub[r], bitd)
+                    f = r % 5
+                    raw.append(f)
+                    raw += _forward_filter_row(f, cur, prev, 1)
+                    prev = cur
+
+            def chunk(ctype, data):
+                crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+                return _s.pack(">I", len(data)) + ctype + data + _s.pack(">I", crc)
+
+            p = b"\x89PNG\r\n\x1a\n"
+            p += chunk(b"IHDR", _s.pack(">IIBBBBB", W, H, bitd, 0, 0, 0, 1))
+            p += chunk(b"IDAT", zlib.compress(bytes(raw)))
+            p += chunk(b"IEND", b"")
+            arr, maxval = decode_png(p)
+            assert maxval == (1 << bitd) - 1
+            assert np.array_equal(arr, img), (bitd, H, W)
+
+
+def test_png_subbyte_feature_scale_matches_8bit():
+    """builtin_decoder scales by the header maxval: a 4-bit image and its
+    exact 8-bit equivalent (v*17) must produce the same feature."""
+    from mitie_spark.operators.media_codecs import builtin_decoder, encode_png
+
+    rng = np.random.default_rng(47)
+    img4 = rng.integers(0, 16, (24, 24), dtype=np.uint8)
+    rows = [_pack_row(img4[r], 4) for r in range(24)]
+    f4 = builtin_decoder(_build_png(rows, color=0, bitd=4, width=24))
+    f8 = builtin_decoder(encode_png((img4 * 17).astype(np.uint8)))
+    np.testing.assert_allclose(f4, f8, atol=1e-6)
+
+
+def test_png_subbyte_rejects_invalid_depth_combos():
+    """Spec §11.2.2: sub-byte depths are gray/palette only; 16-bit palette
+    is invalid too."""
+    from mitie_spark.operators.media_codecs import UnsupportedMediaError, decode_png
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, (4, 2, 3), dtype=np.uint8)
+    rows = [img[r].tobytes() for r in range(4)]
+    for color, bitd in [(2, 4), (4, 2), (6, 1)]:
+        with pytest.raises(UnsupportedMediaError, match="bit depth"):
+            decode_png(_build_png(rows, color=color, bitd=bitd, width=2))
 
 
 def test_png_adam7_16bit_and_palette_and_alpha():
