@@ -476,8 +476,11 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """→ (mono float32 samples in [-1, 1], sample_rate). Walks RIFF chunks
-    (skips LIST/fact/etc.), supports PCM (format 1) u8/s16 and IEEE float
-    (format 3) f32."""
+    (skips LIST/fact/etc.), supports PCM (format 1) u8/s16/s24/s32, IEEE
+    float (format 3) f32/f64, and WAVE_FORMAT_EXTENSIBLE (0xFFFE — the
+    required wrapper for >16-bit or multichannel files, whose real format
+    code is the first two bytes of the SubFormat GUID at fmt offset 24).
+    Multichannel downmixes to mono by mean."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise UnsupportedMediaError("not a RIFF/WAVE payload")
     pos = 12
@@ -491,6 +494,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             if len(body) < 16:
                 raise UnsupportedMediaError("truncated WAVE fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if len(body) < 26:
+                    raise UnsupportedMediaError("truncated WAVE extensible fmt")
+                sub = struct.unpack_from("<H", body, 24)[0]
+                fmt = (sub,) + fmt[1:]
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
@@ -501,8 +509,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif audio_fmt == 1 and bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3)
+        # little-endian signed 24-bit: sign-extend via int8 on the top byte
+        i = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].view(np.int8).astype(np.int32) << 16)
+        )
+        x = i.astype(np.float32) / 8388608.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
     elif audio_fmt == 3 and bits == 32:
         x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_fmt == 3 and bits == 64:
+        x = np.frombuffer(data, dtype="<f8").astype(np.float32)
     else:
         raise UnsupportedMediaError(f"WAVE format {audio_fmt}/{bits}bit")
     if n_ch > 1:

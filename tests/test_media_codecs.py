@@ -109,6 +109,67 @@ def test_wav_roundtrip_and_stereo_mean():
     assert np.allclose(mono, 0.0, atol=1e-4)
 
 
+def _wav_container(fmt_body: bytes, frames: bytes) -> bytes:
+    import struct
+
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_24bit_32bit_and_f64():
+    """Independent scalar encodings of the wide PCM/float layouts: 24-bit
+    little-endian signed (incl. full-scale negatives — the sign-extension
+    path), 32-bit int, and float64."""
+    import struct
+
+    vals24 = [0, 1, -1, 8388607, -8388608, 4194304, -4194304]
+    frames = b"".join(struct.pack("<i", v << 8)[1:] for v in vals24)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    y, rate = decode_wav(_wav_container(fmt, frames))
+    assert rate == 8000
+    np.testing.assert_allclose(y, np.array(vals24) / 8388608.0, atol=1e-9)
+
+    vals32 = [0, 2147483647, -2147483648, 1 << 30]
+    frames = b"".join(struct.pack("<i", v) for v in vals32)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 4, 4, 32)
+    y, _ = decode_wav(_wav_container(fmt, frames))
+    np.testing.assert_allclose(y, np.array(vals32) / 2147483648.0, rtol=1e-6)
+
+    vals = np.array([0.0, 0.5, -0.25, 1.0, -1.0])
+    fmt = struct.pack("<HHIIHH", 3, 1, 48000, 48000 * 8, 8, 64)
+    y, _ = decode_wav(_wav_container(fmt, vals.astype("<f8").tobytes()))
+    np.testing.assert_allclose(y, vals, atol=1e-7)
+
+
+def test_wav_extensible_wrapper():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real code is the first two
+    bytes of the SubFormat GUID at fmt offset 24; stereo 24-bit downmixes
+    to mono by mean."""
+    import struct
+
+    # KSDATAFORMAT_SUBTYPE_PCM GUID: 00000001-0000-0010-8000-00aa00389b71
+    guid = struct.pack("<H", 1) + bytes.fromhex("000000000010800000aa00389b71")
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 8000 * 6, 6, 24)
+        + struct.pack("<HHI", 22, 24, 0x3)  # cbSize, valid bits, channel mask
+        + guid
+    )
+    lr = [(4194304, -4194304), (8388607, 8388607), (0, -8388608)]
+    frames = b"".join(
+        struct.pack("<i", l << 8)[1:] + struct.pack("<i", r << 8)[1:] for l, r in lr
+    )
+    y, rate = decode_wav(_wav_container(fmt, frames))
+    assert rate == 8000 and len(y) == 3
+    want = np.array([(l + r) / 2.0 for l, r in lr]) / 8388608.0
+    np.testing.assert_allclose(y, want, atol=1e-7)
+    # truncated extensible fmt (no GUID) must fail fast, not misdecode
+    with pytest.raises(UnsupportedMediaError, match="extensible"):
+        decode_wav(_wav_container(struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8), b"\x80"))
+
+
 def test_wav_skips_foreign_chunks():
     base = encode_wav(np.zeros(10), rate=8000)
     # splice a LIST chunk between WAVE and fmt
