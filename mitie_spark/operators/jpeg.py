@@ -409,14 +409,18 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 15
                 i += 1
+                if pq > 1:
+                    raise UnsupportedMediaError(f"bad JPEG DQT precision {pq}")
+                # length check BEFORE frombuffer: an odd-length truncated
+                # 16-bit table raises ValueError from frombuffer otherwise
+                if len(body) - i < 64 * (1 + pq):
+                    raise UnsupportedMediaError("truncated JPEG DQT")
                 if pq == 0:
                     q = np.frombuffer(body[i : i + 64], dtype=np.uint8)
                     i += 64
                 else:
                     q = np.frombuffer(body[i : i + 128], dtype=">u2")
                     i += 128
-                if len(q) != 64:
-                    raise UnsupportedMediaError("truncated JPEG DQT")
                 qtables[tq] = q.astype(np.int32)
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0

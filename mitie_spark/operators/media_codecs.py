@@ -143,7 +143,12 @@ def _pnm_header(payload: bytes):
             pos += 1
         if start == pos:
             raise UnsupportedMediaError("truncated PNM header")
-        vals.append(int(payload[start:pos]))
+        tok = payload[start:pos]
+        if not tok.isdigit() or len(tok) > 10:
+            # non-numeric garbage (or an absurd magnitude) in a header
+            # token must route to the seam, not raise ValueError
+            raise UnsupportedMediaError("malformed PNM header token")
+        vals.append(int(tok))
     pos += 1  # single whitespace after maxval
     if not 1 <= vals[2] <= 65535:
         # the spec range; maxval=0 would divide-by-zero the feature scale
@@ -317,6 +322,8 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, int]:
         if len(body) != ln:
             raise UnsupportedMediaError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:  # spec-fixed size; unpack is exact-size
+                raise UnsupportedMediaError("bad PNG IHDR length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8)
@@ -505,6 +512,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise UnsupportedMediaError("WAVE missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
+    # tolerate a truncated trailing sample (frombuffer requires whole
+    # elements; real-world truncated WAVs are otherwise decodable)
+    data = data[: len(data) - len(data) % max(1, bits // 8)]
     if audio_fmt == 1 and bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
     elif audio_fmt == 1 and bits == 8:
