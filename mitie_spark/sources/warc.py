@@ -90,7 +90,12 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
         try:
             length = int(fields.get("content-length", "0"))
         except ValueError:
-            # damaged header: skip this record, keep the task alive
+            length = -1
+        if length < 0:
+            # damaged header (unparseable or negative Content-Length —
+            # a negative value would walk `i` BACKWARD below, and a
+            # crafted record can pin it at a fixed point, hanging the
+            # task): skip this record, keep the task alive
             nxt = _resync(blob, i)
             if nxt < 0:
                 break

@@ -263,3 +263,74 @@ def test_warc_http_payload_and_corrupt_records():
         b"Content-Length: 12zz\r\n\r\nwhatever\r\n\r\n"
     )
     assert parse_warc_bytes(corrupt + blob) == recs
+
+
+def test_warc_negative_content_length_cannot_hang():
+    """A crafted NEGATIVE Content-Length walks the record index backward;
+    before the guard, a record whose end computed back onto itself pinned
+    the parse loop at a fixed point (infinite loop inside the task). Must
+    skip via resync and terminate."""
+    from mitie_spark.sources.warc import parse_warc_bytes, write_warc
+
+    hostile = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://evil.org\r\n"
+        b"Content-Length: -8\r\n\r\n"
+    )
+    good = write_warc(
+        [{"url": "https://ok.org", "warc_ts": "2024-01-01T00:00:00Z", "html": b"x"}]
+    )
+    # alone (index would land back inside the same record), and followed by
+    # a good record (resync must recover it)
+    assert parse_warc_bytes(hostile) == []
+    recs = parse_warc_bytes(hostile + good)
+    assert [r[0] for r in recs] == ["https://ok.org"]
+    assert parse_warc_bytes(hostile * 50 + good) == recs
+
+
+def test_reader_mutation_fuzz_never_raises():
+    """Web-facing text readers (WARC parse, gigaword parse, html2text) see
+    adversarial bytes at corpus scale: seeded mutations of valid inputs
+    must never raise — damaged records skip, garbage yields garbage text."""
+    import numpy as np
+
+    from mitie_spark.functions.html2text import html_to_text
+    from mitie_spark.sources.gigaword import parse_gigaword
+    from mitie_spark.sources.warc import parse_warc_bytes, write_warc
+
+    warc = write_warc(
+        [
+            {
+                "url": f"https://s.org/{i}",
+                "warc_ts": "2024-05-01T00:00:00Z",
+                "html": b"<html><script>x</script><p>hi</p></html>",
+            }
+            for i in range(3)
+        ]
+    )
+    giga = (
+        b'<DOC id="d1" type="story"><HEADLINE>h</HEADLINE>'
+        b"<TEXT><P>one</P><P>two</P></TEXT></DOC>" * 3
+    )
+    html = b"<html><head><style>a{}</style></head><body><p>x &amp; y</p></body>"
+    rng = np.random.default_rng(101)
+    for parse, seed in [
+        (parse_warc_bytes, warc),
+        (lambda b: parse_gigaword(b.decode("utf-8", "replace")), giga),
+        (html_to_text, html),
+    ]:
+        base = np.frombuffer(seed, dtype=np.uint8)
+        for _ in range(300):
+            q = base.copy()
+            op = int(rng.integers(0, 3))
+            if op == 0:
+                n = int(rng.integers(1, 9))
+                pos = rng.integers(0, len(q), n)
+                q[pos] = rng.integers(0, 256, n)
+            elif op == 1:
+                q = q[: int(rng.integers(1, len(q)))]
+            else:
+                at = int(rng.integers(0, len(q) + 1))
+                ins = rng.integers(0, 256, int(rng.integers(1, 65))).astype(np.uint8)
+                q = np.concatenate([q[:at], ins, q[at:]])
+            parse(q.tobytes())  # must not raise, whatever it returns
