@@ -61,10 +61,85 @@ def sniff_kind(payload: bytes) -> str | None:
 # ---------------------------------------------------------------------------
 
 
+def _bmp_palette(payload: bytes, hdr_size: int, bpp: int) -> np.ndarray:
+    """→ (n, 4) BGRA palette entries after the info header."""
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+    if not 1 <= n_colors <= 256:
+        raise UnsupportedMediaError(f"bad BMP palette size {n_colors}")
+    off = 14 + hdr_size
+    if len(payload) < off + n_colors * 4:
+        raise UnsupportedMediaError("truncated BMP palette")
+    return np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4, offset=off).reshape(
+        n_colors, 4
+    )
+
+
+def _bmp_palette_lookup(pal: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    if int(idx.max(initial=0)) >= len(pal):
+        # hostile index past ColorsUsed would IndexError the gather
+        raise UnsupportedMediaError("BMP palette index out of range")
+    return pal[idx, 2::-1].copy()  # BGRA entries → RGB
+
+
+def _bmp_decode_rle(data: bytes, H: int, W: int, four: bool) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 → (H, W) palette indices (bottom-up flipped here).
+    Stream grammar: (count>0, value) = encoded run (RLE4 alternates the
+    value's two nibbles); (0, 0) = end of line; (0, 1) = end of bitmap;
+    (0, 2, dx, dy) = cursor delta; (0, n>=3) = literal run of n pixels,
+    padded to a 16-bit boundary. Out-of-frame writes are clipped, so a
+    hostile stream can waste its own bytes but cannot write out of
+    bounds or fail the task."""
+    out = np.zeros((H, W), dtype=np.uint8)
+    x = y = 0
+    i, n = 0, len(data)
+    while i + 2 <= n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y < H:
+                if four:
+                    pair = np.array([val >> 4, val & 15], dtype=np.uint8)
+                    run = np.tile(pair, (cnt + 1) // 2)[:cnt]
+                else:
+                    run = np.full(cnt, val, dtype=np.uint8)
+                end = min(x + cnt, W)
+                if x < W:
+                    out[y, x:end] = run[: end - x]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 2 > n:
+                break
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # literal ("absolute") run of `val` pixels
+            if four:
+                nbytes = (val + 1) // 2
+                chunk = np.frombuffer(data, np.uint8, min(nbytes, n - i), i)
+                i += nbytes + (nbytes & 1)
+                pix = np.empty(2 * len(chunk), dtype=np.uint8)
+                pix[0::2] = chunk >> 4
+                pix[1::2] = chunk & 15
+                pix = pix[:val]
+            else:
+                pix = np.frombuffer(data, np.uint8, min(val, n - i), i)
+                i += val + (val & 1)
+            if y < H and x < W:
+                end = min(x + len(pix), W)
+                out[y, x:end] = pix[: end - x]
+            x += val
+    return out[::-1]  # RLE bitmaps are always bottom-up
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
     """→ (H, W, 3) uint8 RGB. Handles bottom-up (positive height) and
-    top-down (negative height) rows, 4-byte row padding, 8-bit palette,
-    24-bit BGR and 32-bit BGRA."""
+    top-down (negative height) rows, 4-byte row padding, 1/4/8-bit
+    palette (incl. BI_RLE8/BI_RLE4 runs), 16-bit RGB555 and arbitrary
+    BI_BITFIELDS masks (16/32), 24-bit BGR and 32-bit BGRA."""
     if payload[:2] != b"BM":
         raise UnsupportedMediaError("not a BMP payload")
     if len(payload) < 54:
@@ -76,15 +151,29 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0:  # BI_RGB only
+    if compression not in (0, 1, 2, 3):
         raise UnsupportedMediaError(f"compressed BMP (method {compression})")
-    if bpp not in (8, 24, 32):
-        raise UnsupportedMediaError(f"unsupported BMP bpp {bpp}")
+    if (
+        bpp not in (1, 4, 8, 16, 24, 32)
+        or (compression == 1 and bpp != 8)
+        or (compression == 2 and bpp != 4)
+        or (compression == 3 and bpp not in (16, 32))
+    ):
+        raise UnsupportedMediaError(f"unsupported BMP bpp {bpp}/method {compression}")
     top_down = height < 0
     H, W = abs(height), width
     if H == 0 or W <= 0:
         raise UnsupportedMediaError("empty BMP")
-    row_bytes = (W * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    if H * W > _PNG_MAX_PIXELS:  # same hostile-dims cap as PNG
+        raise UnsupportedMediaError(f"BMP dimensions {W}x{H} exceed the pixel cap")
+    if compression in (1, 2):  # RLE: bottom-up only, data runs to payload end
+        if top_down:
+            raise UnsupportedMediaError("top-down RLE BMP is invalid")
+        if data_off >= len(payload):
+            raise UnsupportedMediaError("truncated BMP pixel data")
+        idx = _bmp_decode_rle(payload[data_off:], H, W, four=compression == 2)
+        return _bmp_palette_lookup(_bmp_palette(payload, hdr_size, bpp), idx)
+    row_bytes = ((W * bpp + 31) // 32) * 4  # rows pad to 4 bytes
     need = data_off + row_bytes * H
     if len(payload) < need:
         raise UnsupportedMediaError("truncated BMP pixel data")
@@ -92,17 +181,40 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     rows = raw.reshape(H, row_bytes)
     if not top_down:
         rows = rows[::-1]
+    if bpp in (1, 4):  # packed MSB-first, same layout as sub-byte PNG
+        idx = _unpack_subbyte(np.ascontiguousarray(rows), H, W, bpp)
+        return _bmp_palette_lookup(_bmp_palette(payload, hdr_size, bpp), idx)
     if bpp == 8:
-        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
-        pal = np.frombuffer(
-            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
-        ).reshape(n_colors, 4)
-        idx = rows[:, :W]
-        bgr = pal[idx, :3]  # palette entries are BGRA
-        return bgr[..., ::-1].copy()
-    ch = bpp // 8
-    px = rows[:, : W * ch].reshape(H, W, ch)
-    return px[..., 2::-1].copy()  # BGR(A) → RGB
+        pal = _bmp_palette(payload, hdr_size, bpp)
+        return _bmp_palette_lookup(pal, rows[:, :W])
+    if bpp == 24 or (bpp == 32 and compression == 0):
+        ch = bpp // 8
+        px = rows[:, : W * ch].reshape(H, W, ch)
+        return px[..., 2::-1].copy()  # BGR(A) → RGB
+    # 16-bit (default RGB555) or BI_BITFIELDS: mask-extract each channel
+    # and rescale to 8 bits by its own mask width
+    if compression == 3:
+        if len(payload) < 66:
+            raise UnsupportedMediaError("truncated BMP bitfields masks")
+        masks = struct.unpack_from("<III", payload, 54)
+    else:
+        masks = (0x7C00, 0x03E0, 0x001F)
+    nb = bpp // 8
+    v = rows[:, : W * nb].reshape(H, W, nb).astype(np.uint32)
+    val = v[..., 0]
+    for k in range(1, nb):
+        val = val | (v[..., k] << (8 * k))  # little-endian samples
+    chans = []
+    for mask in masks:
+        mask &= 0xFFFFFFFF if nb == 4 else 0xFFFF
+        if mask == 0:
+            chans.append(np.zeros((H, W), dtype=np.uint8))
+            continue
+        shift = (mask & -mask).bit_length() - 1
+        maxv = mask >> shift
+        c = ((val & mask) >> shift).astype(np.uint64)  # *255 would wrap u32
+        chans.append((c * 255 // maxv).astype(np.uint8))
+    return np.stack(chans, axis=-1)
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

@@ -55,9 +55,127 @@ def test_bmp_rejects_compressed():
     import struct
 
     b = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
-    struct.pack_into("<I", b, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", b, 30, 1)  # BI_RLE8 on a 24-bit frame: invalid
     with pytest.raises(UnsupportedMediaError):
         decode_bmp(bytes(b))
+
+
+def _build_bmp(W, H, bpp, compression, data, pal=b"", colors_used=0):
+    """Independent scalar BMP builder: masks (BI_BITFIELDS) or palette go
+    right after the 40-byte info header, where the decoder reads them."""
+    import struct
+
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, W, H, 1, bpp, compression, len(data), 0, 0, colors_used, 0
+    )
+    off = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return hdr + info + pal + data
+
+
+_GRAY16_PAL = b"".join(bytes([v * 17, v * 17, v * 17, 0]) for v in range(16))
+
+
+def test_bmp_subbyte_palette():
+    """1- and 4-bit palette BMPs: MSB-first packing, 4-byte row padding,
+    bottom-up rows — validated against hand-packed scanlines."""
+    # 4-bit: 3x3, indices laid out explicitly (two nibbles per byte)
+    idx = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.uint8)
+    rows = b""
+    for r in idx[::-1]:  # bottom-up
+        packed = bytes([(r[0] << 4) | r[1], r[2] << 4])
+        rows += packed + b"\x00" * (4 - len(packed))
+    img = decode_bmp(_build_bmp(3, 3, 4, 0, rows, pal=_GRAY16_PAL))
+    assert np.array_equal(img[..., 0], idx * 17)
+    assert np.array_equal(img[..., 0], img[..., 1])
+
+    # 1-bit: 2x10 checkerboard-ish, two palette entries
+    bits = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 1],
+                     [0, 1, 1, 1, 0, 0, 0, 1, 0, 1]], dtype=np.uint8)
+    pal = bytes([10, 20, 30, 0]) + bytes([200, 210, 220, 0])
+    rows = b""
+    for r in bits[::-1]:
+        b0 = int("".join(map(str, r[:8])), 2)
+        b1 = int("".join(map(str, r[8:])), 2) << 6
+        rows += bytes([b0, b1]) + b"\x00\x00"
+    img = decode_bmp(_build_bmp(10, 2, 1, 0, rows, pal=pal))
+    # palette entries are BGR: entry0 → RGB (30,20,10), entry1 → (220,210,200)
+    want = np.where(bits[..., None] == 1, [220, 210, 200], [30, 20, 10])
+    assert np.array_equal(img, want.astype(np.uint8))
+
+
+def test_bmp_rle8():
+    """BI_RLE8 stream: encoded runs, a literal (absolute) run with its
+    16-bit padding, end-of-line, a cursor delta, end-of-bitmap."""
+    pal = bytes(b for v in range(256) for b in (v, v, v, 0))
+    stream = bytes(
+        [3, 7]          # run: 3 pixels of index 7
+        + [0, 4, 1, 2, 3, 4]  # literal run of 4 (even count: no pad byte)
+        + [0, 0]        # end of line
+        + [0, 2, 2, 1]  # delta: x += 2, y += 1
+        + [2, 9]        # run: 2 pixels of index 9
+        + [0, 1]        # end of bitmap
+    )
+    img = decode_bmp(_build_bmp(8, 4, 8, 1, stream, pal=pal, colors_used=256))
+    want = np.zeros((4, 8), dtype=np.uint8)
+    want[0, 0:3] = 7          # file row 0 (bottom-up → image row 3)
+    want[0, 3:7] = [1, 2, 3, 4]
+    want[2, 2:4] = 9          # after EOL (y=1) + delta (x=2, y=2)
+    assert np.array_equal(img[..., 0], want[::-1])
+
+
+def test_bmp_rle4():
+    """BI_RLE4: encoded runs alternate the value's two nibbles; literal
+    runs pack two pixels per byte, padded to a 16-bit boundary."""
+    stream = bytes(
+        [5, (12 << 4) | 3]   # run of 5: 12,3,12,3,12
+        + [0, 3, (1 << 4) | 2, 3 << 4]  # literal of 3: 1,2,3 (2 bytes, word-aligned)
+        + [0, 1]
+    )
+    img = decode_bmp(_build_bmp(8, 2, 4, 2, stream, pal=_GRAY16_PAL))
+    want = np.zeros((2, 8), dtype=np.uint8)
+    want[0, :5] = [12, 3, 12, 3, 12]
+    want[0, 5:8] = [1, 2, 3]
+    assert np.array_equal(img[..., 0], want[::-1] * 17)
+
+
+def test_bmp_16bit_rgb555_and_565_bitfields():
+    import struct
+
+    # RGB555 (compression 0 default): pure-channel words
+    words = [0x7C00, 0x03E0, 0x001F, 0x7FFF]  # R, G, B, white
+    data = b"".join(struct.pack("<H", w) for w in words)  # one row, W=4, no pad
+    img = decode_bmp(_build_bmp(4, 1, 16, 0, data))
+    assert img.tolist() == [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]]]
+
+    # RGB565 via BI_BITFIELDS: green has 6 bits
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    words = [0xF800, 0x07E0, 0x001F, 0x0400]  # R, G, B, mid-green (32/63)
+    data = b"".join(struct.pack("<H", w) for w in words)
+    img = decode_bmp(_build_bmp(4, 1, 16, 3, data, pal=masks))
+    assert img.tolist()[0][:3] == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert img[0, 3].tolist() == [0, 32 * 255 // 63, 0]
+
+
+def test_bmp_32bit_bitfields_swapped_masks():
+    import struct
+
+    # RGBA byte order (masks name where each channel LIVES in the word)
+    masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    data = struct.pack("<I", 0x00C08040)  # word: B-field 0xC0, G 0x80, R 0x40
+    img = decode_bmp(_build_bmp(1, 1, 32, 3, data, pal=masks))
+    assert img[0, 0].tolist() == [0x40, 0x80, 0xC0]
+
+
+def test_bmp_palette_bounds_and_truncation():
+    # index past ColorsUsed must raise, not IndexError
+    pal4 = b"".join(bytes([v, v, v, 0]) for v in range(4))
+    rows = bytes([0, 200, 0, 0])  # index 200 >= 4 colors
+    with pytest.raises(UnsupportedMediaError, match="palette index"):
+        decode_bmp(_build_bmp(2, 1, 8, 0, rows, pal=pal4, colors_used=4))
+    # palette shorter than ColorsUsed claims
+    with pytest.raises(UnsupportedMediaError, match="palette"):
+        decode_bmp(_build_bmp(2, 1, 8, 0, bytes(4), pal=b"\x00" * 8, colors_used=16))
 
 
 def test_pnm_roundtrip_and_comments():

@@ -28,7 +28,7 @@ from mitie_spark.operators.media_codecs import (
 from mitie_spark.operators.mp4 import encode_mp4, parse_mp4
 from tests.test_gif import _gray_palette, encode_gif
 from tests.test_jpeg import encode_jpeg, encode_jpeg_progressive
-from tests.test_media_codecs import _build_png, _pack_row
+from tests.test_media_codecs import _GRAY16_PAL, _build_bmp, _build_png, _pack_row
 
 TRIALS_PER_SEED = 150
 
@@ -42,8 +42,14 @@ def _seeds():
     sub_rows = [_pack_row(idx4[r], 4) for r in range(8)]
     audio = (0.2 * np.sin(np.arange(400) / 10.0)).astype(np.float32)
     frames = [bytes(rng.integers(0, 256, 40, dtype=np.uint8).tolist()) for _ in range(6)]
+    import struct
+
+    rle = bytes([3, 7, 0, 4, 1, 2, 3, 4, 0, 0, 0, 2, 2, 1, 2, 9, 0, 1])
+    words = b"".join(struct.pack("<H", w) for w in (0x7C00, 0x03E0, 0x001F, 0x7FFF))
     return [
         ("bmp", decode_bmp, encode_bmp(rgb)),
+        ("bmp-rle8", decode_bmp, _build_bmp(8, 4, 8, 1, rle, pal=_GRAY16_PAL * 16)),
+        ("bmp-16bit", decode_bmp, _build_bmp(4, 1, 16, 0, words)),
         ("pnm", decode_pnm, encode_pnm(gray)),
         ("wav", decode_wav, encode_wav(audio, rate=8000)),
         ("png-rgb", decode_png, encode_png(rgb)),
