@@ -198,5 +198,7 @@ class CharNgramLangID:
 
     @classmethod
     def load(cls, path: str) -> "CharNgramLangID":
-        z = np.load(path, allow_pickle=False)
+        from mitie_spark.models.artifact_path import resolve_artifact
+
+        z = np.load(resolve_artifact(path), allow_pickle=False)
         return cls([str(x) for x in z["langs"]], z["log_w"], z["log_prior"])

@@ -888,7 +888,9 @@ class NerModel:
 
     @classmethod
     def load(cls, path: str) -> "NerModel":
-        z = np.load(path, allow_pickle=False)
+        from mitie_spark.models.artifact_path import resolve_artifact
+
+        z = np.load(resolve_artifact(path), allow_pickle=False)
         kind = str(z["fs_kind"][0]) if "fs_kind" in z else "hashed"
         if kind in ("wordvec", "wordvec+shape"):
             from mitie_spark.functions.morphology import ApproximateSubstringSet

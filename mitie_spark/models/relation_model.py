@@ -239,7 +239,9 @@ class RelationModel:
 
     @classmethod
     def load(cls, path: str) -> "RelationModel":
-        z = np.load(path, allow_pickle=False)
+        from mitie_spark.models.artifact_path import resolve_artifact
+
+        z = np.load(resolve_artifact(path), allow_pickle=False)
         return cls(
             preds=[str(p) for p in z["preds"]],
             W_sparse=z["W_sparse"],

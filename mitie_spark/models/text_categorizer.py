@@ -84,7 +84,9 @@ class TextCategorizer:
 
     @classmethod
     def load(cls, path: str) -> "TextCategorizer":
-        z = np.load(path, allow_pickle=False)
+        from mitie_spark.models.artifact_path import resolve_artifact
+
+        z = np.load(resolve_artifact(path), allow_pickle=False)
         return cls(
             [str(l) for l in z["labels"]], z["W_sparse"], z["W_dense"], z["b"]
         )

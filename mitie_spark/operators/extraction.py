@@ -51,8 +51,10 @@ def load_ner_model(path: str):
     """Shared NER model loader: .npz artifact or dlib ``ner_model.dat``
     (the latter through the per-host sidecar cache). Used by the extraction
     UDF and the streaming/CLI annotators."""
+    from mitie_spark.models.artifact_path import resolve_artifact
     from mitie_spark.models.ner_model import NerModel
 
+    path = resolve_artifact(path)  # zip-launch / --files fallback chain
     if _is_npz(path):
         return NerModel.load(path)
     return _ner_from_dlib_cached(path)
@@ -109,6 +111,11 @@ def _load_models(ner_path: str, rel_path: str):
 
     ner = load_ner_model(ner_path)
 
+    if "," not in rel_path and not os.path.exists(rel_path):
+        # zip-launch / --files fallback (the _is_npz sniff below opens it)
+        from mitie_spark.models.artifact_path import resolve_artifact
+
+        rel_path = resolve_artifact(rel_path)
     svm_paths = None
     if os.path.isdir(rel_path):
         svm_paths = sorted(glob.glob(os.path.join(rel_path, "*.svm")))
