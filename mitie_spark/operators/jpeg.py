@@ -13,6 +13,10 @@ ratios divide the max (4:4:4 / 4:2:2 / 4:2:0), restart markers
 scans (tables are snapshotted per SOS). 12-bit frames return uint16
 samples with maxval 4095 (the level shift is 2**(P-1) and the Huffman
 category bounds widen to DC 0..15 / AC 1..14 per T.81 Tables F.1/F.2).
+Lossless (SOF3, T.81 Annex H) decodes too: predictors 1-7, point
+transform, 2..16-bit samples, category-16 differences, restart markers;
+3-component lossless returns raw planes (the standard defines no color
+transform there) unless Adobe APP14 transform=1 declares YCbCr.
 Arithmetic coding and hierarchical modes raise UnsupportedMediaError,
 which routes callers to the injected-decoder seam exactly like any other
 unsupported payload (operators/multimodal.py).
@@ -375,9 +379,68 @@ def _decode_progressive_scan(scan, by_id, mcx, mcy, dc_max=11, ac_max=10) -> Non
                 eobrun -= 1
 
 
+def _decode_lossless_scan(order, scan, H, W, prec, pt):
+    """Lossless scan (T.81 Annex H): one sample per component per MCU,
+    interleaved; Huffman codes give the CATEGORY of the prediction
+    difference (0..16 — category 16 is the special 32768 difference with
+    no appended bits), reconstruction is (Px + diff) mod 2^16, and the
+    decoder output is Rx << Pt (H.2.3). Edge rules per H.1.2.1: the first
+    sample of the scan (and the first of each component after a restart
+    marker, H.2.2) predicts the default 2^(P-Pt-1); the rest of the first
+    line predicts left (Ra); the first column predicts above (Rb);
+    everything else uses the scan's selected predictor 1-7. The
+    per-sample Python walk is the same cost class as the entropy decode
+    itself (both inherently sequential); there is nothing to vectorize
+    past it. → list of (H, W) int64 planes."""
+    default = 1 << (prec - 1 - pt)
+    sel = scan["ss"]
+    planes = [np.zeros((H, W), dtype=np.int32) for _ in order]
+    fresh = [True] * len(order)
+    rr = _RestartReader(scan["segs"], scan["dri"])
+    for k in range(H * W):
+        y, x = divmod(k, W)
+        if rr.next_unit():
+            fresh = [True] * len(order)
+        reader = rr.reader
+        for ci, oc in enumerate(order):
+            t = reader.decode(oc["dc"])
+            if t > 16:
+                raise UnsupportedMediaError("bad lossless JPEG category")
+            d = 32768 if t == 16 else _extend(reader.receive(t), t)
+            out = planes[ci]
+            if fresh[ci]:
+                px = default
+                fresh[ci] = False
+            elif y == 0:
+                px = out[0, x - 1]
+            elif x == 0:
+                px = out[y - 1, 0]
+            else:
+                a = int(out[y, x - 1])
+                b = int(out[y - 1, x])
+                c = int(out[y - 1, x - 1])
+                if sel == 1:
+                    px = a
+                elif sel == 2:
+                    px = b
+                elif sel == 3:
+                    px = c
+                elif sel == 4:
+                    px = a + b - c
+                elif sel == 5:
+                    px = a + ((b - c) >> 1)
+                elif sel == 6:
+                    px = b + ((a - c) >> 1)
+                else:
+                    px = (a + b) >> 1
+            out[y, x] = (int(px) + d) & 0xFFFF
+    return [p.astype(np.int64) << pt for p in planes]
+
+
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
     """→ ((H, W) gray or (H, W, 3) RGB array, maxval) — uint8/255 for
-    8-bit frames, uint16/4095 for 12-bit (SOF1/SOF2) frames."""
+    8-bit frames, uint16 with maxval (1<<P)-1 for 12-bit DCT (SOF1/SOF2)
+    and 2..16-bit lossless (SOF3) frames."""
     if payload[:3] != b"\xff\xd8\xff":
         raise UnsupportedMediaError("not a JPEG payload")
 
@@ -385,6 +448,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
     htables: dict[tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
     sof = None
     progressive = False
+    lossless = False
     dri = 0
     scans: list[dict] = []
     adobe_transform = None  # APP14 "Adobe" color-transform flag
@@ -433,13 +497,17 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                     raise UnsupportedMediaError("truncated JPEG DHT")
                 htables[(tc, th)] = _Huff(counts, values)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             # SOF0 baseline (8-bit only per T.81 §B.2.2) / SOF1 extended
-            # sequential / SOF2 progressive DCT (both 8- or 12-bit)
+            # sequential / SOF2 progressive DCT (both 8- or 12-bit) /
+            # SOF3 lossless (2..16-bit, T.81 Annex H)
             if len(body) < 6:
                 raise UnsupportedMediaError("truncated JPEG SOF body")
             prec, H, W, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 and not (prec == 12 and marker != 0xC0):
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise UnsupportedMediaError(f"JPEG precision {prec} not supported")
+            elif prec != 8 and not (prec == 12 and marker != 0xC0):
                 raise UnsupportedMediaError(f"JPEG precision {prec} not supported")
             if nc not in (1, 3):
                 raise UnsupportedMediaError(f"{nc}-component JPEG not supported")
@@ -453,9 +521,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             sof = (H, W, comps, prec)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"JPEG mode SOF{marker - 0xC0} (lossless/hierarchical/"
+                f"JPEG mode SOF{marker - 0xC0} (differential/hierarchical/"
                 "arithmetic) not supported"
             )
         elif marker == 0xDD:  # DRI
@@ -491,6 +560,38 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
     dc_max, ac_max = (11, 10) if prec == 8 else (15, 14)
     mid, maxval = 1 << (prec - 1), (1 << prec) - 1
     out_dtype = np.uint8 if prec == 8 else np.uint16
+
+    if lossless:  # SOF3: no quant tables, no MCU blocking, no IDCT
+        scan = scans[0]
+        for c in comps:
+            if len(comps) > 1 and (c["h"] != 1 or c["v"] != 1):
+                raise UnsupportedMediaError("subsampled lossless JPEG not supported")
+        if len(scan["sel"]) != len(comps):
+            raise UnsupportedMediaError("non-interleaved multi-scan JPEG not supported")
+        pt = scan["al"]
+        if not 1 <= scan["ss"] <= 7 or scan["ah"] != 0 or pt >= prec:
+            raise UnsupportedMediaError("bad lossless JPEG scan parameters")
+        order = _resolve_scan(scan, {c["id"]: c for c in comps}, True, False)
+        raw = _decode_lossless_scan(order, scan, H, W, prec, pt)
+        out_dtype = np.uint8 if prec <= 8 else np.uint16
+        planes = [np.clip(p, 0, maxval).astype(out_dtype) for p in raw]
+        if len(planes) == 1:
+            return planes[0], maxval
+        # T.81 defines NO color transform for lossless; only an explicit
+        # Adobe APP14 transform=1 declares the planes as YCbCr
+        if adobe_transform == 1:
+            y0, cb, cr = (p.astype(np.float64) for p in planes)
+            ctr = float(mid)
+            rgb = np.stack(
+                [
+                    y0 + 1.402 * (cr - ctr),
+                    y0 - 0.344136 * (cb - ctr) - 0.714136 * (cr - ctr),
+                    y0 + 1.772 * (cb - ctr),
+                ],
+                axis=-1,
+            )
+            return np.clip(np.round(rgb), 0, maxval).astype(out_dtype), maxval
+        return np.stack(planes, axis=-1), maxval
 
     # frame geometry: sampling factors / MCU grid over ALL components
     if len(comps) == 1:

@@ -809,3 +809,156 @@ def test_jpeg12_progressive_matches_sequential():
         prog, maxval = decode_jpeg(encode_jpeg_progressive(img, precision=12))
         assert maxval == 4095 and prog.dtype == np.uint16
         assert np.array_equal(prog, seq), shape
+
+
+# --------------------------------------------------------------------------
+# lossless (SOF3, T.81 Annex H) — bit-exact roundtrips by construction
+# --------------------------------------------------------------------------
+
+# 17 lossless difference categories (0..16), all at code length 5
+_DC_LL_COUNTS = bytes([0, 0, 0, 0, 17] + [0] * 11)
+_DC_LL_VALUES = bytes(range(17))
+
+
+def encode_jpeg_lossless(img, precision, predictor=1, pt=0, restart=0):
+    """Scalar lossless (SOF3) encoder from T.81 Annex H: per-sample
+    prediction difference mod 2^16 coded as category + appended bits
+    through one DC-class Huffman table (category 16 = the special 32768
+    difference, no appended bits). Gray or 3-component, 1x1 sampling,
+    interleaved. Point transform stores img >> pt."""
+    import struct
+
+    img = np.asarray(img)
+    H, W = img.shape[:2]
+    ncomp = 1 if img.ndim == 2 else img.shape[2]
+    planes = [
+        (img if img.ndim == 2 else img[..., i]).astype(np.int64) >> pt
+        for i in range(ncomp)
+    ]
+    codes = _huff_codes(_DC_LL_COUNTS, _DC_LL_VALUES)
+
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + struct.pack(">HH", H, W) + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, bytes([0x00]) + _DC_LL_COUNTS + _DC_LL_VALUES)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += _seg(0xDA, sos)
+
+    default = 1 << (precision - 1 - pt)
+    w = _BitWriter()
+    fresh = [True] * ncomp
+    rst = 0
+    for k in range(H * W):
+        y, x = divmod(k, W)
+        if restart and k and k % restart == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            w = _BitWriter()
+            fresh = [True] * ncomp
+        for ci, p in enumerate(planes):
+            if fresh[ci]:
+                px = default
+                fresh[ci] = False
+            elif y == 0:
+                px = int(p[0, x - 1])
+            elif x == 0:
+                px = int(p[y - 1, 0])
+            else:
+                a, b, c = int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+                px = [
+                    None, a, b, c, a + b - c,
+                    a + ((b - c) >> 1), b + ((a - c) >> 1), (a + b) >> 1,
+                ][predictor]
+            d = (int(p[y, x]) - px) & 0xFFFF
+            if d == 32768:
+                ln, code = codes[16]
+                w.put(ln, code)
+                continue
+            if d > 32768:
+                d -= 65536
+            t = _category(d)
+            ln, code = codes[t]
+            w.put(ln, code)
+            if t:
+                w.put(t, _enc_value(d, t))
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_lossless_all_predictors_bit_exact():
+    """Lossless is lossless: every predictor 1-7 must roundtrip random
+    8-bit gray exactly."""
+    rng = np.random.default_rng(83)
+    img = rng.integers(0, 256, (14, 19), dtype=np.uint8)
+    for pred in range(1, 8):
+        arr, maxval = decode_jpeg(encode_jpeg_lossless(img, 8, predictor=pred))
+        assert maxval == 255 and arr.dtype == np.uint8
+        assert np.array_equal(arr, img), pred
+
+
+def test_jpeg_lossless_16bit_and_category16():
+    rng = np.random.default_rng(89)
+    img = rng.integers(0, 65536, (9, 13), dtype=np.uint16)
+    arr, maxval = decode_jpeg(encode_jpeg_lossless(img, 16, predictor=4))
+    assert maxval == 65535 and arr.dtype == np.uint16
+    assert np.array_equal(arr, img)
+    # the special 32768 difference (category 16, no appended bits)
+    img = np.array([[0, 32768], [65535, 32767]], dtype=np.uint16)
+    arr, _ = decode_jpeg(encode_jpeg_lossless(img, 16, predictor=1))
+    assert np.array_equal(arr, img)
+
+
+def test_jpeg_lossless_rgb_is_raw_planes():
+    """T.81 defines no color transform for lossless: a 3-component SOF3
+    frame decodes as raw planes, NOT YCbCr."""
+    rng = np.random.default_rng(97)
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    arr, maxval = decode_jpeg(encode_jpeg_lossless(img, 8, predictor=7))
+    assert maxval == 255
+    assert np.array_equal(arr, img)
+
+
+def test_jpeg_lossless_point_transform_and_restarts():
+    rng = np.random.default_rng(101)
+    # low pt bits zero so Rx << Pt reconstructs exactly
+    img = (rng.integers(0, 64, (11, 8), dtype=np.uint8) << 2).astype(np.uint8)
+    arr, maxval = decode_jpeg(encode_jpeg_lossless(img, 8, predictor=5, pt=2))
+    assert maxval == 255
+    assert np.array_equal(arr, img)
+    # restart markers reset predictions to the default on both sides
+    img = rng.integers(0, 4096, (10, 10), dtype=np.uint16)
+    base, _ = decode_jpeg(encode_jpeg_lossless(img, 12, predictor=6))
+    rst, maxval = decode_jpeg(encode_jpeg_lossless(img, 12, predictor=6, restart=17))
+    assert maxval == 4095
+    assert np.array_equal(rst, base) and np.array_equal(base, img)
+
+
+def test_jpeg_lossless_feeds_builtin_decoder():
+    from mitie_spark.operators.media_codecs import builtin_decoder
+
+    rng = np.random.default_rng(103)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    f_ll = builtin_decoder(encode_jpeg_lossless(img, 8, predictor=2))
+    f_png = builtin_decoder(__import__(
+        "mitie_spark.operators.media_codecs", fromlist=["encode_png"]
+    ).encode_png(img))
+    np.testing.assert_allclose(f_ll, f_png, atol=1e-6)
+
+
+def test_jpeg_lossless_rejects_bad_scan_params():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_lossless(img, 8, predictor=1))
+    i = payload.index(bytes([0xFF, 0xDA]))
+    # Ss=0 (no predictor) is invalid for lossless
+    payload[i + 7] = 0  # FF DA len(2) [ncomp cid tsel Ss ...]: Ss at +7
+    with pytest.raises(UnsupportedMediaError, match="lossless"):
+        decode_jpeg(bytes(payload))

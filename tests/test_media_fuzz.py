@@ -27,7 +27,7 @@ from mitie_spark.operators.media_codecs import (
 )
 from mitie_spark.operators.mp4 import encode_mp4, parse_mp4
 from tests.test_gif import _gray_palette, encode_gif
-from tests.test_jpeg import encode_jpeg, encode_jpeg_progressive
+from tests.test_jpeg import encode_jpeg, encode_jpeg_lossless, encode_jpeg_progressive
 from tests.test_media_codecs import _GRAY16_PAL, _build_bmp, _build_png, _pack_row
 
 TRIALS_PER_SEED = 150
@@ -57,6 +57,7 @@ def _seeds():
         ("jpeg-base", decode_jpeg, encode_jpeg(gray)),
         ("jpeg-prog", decode_jpeg, encode_jpeg_progressive(rgb)),
         ("jpeg-12bit", decode_jpeg, encode_jpeg(g12, precision=12)),
+        ("jpeg-lossless", decode_jpeg, encode_jpeg_lossless(gray, 8, predictor=4)),
         ("gif", decode_gif_frames, encode_gif(idx4, _gray_palette()[:16])),
         ("mp4", parse_mp4, encode_mp4(frames, fps=10, width=32, height=24)),
     ]
