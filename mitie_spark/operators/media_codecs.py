@@ -36,11 +36,17 @@ class UnsupportedMediaError(ValueError):
 
 def sniff_kind(payload: bytes) -> str | None:
     """Magic-byte detection: 'bmp' | 'pnm' | 'wav' | 'png' | 'jpeg' |
-    'gif' | 'mp4' | None."""
+    'gif' | 'tiff' | 'webp' | 'mp4' | None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*") or (
+        payload[:2] in (b"II", b"MM") and payload[2:4] in (b"+\x00", b"\x00+")
+    ):
+        return "tiff"  # incl. BigTIFF (decoder rejects it explicitly)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if payload[:2] in (b"P5", b"P6") and payload[2:3] in b" \t\r\n":
@@ -749,6 +755,15 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
             from .gif import decode_gif  # local import: gif.py imports us
 
             return image_feature(decode_gif(payload))
+        if kind == "tiff":
+            from .tiff import decode_tiff  # local import: tiff.py imports us
+
+            arr, maxval = decode_tiff(payload)
+            return image_feature(arr, maxval=maxval)
+        if kind == "webp":
+            from .webp import decode_webp  # local import: webp.py imports us
+
+            return image_feature(decode_webp(payload))
         if kind == "pnm":
             header = _pnm_header(payload)
             return image_feature(

@@ -26,8 +26,10 @@ from mitie_spark.operators.media_codecs import (
     encode_wav,
 )
 from mitie_spark.operators.mp4 import encode_mp4, parse_mp4
+from mitie_spark.operators.tiff import decode_tiff
 from tests.test_gif import _gray_palette, encode_gif
 from tests.test_jpeg import encode_jpeg, encode_jpeg_lossless, encode_jpeg_progressive
+from tests.test_tiff import encode_tiff
 from tests.test_media_codecs import _GRAY16_PAL, _build_bmp, _build_png, _pack_row
 
 TRIALS_PER_SEED = 150
@@ -60,6 +62,9 @@ def _seeds():
         ("jpeg-lossless", decode_jpeg, encode_jpeg_lossless(gray, 8, predictor=4)),
         ("gif", decode_gif_frames, encode_gif(idx4, _gray_palette()[:16])),
         ("mp4", parse_mp4, encode_mp4(frames, fps=10, width=32, height=24)),
+        ("tiff-lzw", decode_tiff, encode_tiff(rgb, compression=5, predictor=2)),
+        ("tiff-pb4", decode_tiff, encode_tiff(idx4, bits=4, compression=32773)),
+        ("tiff-tile", decode_tiff, encode_tiff(rgb, compression=8, tile=(16, 16))),
     ]
 
 
@@ -100,6 +105,7 @@ def test_empty_and_tiny_inputs():
         decode_jpeg,
         decode_gif_frames,
         parse_mp4,
+        decode_tiff,
     ):
         for payload in (b"", b"\x00", b"\xff" * 3, b"RIFF", b"\x89PNG"):
             with pytest.raises(UnsupportedMediaError):
