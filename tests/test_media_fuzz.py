@@ -27,9 +27,11 @@ from mitie_spark.operators.media_codecs import (
 )
 from mitie_spark.operators.mp4 import encode_mp4, parse_mp4
 from mitie_spark.operators.tiff import decode_tiff
+from mitie_spark.operators.webp import decode_webp
 from tests.test_gif import _gray_palette, encode_gif
 from tests.test_jpeg import encode_jpeg, encode_jpeg_lossless, encode_jpeg_progressive
 from tests.test_tiff import encode_tiff
+from tests.test_webp import _LIB as _WEBP_LIB, encode_lossless
 from tests.test_media_codecs import _GRAY16_PAL, _build_bmp, _build_png, _pack_row
 
 TRIALS_PER_SEED = 150
@@ -65,7 +67,15 @@ def _seeds():
         ("tiff-lzw", decode_tiff, encode_tiff(rgb, compression=5, predictor=2)),
         ("tiff-pb4", decode_tiff, encode_tiff(idx4, bits=4, compression=32773)),
         ("tiff-tile", decode_tiff, encode_tiff(rgb, compression=8, tile=(16, 16))),
-    ]
+    ] + (
+        # webp seeds need the system libwebp encoder
+        [
+            ("webp-noise", decode_webp, encode_lossless(
+                np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)]))),
+            ("webp-pal", decode_webp, encode_lossless(
+                np.repeat(np.dstack([idx4 * 16] * 3 + [np.full((8, 8), 255, np.uint8)]), 3, axis=0))),
+        ] if _WEBP_LIB is not None else []
+    )
 
 
 @pytest.mark.parametrize("name,decoder,payload", _seeds())
@@ -106,6 +116,7 @@ def test_empty_and_tiny_inputs():
         decode_gif_frames,
         parse_mp4,
         decode_tiff,
+        decode_webp,
     ):
         for payload in (b"", b"\x00", b"\xff" * 3, b"RIFF", b"\x89PNG"):
             with pytest.raises(UnsupportedMediaError):
