@@ -17,9 +17,13 @@ Lossless (SOF3, T.81 Annex H) decodes too: predictors 1-7, point
 transform, 2..16-bit samples, category-16 differences, restart markers;
 3-component lossless returns raw planes (the standard defines no color
 transform there) unless Adobe APP14 transform=1 declares YCbCr.
-Arithmetic coding and hierarchical modes raise UnsupportedMediaError,
-which routes callers to the injected-decoder seam exactly like any other
-unsupported payload (operators/multimodal.py).
+ARITHMETIC entropy coding decodes for real as well — SOF9 (extended
+sequential) and SOF10 (progressive) with DAC conditioning, via the
+QM-coder in operators/jpeg_arith.py (differentially gated against the
+system libjpeg: same pixels encoded Huffman and arithmetic must decode
+bit-identically). Hierarchical and lossless-arithmetic modes raise
+UnsupportedMediaError, which routes callers to the injected-decoder seam
+exactly like any other unsupported payload (operators/multimodal.py).
 
 Design: the marker walk and the inherently-sequential Huffman entropy
 decode run in Python over the unstuffed scan bytes (work bounded by the
@@ -167,6 +171,28 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
             break
     segs.append(bytes(cur))
     return segs, i
+
+
+def _resolve_arith_scan(scan, by_id) -> list[dict]:
+    """Bind an arithmetic scan's component selectors: table ids select
+    statistics areas and DAC conditioning (defaults L=0/U=1, Kx=5 per
+    T.81 §F.1.4.4.1.2/§F.1.4.4.2) instead of Huffman tables."""
+    dac_dc, dac_ac = scan["dac"]
+    order = []
+    for cid, tdta in scan["sel"]:
+        if cid not in by_id:
+            raise UnsupportedMediaError("JPEG scan references unknown component")
+        td, ta = tdta >> 4, tdta & 15
+        order.append(
+            {
+                "c": by_id[cid],
+                "dc_tbl": td,
+                "ac_tbl": ta,
+                "dc_cond": dac_dc.get(td, (0, 1)),
+                "ac_cond": dac_ac.get(ta, 5),
+            }
+        )
+    return order
 
 
 def _resolve_scan(scan, by_id, need_dc: bool, need_ac: bool) -> list[dict]:
@@ -446,9 +472,12 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
 
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
+    dac_dc: dict[int, tuple[int, int]] = {}  # DAC conditioning: id → (L, U)
+    dac_ac: dict[int, int] = {}  # id → Kx
     sof = None
     progressive = False
     lossless = False
+    arithmetic = False
     dri = 0
     scans: list[dict] = []
     adobe_transform = None  # APP14 "Adobe" color-transform flag
@@ -497,10 +526,12 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                     raise UnsupportedMediaError("truncated JPEG DHT")
                 htables[(tc, th)] = _Huff(counts, values)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline (8-bit only per T.81 §B.2.2) / SOF1 extended
             # sequential / SOF2 progressive DCT (both 8- or 12-bit) /
-            # SOF3 lossless (2..16-bit, T.81 Annex H)
+            # SOF3 lossless (2..16-bit, T.81 Annex H) / SOF9 extended
+            # sequential + SOF10 progressive with ARITHMETIC entropy
+            # coding (T.81 Annex F QM-coder, operators/jpeg_arith.py)
             if len(body) < 6:
                 raise UnsupportedMediaError("truncated JPEG SOF body")
             prec, H, W, nc = struct.unpack_from(">BHHB", body, 0)
@@ -520,13 +551,31 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             sof = (H, W, comps, prec)
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
             lossless = marker == 0xC3
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            arithmetic = marker in (0xC9, 0xCA)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
                 f"JPEG mode SOF{marker - 0xC0} (differential/hierarchical/"
-                "arithmetic) not supported"
+                "lossless-arithmetic) not supported"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 §B.2.4.3)
+            i = 0
+            while i + 2 <= len(body):
+                tc, tb = body[i] >> 4, body[i] & 15
+                cs = body[i + 1]
+                i += 2
+                if tc == 0:
+                    low, up = cs & 15, cs >> 4
+                    if low > up or up > 15:
+                        raise UnsupportedMediaError("bad JPEG DAC DC conditioning")
+                    dac_dc[tb] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise UnsupportedMediaError("bad JPEG DAC AC conditioning")
+                    dac_ac[tb] = cs
+                else:
+                    raise UnsupportedMediaError("bad JPEG DAC table class")
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise UnsupportedMediaError("truncated JPEG DRI body")
@@ -542,11 +591,15 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                 raise UnsupportedMediaError("truncated JPEG SOS components")
             sel = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            # arithmetic scans use the same 0xFF00 byte stuffing as
+            # Huffman ones (the QM byte feed sees unstuffed data and
+            # reads zeros past the terminating marker)
             segs, pos = _split_scan(payload, pos + 2 + ln)
             scans.append({
                 "sel": sel, "ss": ss, "se": se,
                 "ah": ahal >> 4, "al": ahal & 15,
                 "segs": segs, "htables": dict(htables), "dri": dri,
+                "dac": (dict(dac_dc), dict(dac_ac)),
             })
             if not progressive:
                 break  # single-scan baseline: decode what we have
@@ -614,7 +667,21 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         c["bw"] = (-(-W * c["h"] // hmax) + 7) // 8
         c["bh"] = (-(-H * c["v"] // vmax) + 7) // 8
 
-    if not progressive:
+    if arithmetic:
+        from .jpeg_arith import decode_arith_progressive, decode_arith_sequential
+
+        if not progressive:
+            scan = scans[0]
+            if len(scan["sel"]) != len(comps):
+                raise UnsupportedMediaError(
+                    "non-interleaved multi-scan JPEG not supported")
+            order = _resolve_arith_scan(scan, by_id)
+            decode_arith_sequential(order, scan, mcx, mcy)
+        else:
+            for scan in scans:
+                order = _resolve_arith_scan(scan, by_id)
+                decode_arith_progressive(scan, order, mcx, mcy)
+    elif not progressive:
         scan = scans[0]
         if len(scan["sel"]) != len(comps):
             raise UnsupportedMediaError(
