@@ -1,4 +1,5 @@
-"""Pure-Python/NumPy WebP lossless (VP8L) decoder.
+"""Pure-Python/NumPy WebP decoder: lossless (VP8L) here, lossy (VP8
+key frames) via operators/vp8.py.
 
 WebP is the single most common "modern" image payload in a current web
 crawl; its lossless coding mode (VP8L) is a self-contained spec —
@@ -24,9 +25,10 @@ Coverage — the complete VP8L feature set:
   color (signed 3.5 fixed-point cross-channel deltas), subtract-green,
   and color indexing incl. sub-byte pixel bundling for ≤16-color
   palettes
-- container walk: bare VP8L files and VP8X-extended files whose image
-  chunk is VP8L; lossy VP8 bitstreams and animations route to the
-  injected-decoder seam via ``UnsupportedMediaError``
+- container walk: bare and VP8X-extended files; VP8L chunks decode
+  here, lossy VP8 chunks through operators/vp8.py (bit-exact against
+  libwebp incl. the RGBA conversion); animations and lossy-with-ALPH
+  route to the injected-decoder seam via ``UnsupportedMediaError``
 
 Design notes mirror the sibling decoders: the entropy-decode loop is
 scalar Python by necessity (each symbol's prefix-code walk and the LZ77
@@ -544,13 +546,16 @@ def _decode_vp8l_stream(data: bytes) -> np.ndarray:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a WebP payload → (H, W, 4) uint8 RGBA. Lossless (VP8L)
-    decodes for real; lossy VP8 bitstreams and animations raise
+    """Decode a WebP payload → (H, W, 4) uint8 RGBA. Lossless (VP8L) and
+    lossy (VP8 keyframe, operators/vp8.py) both decode for real — the
+    lossy path is bit-exact against libwebp incl. the fancy chroma
+    upsampling. Animations and lossy-with-ALPH raise
     ``UnsupportedMediaError`` (injected-decoder seam)."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise UnsupportedMediaError("not a WebP payload")
     pos = 12
     n = len(payload)
+    has_alpha_chunk = False
     while pos + 8 <= n:
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -560,10 +565,17 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return _decode_vp8l_stream(payload[pos + 8 : body_end])
         if fourcc == b"VP8 ":
-            raise UnsupportedMediaError("lossy WebP (VP8) not supported")
+            if has_alpha_chunk:
+                # lossy + separate ALPH plane: not decoded yet (seam)
+                raise UnsupportedMediaError("lossy WebP with alpha not supported")
+            from mitie_spark.operators.vp8 import vp8_to_rgba  # local import
+
+            return vp8_to_rgba(payload[pos + 8 : body_end])
+        if fourcc == b"ALPH":
+            has_alpha_chunk = True
         if fourcc == b"ANIM" or fourcc == b"ANMF":
             raise UnsupportedMediaError("animated WebP not supported")
         if fourcc == b"VP8X":
             pass  # flags + canvas size; the image chunk follows
         pos = body_end + (size & 1)  # chunks are 2-byte aligned
-    raise UnsupportedMediaError("WebP file has no VP8L image chunk")
+    raise UnsupportedMediaError("WebP file has no VP8 image chunk")

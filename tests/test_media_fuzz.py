@@ -74,6 +74,9 @@ def _seeds():
                 np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)]))),
             ("webp-pal", decode_webp, encode_lossless(
                 np.repeat(np.dstack([idx4 * 16] * 3 + [np.full((8, 8), 255, np.uint8)]), 3, axis=0))),
+            ("webp-lossy", decode_webp, __import__(
+                "tests.test_vp8", fromlist=["encode_lossy"]).encode_lossy(
+                np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)]), 70)),
         ] if _WEBP_LIB is not None else []
     )
 
