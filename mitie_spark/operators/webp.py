@@ -545,6 +545,69 @@ def _decode_vp8l_stream(data: bytes) -> np.ndarray:
     return rgba
 
 
+def _decode_alpha(body: bytes, W: int, H: int) -> np.ndarray:
+    """ALPH chunk (WebP container spec): header byte = compression (0
+    raw / 1 VP8L image stream), filtering method (none / horizontal /
+    vertical / gradient), preprocessing (encoder-side only). The VP8L
+    form is a HEADERLESS image stream of (W, H) whose GREEN channel
+    carries the filtered alpha values."""
+    if not body:
+        raise UnsupportedMediaError("empty WebP ALPH chunk")
+    hdr = body[0]
+    compression = hdr & 3
+    filter_method = (hdr >> 2) & 3
+    if compression == 0:
+        if len(body) - 1 < W * H:
+            raise UnsupportedMediaError("truncated raw WebP alpha plane")
+        plane = np.frombuffer(body[1 : 1 + W * H], dtype=np.uint8).reshape(H, W)
+        plane = plane.astype(np.int32)
+    elif compression == 1:
+        br = _BitReader(body[1:])
+        pixels, transforms = _decode_image(br, W, H, True)
+        pixels, _ = _inverse_transforms(pixels, transforms, H)
+        if len(pixels) != W * H:
+            raise UnsupportedMediaError("WebP alpha plane size mismatch")
+        plane = (
+            (np.asarray(pixels, dtype=np.uint32).reshape(H, W) >> 8) & 0xFF
+        ).astype(np.int32)
+    else:
+        raise UnsupportedMediaError(f"WebP alpha compression {compression}")
+    if filter_method == 0:
+        return plane.astype(np.uint8)
+    out = np.zeros((H, W), dtype=np.int32)
+    for y in range(H):
+        if filter_method == 1:  # horizontal
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            for x in range(W):
+                pred = (pred + plane[y, x]) & 0xFF
+                out[y, x] = pred
+        elif filter_method == 2:  # vertical
+            if y == 0:
+                pred = 0
+                for x in range(W):
+                    pred = (pred + plane[0, x]) & 0xFF
+                    out[0, x] = pred
+            else:
+                out[y] = (out[y - 1] + plane[y]) & 0xFF
+        else:  # gradient
+            if y == 0:
+                pred = 0
+                for x in range(W):
+                    pred = (pred + plane[0, x]) & 0xFF
+                    out[0, x] = pred
+            else:
+                left = int(out[y - 1, 0])
+                top_left = left
+                for x in range(W):
+                    top = int(out[y - 1, x])
+                    g = left + top - top_left
+                    g = 0 if g < 0 else 255 if g > 255 else g
+                    left = (plane[y, x] + g) & 0xFF
+                    out[y, x] = left
+                    top_left = top
+    return out.astype(np.uint8)
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP payload → (H, W, 4) uint8 RGBA. Lossless (VP8L) and
     lossy (VP8 keyframe, operators/vp8.py) both decode for real — the
@@ -555,7 +618,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError("not a WebP payload")
     pos = 12
     n = len(payload)
-    has_alpha_chunk = False
+    alpha_body = None
     while pos + 8 <= n:
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -565,14 +628,16 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return _decode_vp8l_stream(payload[pos + 8 : body_end])
         if fourcc == b"VP8 ":
-            if has_alpha_chunk:
-                # lossy + separate ALPH plane: not decoded yet (seam)
-                raise UnsupportedMediaError("lossy WebP with alpha not supported")
             from mitie_spark.operators.vp8 import vp8_to_rgba  # local import
 
-            return vp8_to_rgba(payload[pos + 8 : body_end])
+            rgba = vp8_to_rgba(payload[pos + 8 : body_end])
+            if alpha_body is not None:
+                rgba[..., 3] = _decode_alpha(
+                    alpha_body, rgba.shape[1], rgba.shape[0]
+                )
+            return rgba
         if fourcc == b"ALPH":
-            has_alpha_chunk = True
+            alpha_body = payload[pos + 8 : body_end]
         if fourcc == b"ANIM" or fourcc == b"ANMF":
             raise UnsupportedMediaError("animated WebP not supported")
         if fourcc == b"VP8X":

@@ -447,13 +447,22 @@ def test_truncation_and_mutation_decode_or_fail_cleanly():
 
 
 @needs_libwebp
-def test_lossy_with_alpha_routes_to_seam():
-    # hand-wrap a VP8 chunk behind an ALPH chunk inside VP8X
-    payload = encode_lossy(_families()["grad"], 75)
-    chunk = payload[12:]
-    alph = b"ALPH" + struct.pack("<I", 2) + b"\x00\x00"
-    body = b"WEBP" + b"VP8X" + struct.pack("<I", 10) + b"\x10\x00\x00\x00" \
-        + b"\x3f\x00\x00" + b"\x2f\x00\x00" + alph + chunk
-    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
-    with pytest.raises(UnsupportedMediaError, match="alpha"):
-        decode_webp(wrapped)
+@pytest.mark.parametrize("alpha_kind", ["smooth", "noisy", "binary"])
+def test_lossy_with_alpha_plane(alpha_kind):
+    """VP8X + ALPH + VP8: the alpha plane is a headerless VP8L image
+    stream (or raw bytes) plus an inverse row filter — full RGBA output
+    must equal WebPDecodeRGBA bit-for-bit."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.meshgrid(np.arange(40), np.arange(56), indexing="ij")
+    img = np.stack(
+        [yy * 5 % 256, xx * 3 % 256, (xx + yy) % 256, np.zeros_like(yy)], -1
+    ).astype(np.uint8)
+    if alpha_kind == "smooth":
+        img[..., 3] = np.clip(xx * 4, 0, 255)
+    elif alpha_kind == "noisy":
+        img[..., 3] = rng.integers(0, 256, (40, 56))
+    else:
+        img[..., 3] = np.where(xx % 7 < 3, 0, 255)
+    payload = encode_lossy(img, 60)
+    assert b"ALPH" in payload
+    np.testing.assert_array_equal(decode_webp(payload), reference_rgba(payload))
