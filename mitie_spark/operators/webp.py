@@ -608,6 +608,129 @@ def _decode_alpha(body: bytes, W: int, H: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+_MAX_TOTAL_PIXELS = 4 * _WEBP_MAX_PIXELS
+_MAX_FRAMES = 10_000
+
+
+def _decode_frame_chunks(payload: bytes, pos: int, end: int):
+    """Decode the image chunks (optional ALPH + VP8/VP8L) inside an ANMF
+    body or a still file → (H, W, 4) RGBA."""
+    alpha_body = None
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_end = pos + 8 + size
+        if body_end > end:
+            raise UnsupportedMediaError("truncated WebP frame chunk")
+        if fourcc == b"VP8L":
+            return _decode_vp8l_stream(payload[pos + 8 : body_end])
+        if fourcc == b"VP8 ":
+            from mitie_spark.operators.vp8 import vp8_to_rgba  # local import
+
+            rgba = vp8_to_rgba(payload[pos + 8 : body_end])
+            if alpha_body is not None:
+                rgba[..., 3] = _decode_alpha(
+                    alpha_body, rgba.shape[1], rgba.shape[0]
+                )
+            return rgba
+        if fourcc == b"ALPH":
+            alpha_body = payload[pos + 8 : body_end]
+        pos = body_end + (size & 1)
+    raise UnsupportedMediaError("WebP frame has no image chunk")
+
+
+def _blend_frame(canvas: np.ndarray, frame: np.ndarray, y0: int, x0: int,
+                 blend: bool) -> None:
+    """Composite ``frame`` onto ``canvas`` at (y0, x0). ``blend`` uses the
+    container spec's non-premultiplied alpha-blending formula (integer
+    truncating division, matching the published reference semantics);
+    otherwise the frame rectangle overwrites."""
+    H, W = canvas.shape[:2]
+    fh, fw = frame.shape[:2]
+    vh, vw = min(fh, H - y0), min(fw, W - x0)
+    if vh <= 0 or vw <= 0:
+        return
+    src = frame[:vh, :vw].astype(np.int64)
+    if not blend:
+        canvas[y0 : y0 + vh, x0 : x0 + vw] = src.astype(np.uint8)
+        return
+    dst = canvas[y0 : y0 + vh, x0 : x0 + vw].astype(np.int64)
+    sa = src[..., 3:4]
+    da = dst[..., 3:4]
+    scale = da * (255 - sa) // 255
+    ba = sa + scale
+    rgb = np.where(
+        ba > 0,
+        (src[..., :3] * sa + dst[..., :3] * scale) // np.maximum(ba, 1),
+        0,
+    )
+    out = np.concatenate([rgb, ba], axis=-1)
+    keep = (sa == 0)[..., 0]
+    out[keep] = dst[keep]
+    canvas[y0 : y0 + vh, x0 : x0 + vw] = out.astype(np.uint8)
+
+
+def decode_webp_frames(payload: bytes):
+    """Decode an ANIMATED WebP → list of (composited RGBA frame,
+    duration_ms). Still images return a single-frame list. Frame count
+    and total composed pixels are bomb-guarded like the GIF decoder."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise UnsupportedMediaError("not a WebP payload")
+    pos = 12
+    n = len(payload)
+    canvas = None
+    bg = None
+    frames = []
+    total_px = 0
+    saw_anim = False
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_end = pos + 8 + size
+        if body_end > n:
+            raise UnsupportedMediaError("truncated WebP chunk")
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise UnsupportedMediaError("truncated WebP VP8X chunk")
+            cw = 1 + int.from_bytes(payload[pos + 12 : pos + 15], "little")
+            ch = 1 + int.from_bytes(payload[pos + 15 : pos + 18], "little")
+            if cw * ch > _WEBP_MAX_PIXELS:
+                raise UnsupportedMediaError(f"WebP canvas {cw}x{ch}")
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise UnsupportedMediaError("truncated WebP ANIM chunk")
+            b, g, r, a = payload[pos + 8 : pos + 12]
+            bg = np.array([r, g, b, a], dtype=np.uint8)
+            saw_anim = True
+        elif fourcc == b"ANMF":
+            if canvas is None or bg is None:
+                raise UnsupportedMediaError("WebP ANMF before VP8X/ANIM")
+            if size < 16:
+                raise UnsupportedMediaError("truncated WebP ANMF header")
+            fx = 2 * int.from_bytes(payload[pos + 8 : pos + 11], "little")
+            fy = 2 * int.from_bytes(payload[pos + 11 : pos + 14], "little")
+            dur = int.from_bytes(payload[pos + 20 : pos + 23], "little")
+            flags = payload[pos + 23]
+            frame = _decode_frame_chunks(payload, pos + 24, body_end)
+            total_px += frame.shape[0] * frame.shape[1]
+            if len(frames) >= _MAX_FRAMES or total_px > _MAX_TOTAL_PIXELS:
+                raise UnsupportedMediaError("WebP animation too large")
+            _blend_frame(canvas, frame, fy, fx, blend=not (flags & 2))
+            frames.append((canvas.copy(), dur))
+            if flags & 1:  # dispose to background color
+                vh = min(frame.shape[0], canvas.shape[0] - fy)
+                vw = min(frame.shape[1], canvas.shape[1] - fx)
+                canvas[fy : fy + vh, fx : fx + vw] = bg
+        elif fourcc in (b"VP8 ", b"VP8L", b"ALPH"):
+            if not saw_anim:  # still image
+                return [(decode_webp(payload), 0)]
+        pos = body_end + (size & 1)
+    if not frames:
+        raise UnsupportedMediaError("WebP file has no frames")
+    return frames
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
     """Decode a WebP payload → (H, W, 4) uint8 RGBA. Lossless (VP8L) and
     lossy (VP8 keyframe, operators/vp8.py) both decode for real — the
@@ -639,7 +762,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if fourcc == b"ALPH":
             alpha_body = payload[pos + 8 : body_end]
         if fourcc == b"ANIM" or fourcc == b"ANMF":
-            raise UnsupportedMediaError("animated WebP not supported")
+            # animation: return the first composited frame (the feature
+            # pipeline's thumbnail semantic, mirroring decode_gif)
+            return decode_webp_frames(payload)[0][0]
         if fourcc == b"VP8X":
             pass  # flags + canvas size; the image chunk follows
         pos = body_end + (size & 1)  # chunks are 2-byte aligned

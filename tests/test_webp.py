@@ -33,7 +33,7 @@ from mitie_spark.operators.media_codecs import (
     sniff_kind,
 )
 import mitie_spark.operators.webp as webp_mod
-from mitie_spark.operators.webp import decode_webp
+from mitie_spark.operators.webp import decode_webp, decode_webp_frames
 
 # ---------------------------------------------------------------------------
 # libwebp ctypes binding (encode + reference decode), tests-only
@@ -365,3 +365,94 @@ def test_dimension_bomb_rejected():
     bw.put(0, 1)
     with pytest.raises(UnsupportedMediaError, match="dimensions"):
         decode_webp(_wrap_riff(bw.bytes()))
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (ANIM/ANMF): frame extraction + compositing; no system
+# demuxer exists here, so composites are checked against straight-NumPy
+# implementations of the container spec's blend/dispose rules (the same
+# strategy the GIF suite uses for its animation tests)
+# ---------------------------------------------------------------------------
+
+
+def _vp8l_chunk(payload: bytes) -> bytes:
+    pos = 12
+    while pos + 8 <= len(payload):
+        f = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if f == b"VP8L":
+            return payload[pos : pos + 8 + sz + (sz & 1)]
+        pos += 8 + sz + (sz & 1)
+    raise AssertionError("no VP8L chunk")
+
+
+def build_anim(cw, ch, frames, bg=(0, 0, 0, 0), loop=0):
+    """frames: list of (rgba, x, y, duration_ms, blend, dispose)."""
+    body = bytearray()
+    body += b"VP8X" + struct.pack("<I", 10) + bytes([0x12, 0, 0, 0])
+    body += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    body += b"ANIM" + struct.pack("<I", 6)
+    body += bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", loop)
+    for arr, x, y, dur, blend, dispose in frames:
+        chunk = _vp8l_chunk(encode_lossless(arr))
+        fl = (0 if blend else 2) | (1 if dispose else 0)
+        anmf = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+        anmf += (arr.shape[1] - 1).to_bytes(3, "little")
+        anmf += (arr.shape[0] - 1).to_bytes(3, "little")
+        anmf += dur.to_bytes(3, "little") + bytes([fl]) + chunk
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+
+@needs_libwebp
+def test_animation_composite_blend_dispose():
+    rng = np.random.default_rng(3)
+    f1 = rng.integers(0, 256, (16, 24, 4), dtype=np.uint8)
+    f1[..., 3] = 255
+    f2 = rng.integers(0, 256, (8, 12, 4), dtype=np.uint8)
+    f2[..., 3] = 255
+    f3 = rng.integers(0, 256, (8, 12, 4), dtype=np.uint8)
+    f3[..., 3] = 128
+    p = build_anim(
+        24, 16,
+        [(f1, 0, 0, 100, False, False), (f2, 4, 6, 50, False, True),
+         (f3, 8, 2, 70, True, False)],
+        bg=(9, 8, 7, 255),
+    )
+    frames = decode_webp_frames(p)
+    assert [d for _, d in frames] == [100, 50, 70]
+    c0 = np.zeros((16, 24, 4), np.uint8)
+    c0[0:16, 0:24] = f1
+    np.testing.assert_array_equal(frames[0][0], c0)
+    c1 = c0.copy()
+    c1[6:14, 4:16] = f2
+    np.testing.assert_array_equal(frames[1][0], c1)
+    c2 = c1.copy()
+    c2[6:14, 4:16] = np.array([9, 8, 7, 255], np.uint8)  # dispose
+    dst = c2[2:10, 8:20].astype(np.int64)
+    src = f3.astype(np.int64)
+    sa, da = src[..., 3:4], dst[..., 3:4]
+    scale = da * (255 - sa) // 255
+    ba = sa + scale
+    rgb = (src[..., :3] * sa + dst[..., :3] * scale) // np.maximum(ba, 1)
+    c2[2:10, 8:20] = np.concatenate([rgb, ba], -1).astype(np.uint8)
+    np.testing.assert_array_equal(frames[2][0], c2)
+    # decode_webp returns the first composited frame
+    np.testing.assert_array_equal(decode_webp(p), frames[0][0])
+
+
+@needs_libwebp
+def test_animation_still_fallback_and_hostile():
+    # a still image through decode_webp_frames → single frame
+    img = _families()["pal9"]
+    payload = encode_lossless(img)
+    frames = decode_webp_frames(payload)
+    assert len(frames) == 1 and frames[0][1] == 0
+    # ANMF before VP8X/ANIM is hostile
+    bad = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"ANMF" + struct.pack("<I", 8) + b"\x00" * 8
+    with pytest.raises(UnsupportedMediaError):
+        decode_webp_frames(bad)
+    with pytest.raises(UnsupportedMediaError):
+        decode_webp_frames(payload[:16])
