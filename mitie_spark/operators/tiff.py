@@ -152,10 +152,12 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
             raise UnsupportedMediaError("TIFF LZW code past table")
         out += entry
         prev = entry
-        # early change (spec §13): the encoder widens its output when its
-        # next free entry reaches 2**width - 1; the decoder's table lags
-        # the encoder's by exactly one entry, so it must widen at -2
-        if len(table) == (1 << width) - 2 and width < 12:
+        # early change (spec §13, matching libtiff's ecosystem-defining
+        # convention, cross-checked in tests/test_tiff.py against real
+        # libtiff-written streams): the decoder widens when its next free
+        # entry index reaches 2**width - 1 — one code earlier than GIF's
+        # LSB-first variant, one entry ahead of the matching encoder
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out[:expected])
 

@@ -54,8 +54,10 @@ class _MsbPacker:
 
 def tiff_lzw_encode(data: bytes) -> bytes:
     """Textbook TIFF LZW encoder: hash-dict over byte strings, MSB-first
-    codes, clear=256/EOI=257, EARLY width change (bump when the next free
-    code equals 2**width - 1), table cleared at 4094 per spec §13."""
+    codes, clear=256/EOI=257, EARLY width change (the encoder widens one
+    entry after the decoder's 2**width - 1 boundary — the libtiff
+    convention, cross-checked below against real libtiff streams),
+    table cleared at 4094 per spec §13."""
     CLEAR, EOI = 256, 257
     bp = _MsbPacker()
 
@@ -73,7 +75,7 @@ def tiff_lzw_encode(data: bytes) -> bytes:
         bp.put(codes[w], width)
         codes[wk] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        if next_code == (1 << width) and width < 12:
             width += 1
         if next_code == 4094:
             bp.put(CLEAR, width)
@@ -472,3 +474,152 @@ def test_dimension_bomb_rejected():
     payload[i + 8 : i + 12] = struct.pack("<I", 1 << 30)
     with pytest.raises(UnsupportedMediaError):
         decode_tiff(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# libtiff differential (the real-producer oracle; skipped if absent)
+#
+# This is the cross-check the LZW early-change comments refer to: the
+# spec §13 prose is famously ambiguous about WHICH side of the
+# encoder/decoder table-lag the "2**width - 1" boundary names, and
+# libtiff's reading is the ecosystem-defining one (every real .tif in a
+# crawl was written by it or something matching it). Both directions:
+#   1. libtiff WRITES LZW/Deflate/PackBits streams → our decoder must
+#      reproduce the pixels (decoder convention pinned against the real
+#      producer, not just our own tests-only encoder).
+#   2. libtiff READS our tests-only encoder's streams → pixels match
+#      (so every roundtrip test above is anchored to the same
+#      convention, not a self-consistent wrong pair).
+# ---------------------------------------------------------------------------
+
+import ctypes
+import ctypes.util
+
+
+def _load_libtiff():
+    for name in ("libtiff.so.6", "libtiff.so.5", ctypes.util.find_library("tiff")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        try:
+            lib.TIFFOpen.restype = ctypes.c_void_p
+            lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            lib.TIFFClose.argtypes = [ctypes.c_void_p]
+            lib.TIFFWriteScanline.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16,
+            ]
+            lib.TIFFReadScanline.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16,
+            ]
+            # TIFFSetField/TIFFGetField are varargs — leave argtypes unset.
+            lib.TIFFSetErrorHandler(None)  # hostile-input cases stay quiet
+            lib.TIFFSetWarningHandler(None)
+        except AttributeError:
+            continue
+        return lib
+    return None
+
+
+_TIFFLIB = _load_libtiff()
+needs_libtiff = pytest.mark.skipif(_TIFFLIB is None, reason="libtiff not available")
+
+_TAG = dict(
+    width=256, height=257, bits=258, compression=259, photometric=262,
+    spp=277, rows_per_strip=278, planar=284, predictor=317,
+)
+
+
+def libtiff_write(img: np.ndarray, *, compression: int, predictor: int = 1,
+                  rows_per_strip: int | None = None, tmp_path=None) -> bytes:
+    """Write ``img`` ((H,W) or (H,W,3) uint8/uint16) through the system
+    libtiff and return the file bytes."""
+    H, W = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    bits = 16 if img.dtype == np.uint16 else 8
+    path = str(tmp_path / "lt.tif")
+    tif = _TIFFLIB.TIFFOpen(path.encode(), b"w")
+    assert tif
+    sf = _TIFFLIB.TIFFSetField
+    sf(ctypes.c_void_p(tif), _TAG["width"], ctypes.c_uint32(W))
+    sf(ctypes.c_void_p(tif), _TAG["height"], ctypes.c_uint32(H))
+    sf(ctypes.c_void_p(tif), _TAG["bits"], ctypes.c_int(bits))
+    sf(ctypes.c_void_p(tif), _TAG["spp"], ctypes.c_int(spp))
+    sf(ctypes.c_void_p(tif), _TAG["photometric"], ctypes.c_int(2 if spp >= 3 else 1))
+    sf(ctypes.c_void_p(tif), _TAG["compression"], ctypes.c_int(compression))
+    sf(ctypes.c_void_p(tif), _TAG["planar"], ctypes.c_int(1))
+    sf(ctypes.c_void_p(tif), _TAG["rows_per_strip"], ctypes.c_uint32(rows_per_strip or H))
+    if predictor != 1:
+        sf(ctypes.c_void_p(tif), _TAG["predictor"], ctypes.c_int(predictor))
+    rows = np.ascontiguousarray(img.reshape(H, W * spp))
+    for r in range(H):
+        buf = rows[r].tobytes()
+        assert _TIFFLIB.TIFFWriteScanline(tif, buf, r, 0) == 1
+    _TIFFLIB.TIFFClose(ctypes.c_void_p(tif))
+    return (tmp_path / "lt.tif").read_bytes()
+
+
+def libtiff_read(payload: bytes, shape, dtype, tmp_path) -> np.ndarray:
+    """Read a TIFF payload through the system libtiff scanline API."""
+    path = tmp_path / "rt.tif"
+    path.write_bytes(payload)
+    tif = _TIFFLIB.TIFFOpen(str(path).encode(), b"r")
+    assert tif
+    H, W = shape[:2]
+    spp = 1 if len(shape) == 2 else shape[2]
+    itemsize = np.dtype(dtype).itemsize
+    out = np.zeros((H, W * spp), dtype=dtype)
+    buf = ctypes.create_string_buffer(W * spp * itemsize)
+    for r in range(H):
+        assert _TIFFLIB.TIFFReadScanline(tif, buf, r, 0) == 1
+        out[r] = np.frombuffer(buf.raw, dtype=dtype)
+    _TIFFLIB.TIFFClose(ctypes.c_void_p(tif))
+    return out.reshape(shape)
+
+
+@needs_libtiff
+@pytest.mark.parametrize("compression", [5, 8, 32773])
+def test_libtiff_written_streams_decode(compression, tmp_path):
+    for img in (GRAY, RGB, _RNG.integers(0, 256, (64, 96), dtype=np.uint8)):
+        payload = libtiff_write(img, compression=compression,
+                                rows_per_strip=7, tmp_path=tmp_path)
+        arr, _ = decode_tiff(payload)
+        np.testing.assert_array_equal(arr, img)
+
+
+@needs_libtiff
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_libtiff_lzw_predictor_streams_decode(dtype, tmp_path):
+    img = (GRAY16 if dtype is np.uint16 else RGB)
+    payload = libtiff_write(img, compression=5, predictor=2, tmp_path=tmp_path)
+    arr, _ = decode_tiff(payload)
+    np.testing.assert_array_equal(arr, img)
+
+
+@needs_libtiff
+def test_libtiff_lzw_long_stream_width_bumps(tmp_path):
+    # big enough that the code width climbs through 10/11/12 bits and the
+    # table clears mid-stream — the exact territory where the early-change
+    # convention diverges between readings of spec §13
+    big = _RNG.integers(0, 256, (128, 200, 3), dtype=np.uint8)
+    payload = libtiff_write(big, compression=5, tmp_path=tmp_path)
+    arr, _ = decode_tiff(payload)
+    np.testing.assert_array_equal(arr, big)
+
+
+@needs_libtiff
+def test_libtiff_reads_our_lzw_encoder(tmp_path):
+    # reverse direction: the tests-only encoder above must produce streams
+    # the real producer's decoder accepts — anchoring every self-roundtrip
+    # in this file to libtiff's convention
+    for img, kw in [
+        (GRAY, {}),
+        (RGB, dict(rows_per_strip=5)),
+        (_RNG.integers(0, 256, (64, 128), dtype=np.uint8), {}),  # table clear
+        (GRAY16, dict(predictor=2)),
+    ]:
+        payload = encode_tiff(img, compression=5, **kw)
+        got = libtiff_read(payload, img.shape, img.dtype, tmp_path)
+        np.testing.assert_array_equal(got, img)
