@@ -473,3 +473,197 @@ def test_sniff_and_builtin_decoder_gif():
     np.testing.assert_array_equal(
         feat, image_feature(decode_gif(gif_payload))
     )
+
+
+# ---------------------------------------------------------------------------
+# giflib differential (the real-producer oracle; skipped if absent)
+#
+# Mirrors the libtiff pattern in test_tiff.py: every roundtrip above uses
+# the tests-only encoder, which could in principle share a convention
+# error with the decoder (LZW width-growth boundary, table-full policy).
+# giflib is the producer behind virtually every real .gif in a crawl, so
+# both directions are pinned:
+#   1. giflib WRITES streams (incl. ones long enough to climb to 12-bit
+#      codes and clear mid-stream) → our decoder must reproduce the
+#      palette indices exactly.
+#   2. giflib READS our tests-only encoder's streams (explicit-clear AND
+#      deferred-clear table-full policies) → indices match.
+# ---------------------------------------------------------------------------
+
+import ctypes
+import ctypes.util
+
+
+def _load_libgif():
+    for name in ("libgif.so.7", "libgif.so", ctypes.util.find_library("gif")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        try:
+            lib.EGifOpenFileName.restype = ctypes.c_void_p
+            lib.DGifOpenFileName.restype = ctypes.c_void_p
+            lib.GifMakeMapObject.restype = ctypes.c_void_p
+            lib.EGifOpenFileName.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+            lib.DGifOpenFileName.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+            lib.GifMakeMapObject.argtypes = [ctypes.c_int, ctypes.c_char_p]
+            lib.GifFreeMapObject.argtypes = [ctypes.c_void_p]
+            lib.EGifPutScreenDesc.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p]
+            lib.EGifPutImageDesc.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+            lib.EGifPutLine.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+            lib.EGifCloseFile.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+            lib.DGifGetRecordType.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+            lib.DGifGetImageDesc.argtypes = [ctypes.c_void_p]
+            lib.DGifGetLine.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.DGifGetExtension.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_void_p)]
+            lib.DGifGetExtensionNext.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
+            lib.DGifCloseFile.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+        except AttributeError:
+            continue
+        return lib
+    return None
+
+
+_GIFLIB = _load_libgif()
+needs_libgif = pytest.mark.skipif(_GIFLIB is None, reason="giflib not available")
+
+# GIF interlace pass schedule (start, step) — the writer must supply rows
+# in this order when the interlace bit is set (giflib does not reorder)
+_ILACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _interlaced_row_order(h: int) -> list[int]:
+    return [r for start, step in _ILACE_PASSES for r in range(start, h, step)]
+
+
+def giflib_write(idx: np.ndarray, palette: np.ndarray, tmp_path,
+                 interlace: bool = False) -> bytes:
+    """Write palette indices through the system giflib; returns file bytes."""
+    H, W = idx.shape
+    n_slots = 2
+    while n_slots < len(palette):
+        n_slots *= 2
+    pal = np.zeros((n_slots, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    cmap = _GIFLIB.GifMakeMapObject(n_slots, pal.tobytes())
+    assert cmap
+    err = ctypes.c_int(0)
+    path = str(tmp_path / "lg.gif")
+    gif = _GIFLIB.EGifOpenFileName(path.encode(), 0, ctypes.byref(err))
+    assert gif, err.value
+    bits = n_slots.bit_length() - 1
+    assert _GIFLIB.EGifPutScreenDesc(gif, W, H, bits, 0, cmap) == 1
+    assert _GIFLIB.EGifPutImageDesc(
+        gif, 0, 0, W, H, int(interlace), None) == 1
+    order = _interlaced_row_order(H) if interlace else range(H)
+    rows = np.ascontiguousarray(idx, dtype=np.uint8)
+    for r in order:
+        assert _GIFLIB.EGifPutLine(gif, rows[r].tobytes(), W) == 1
+    assert _GIFLIB.EGifCloseFile(gif, ctypes.byref(err)) == 1
+    _GIFLIB.GifFreeMapObject(cmap)
+    return (tmp_path / "lg.gif").read_bytes()
+
+
+def giflib_read_indices(payload: bytes, shape, tmp_path) -> np.ndarray:
+    """Read the first image's palette indices through the system giflib's
+    sequential DGif API (record walk: 2=image, 3=extension, 4=trailer)."""
+    H, W = shape
+    path = tmp_path / "rg.gif"
+    path.write_bytes(payload)
+    err = ctypes.c_int(0)
+    gif = _GIFLIB.DGifOpenFileName(str(path).encode(), ctypes.byref(err))
+    assert gif, err.value
+    out = np.zeros((H, W), dtype=np.uint8)
+    buf = ctypes.create_string_buffer(W)
+    rectype = ctypes.c_int(0)
+    got = False
+    while not got:
+        assert _GIFLIB.DGifGetRecordType(gif, ctypes.byref(rectype)) == 1
+        if rectype.value == 2:  # IMAGE_DESC_RECORD_TYPE
+            assert _GIFLIB.DGifGetImageDesc(gif) == 1
+            for r in range(H):
+                assert _GIFLIB.DGifGetLine(gif, buf, W) == 1
+                out[r] = np.frombuffer(buf.raw, dtype=np.uint8)
+            got = True
+        elif rectype.value == 3:  # EXTENSION_RECORD_TYPE
+            code = ctypes.c_int(0)
+            ext = ctypes.c_void_p()
+            assert _GIFLIB.DGifGetExtension(
+                gif, ctypes.byref(code), ctypes.byref(ext)) == 1
+            while ext.value:
+                assert _GIFLIB.DGifGetExtensionNext(
+                    gif, ctypes.byref(ext)) == 1
+        else:  # trailer before any image
+            break
+    _GIFLIB.DGifCloseFile(gif, ctypes.byref(err))
+    assert got
+    return out
+
+
+_DIFF_RNG = np.random.default_rng(77)
+
+
+@needs_libgif
+@pytest.mark.parametrize("n_colors,shape", [(256, (21, 17)), (4, (15, 23))])
+def test_giflib_written_streams_decode(n_colors, shape, tmp_path):
+    idx = _DIFF_RNG.integers(0, n_colors, shape, dtype=np.uint8)
+    palette = _DIFF_RNG.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    arr = decode_gif(giflib_write(idx, palette, tmp_path))
+    np.testing.assert_array_equal(arr, palette[idx])
+
+
+@needs_libgif
+def test_giflib_long_stream_width_bumps(tmp_path):
+    # enough entropy that the code width climbs to 12 bits and giflib's
+    # table-full policy kicks in mid-stream
+    idx = _DIFF_RNG.integers(0, 256, (96, 180), dtype=np.uint8)
+    palette = np.arange(256, dtype=np.uint8)[:, None].repeat(3, axis=1)
+    arr = decode_gif(giflib_write(idx, palette, tmp_path))
+    np.testing.assert_array_equal(arr, palette[idx])
+
+
+@needs_libgif
+def test_giflib_interlaced_stream_decodes(tmp_path):
+    idx = _DIFF_RNG.integers(0, 256, (37, 11), dtype=np.uint8)
+    palette = _DIFF_RNG.integers(0, 256, (256, 3), dtype=np.uint8)
+    arr = decode_gif(giflib_write(idx, palette, tmp_path, interlace=True))
+    np.testing.assert_array_equal(arr, palette[idx])
+
+
+@needs_libgif
+@pytest.mark.parametrize("deferred_clear", [False, True])
+def test_giflib_reads_our_encoder(deferred_clear, tmp_path):
+    # reverse direction: both table-full policies of the tests-only
+    # encoder must parse through the real producer's decoder
+    idx = _DIFF_RNG.integers(0, 256, (64, 128), dtype=np.uint8)
+    palette = np.arange(256, dtype=np.uint8)[:, None].repeat(3, axis=1)
+    payload = encode_gif(idx, palette, deferred_clear=deferred_clear)
+    got = giflib_read_indices(payload, idx.shape, tmp_path)
+    np.testing.assert_array_equal(got, idx)
+
+
+@needs_libgif
+def test_giflib_reads_our_low_mcs_and_gce(tmp_path):
+    # 4-color frame (mcs=2) carrying a graphic-control extension
+    idx = _DIFF_RNG.integers(0, 4, (19, 13), dtype=np.uint8)
+    palette = _DIFF_RNG.integers(0, 256, (4, 3), dtype=np.uint8)
+    payload = encode_gif(
+        [{"idx": idx, "delay_ms": 40, "transparent": 3}], palette)
+    got = giflib_read_indices(payload, idx.shape, tmp_path)
+    np.testing.assert_array_equal(got, idx)
