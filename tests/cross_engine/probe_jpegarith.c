@@ -7,8 +7,9 @@
  * coefficients.
  *
  * Usage: probe_jpegarith enc <in.pnm> <out.jpg> <quality> <arith 0|1>
- *                            <progressive 0|1> <restart_interval>
+ *                            <progressive 0|1> <restart_interval> [subsamp]
  *        probe_jpegarith dec <in.jpg> <out.pnm>
+ * subsamp (optional, default 1): 1 = libjpeg default 4:2:0, 0 = 4:4:4.
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -29,7 +30,7 @@ static int read_token(FILE *f) {
 int main(int argc, char **argv) {
   if (argc < 2) return 2;
   if (!strcmp(argv[1], "enc")) {
-    if (argc != 8) return 2;
+    if (argc != 8 && argc != 9) return 2;
     FILE *in = fopen(argv[2], "rb");
     if (!in) return 3;
     int magic0 = getc(in), magic1 = getc(in);
@@ -56,6 +57,13 @@ int main(int argc, char **argv) {
     jpeg_set_defaults(&cinfo);
     jpeg_set_quality(&cinfo, atoi(argv[4]), TRUE);
     cinfo.arith_code = atoi(argv[5]) ? TRUE : FALSE;
+    if (argc == 9 && !atoi(argv[8])) { /* 4:4:4 */
+      int ci;
+      for (ci = 0; ci < cinfo.num_components; ci++) {
+        cinfo.comp_info[ci].h_samp_factor = 1;
+        cinfo.comp_info[ci].v_samp_factor = 1;
+      }
+    }
     if (atoi(argv[6])) jpeg_simple_progression(&cinfo);
     cinfo.restart_interval = atoi(argv[7]);
     jpeg_start_compress(&cinfo, TRUE);

@@ -202,3 +202,79 @@ def test_lossless_arithmetic_still_rejected():
     )
     with pytest.raises(UnsupportedMediaError, match="not supported"):
         decode_jpeg(payload + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# consumer differential: our decoded PIXELS vs libjpeg's own decoder
+#
+# Everything above validates entropy decode (arith file == huffman file
+# through OUR decoder) and the Huffman path is golden-tested against an
+# independent scalar encoder — but no test compared final pixels against
+# the ecosystem's consumer. T.81 does not mandate a bit-exact IDCT, so
+# the pin is a tolerance: gray is IDCT-only (measured max |diff| = 1 vs
+# libjpeg's islow across quality/mode sweeps), RGB 4:4:4 adds the YCbCr
+# rounding stack (measured max 3). 4:2:0 is deliberately NOT
+# pixel-compared: the chroma upsampling filter is the decoder's choice
+# per the spec (libjpeg uses a triangular filter, this repo uses
+# replication inside its vectorized pipeline), so full-res chroma is the
+# convention-free comparison surface.
+# ---------------------------------------------------------------------------
+
+
+def _libjpeg_decode(tmpdir: Path, payload: bytes) -> np.ndarray:
+    jpg = tmpdir / "cons.jpg"
+    jpg.write_bytes(payload)
+    out = tmpdir / "cons.pnm"
+    subprocess.run([str(_PROBE), "dec", str(jpg), str(out)], check=True)
+    raw = out.read_bytes()
+    magic, dims, _maxv, data = raw.split(b"\n", 3)
+    w, h = map(int, dims.split())
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.reshape(h, w, 3) if magic == b"P6" else arr.reshape(h, w)
+
+
+def _encode_444(tmpdir: Path, img: np.ndarray, quality: int, arith: bool,
+                progressive: bool) -> bytes:
+    magic = b"P6" if img.ndim == 3 else b"P5"
+    h, w = img.shape[:2]
+    pnm = tmpdir / "in444.pnm"
+    pnm.write_bytes(magic + b"\n%d %d\n255\n" % (w, h) + img.tobytes())
+    out = tmpdir / "out444.jpg"
+    subprocess.run(
+        [str(_PROBE), "enc", str(pnm), str(out), str(quality),
+         str(int(arith)), str(int(progressive)), "0", "0"],
+        check=True,
+    )
+    return out.read_bytes()
+
+
+@needs_probe
+@pytest.mark.parametrize("arith", [False, True])
+@pytest.mark.parametrize("progressive", [False, True])
+@pytest.mark.parametrize("name", ["noise_gray", "smooth_gray"])
+def test_pixels_match_libjpeg_gray(tmp_path, name, progressive, arith):
+    img = _families()[name]
+    for quality in (30, 85, 95):
+        payload = _encode(tmp_path, img, quality, arith, progressive, 0)
+        ours, maxval = decode_jpeg(payload)
+        assert maxval == 255
+        theirs = _libjpeg_decode(tmp_path, payload)
+        diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+        assert diff.max() <= 1, f"q={quality}: max pixel diff {diff.max()}"
+
+
+@needs_probe
+@pytest.mark.parametrize("arith", [False, True])
+@pytest.mark.parametrize("progressive", [False, True])
+def test_pixels_match_libjpeg_rgb444(tmp_path, progressive, arith):
+    for name in ("noise_rgb", "grad_rgb"):
+        img = _families()[name]
+        for quality in (30, 85):
+            payload = _encode_444(tmp_path, img, quality, arith, progressive)
+            # really 4:4:4: exactly one scan geometry where every component
+            # is full resolution (sampling byte 0x11 for all three)
+            ours, _ = decode_jpeg(payload)
+            theirs = _libjpeg_decode(tmp_path, payload)
+            diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+            assert diff.max() <= 3, (
+                f"{name} q={quality}: max pixel diff {diff.max()}")
