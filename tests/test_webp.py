@@ -456,3 +456,82 @@ def test_animation_still_fallback_and_hostile():
         decode_webp_frames(bad)
     with pytest.raises(UnsupportedMediaError):
         decode_webp_frames(payload[:16])
+
+
+def _frame_image_chunks(payload: bytes) -> bytes:
+    """Extract the image chunks (ALPH if present, then VP8/VP8L) from a
+    still WebP file, padded per RIFF — the body an ANMF frame embeds."""
+    pos = 12
+    out = bytearray()
+    while pos + 8 <= len(payload):
+        f = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if f in (b"ALPH", b"VP8 ", b"VP8L"):
+            out += payload[pos : pos + 8 + sz + (sz & 1)]
+        pos += 8 + sz + (sz & 1)
+    assert out, "no image chunk in still"
+    return bytes(out)
+
+
+def build_anim_raw(cw, ch, frames, bg=(0, 0, 0, 0), loop=0):
+    """Like build_anim but frames carry pre-extracted image-chunk bytes:
+    list of (chunks, w, h, x, y, duration_ms, blend, dispose)."""
+    body = bytearray()
+    body += b"VP8X" + struct.pack("<I", 10) + bytes([0x12, 0, 0, 0])
+    body += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    body += b"ANIM" + struct.pack("<I", 6)
+    body += bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", loop)
+    for chunks, w, h, x, y, dur, blend, dispose in frames:
+        fl = (0 if blend else 2) | (1 if dispose else 0)
+        anmf = (x // 2).to_bytes(3, "little") + (y // 2).to_bytes(3, "little")
+        anmf += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        anmf += dur.to_bytes(3, "little") + bytes([fl]) + chunks
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+
+@needs_libwebp
+def test_animation_lossy_frames_composite():
+    """ANMF frames carrying VP8 (lossy) chunks — incl. one with an ALPH
+    chunk inside the frame — composite exactly like VP8L ones. The frame
+    pixels come from our own still decode (bit-exact vs libwebp per the
+    suite above), so this pins the ANIM plumbing: the chunk walk, the
+    ALPH-before-VP8 pairing inside ANMF, and blend/dispose."""
+    yy, xx = np.meshgrid(np.arange(16), np.arange(24), indexing="ij")
+    f1 = np.stack([(yy * 9 + xx * 5) % 256, (yy * 3) % 256,
+                   (xx * 7) % 256, np.full_like(yy, 255)], -1).astype(np.uint8)
+    f2 = np.stack([(xx[:8, :12] * 11) % 256, (yy[:8, :12] * 13) % 256,
+                   np.full((8, 12), 40), np.full((8, 12), 255)], -1).astype(np.uint8)
+    f3 = f2.copy()
+    f3[..., 3] = 128  # semi-transparent → libwebp emits an ALPH chunk
+    s1, s2, s3 = (encode_lossy(f, 80.0) for f in (f1, f2, f3))
+    assert b"ALPH" in s3 and b"ALPH" not in s2
+    p = build_anim_raw(
+        24, 16,
+        [(_frame_image_chunks(s1), 24, 16, 0, 0, 100, False, False),
+         (_frame_image_chunks(s2), 12, 8, 4, 6, 50, False, True),
+         (_frame_image_chunks(s3), 12, 8, 8, 2, 70, True, False)],
+        bg=(9, 8, 7, 255),
+    )
+    frames = decode_webp_frames(p)
+    assert [d for _, d in frames] == [100, 50, 70]
+    # reference composite from our trusted still decodes
+    d1, d2, d3 = (decode_webp(s) for s in (s1, s2, s3))
+    c0 = np.zeros((16, 24, 4), np.uint8)
+    c0[:] = d1
+    np.testing.assert_array_equal(frames[0][0], c0)
+    c1 = c0.copy()
+    c1[6:14, 4:16] = d2  # opaque, blend=False → straight copy
+    np.testing.assert_array_equal(frames[1][0], c1)
+    c2 = c1.copy()
+    c2[6:14, 4:16] = np.array([9, 8, 7, 255], np.uint8)  # dispose of f2
+    dst = c2[2:10, 8:20].astype(np.int64)
+    src = d3.astype(np.int64)
+    sa, da = src[..., 3:4], dst[..., 3:4]
+    scale = da * (255 - sa) // 255
+    ba = sa + scale
+    rgb = (src[..., :3] * sa + dst[..., :3] * scale) // np.maximum(ba, 1)
+    c2[2:10, 8:20] = np.concatenate([rgb, ba], -1).astype(np.uint8)
+    np.testing.assert_array_equal(frames[2][0], c2)
