@@ -21,9 +21,15 @@ ARITHMETIC entropy coding decodes for real as well — SOF9 (extended
 sequential) and SOF10 (progressive) with DAC conditioning, via the
 QM-coder in operators/jpeg_arith.py (differentially gated against the
 system libjpeg: same pixels encoded Huffman and arithmetic must decode
-bit-identically). Hierarchical and lossless-arithmetic modes raise
-UnsupportedMediaError, which routes callers to the injected-decoder seam
-exactly like any other unsupported payload (operators/multimodal.py).
+bit-identically). HIERARCHICAL streams (T.81 Annex J) decode too: a DHP
+header, a non-differential first frame at reduced resolution, then
+EXP-expanded (J.1.1.2 bilinear doubling) Huffman differential correction
+frames — SOF5 sequential / SOF6 progressive, DC prediction pinned to
+zero, widened category bounds — accumulated onto a clamped per-component
+reference. Differential-lossless and the arithmetic differential modes
+(SOF13-15) raise UnsupportedMediaError, which routes callers to the
+injected-decoder seam exactly like any other unsupported payload
+(operators/multimodal.py).
 
 Design: the marker walk and the inherently-sequential Huffman entropy
 decode run in Python over the unstuffed scan bytes (work bounded by the
@@ -241,11 +247,15 @@ class _RestartReader:
         return False
 
 
-def _decode_baseline_scan(order, scan, mcx, mcy, dc_max=11, ac_max=10) -> None:
+def _decode_baseline_scan(
+    order, scan, mcx, mcy, dc_max=11, ac_max=10, dpcm=True
+) -> None:
     """Sequential DCT scan (T.81 §F.2): DC diff + AC run-length per block,
     all components interleaved per MCU. ``dc_max``/``ac_max`` are the
     legal Huffman category bounds for the frame's sample precision
-    (T.81 Tables F.1/F.2: 11/10 for 8-bit, 15/14 for 12-bit)."""
+    (T.81 Tables F.1/F.2: 11/10 for 8-bit, 15/14 for 12-bit).
+    ``dpcm=False`` is the hierarchical differential-frame variant where
+    the DC prediction is always zero (T.81 Annex J)."""
     rr = _RestartReader(scan["segs"], scan["dri"])
     preds = [0] * len(order)
     for m in range(mcx * mcy):
@@ -261,8 +271,11 @@ def _decode_baseline_scan(order, scan, mcx, mcy, dc_max=11, ac_max=10) -> None:
                     t = reader.decode(dc_t)
                     if t > dc_max:
                         raise UnsupportedMediaError("bad JPEG DC category")
-                    preds[ci] += _extend(reader.receive(t), t)
-                    blk[0] = preds[ci]
+                    d = _extend(reader.receive(t), t)
+                    if dpcm:
+                        preds[ci] += d
+                        d = preds[ci]
+                    blk[0] = d
                     k = 1
                     while k < 64:
                         rs = reader.decode(ac_t)
@@ -285,11 +298,15 @@ def _decode_baseline_scan(order, scan, mcx, mcy, dc_max=11, ac_max=10) -> None:
                         k += 1
 
 
-def _decode_progressive_scan(scan, by_id, mcx, mcy, dc_max=11, ac_max=10) -> None:
+def _decode_progressive_scan(
+    scan, by_id, mcx, mcy, dc_max=11, ac_max=10, dpcm=True
+) -> None:
     """One SOF2 scan (T.81 §G.2): DC scans (Ss=0) are interleaved over the
     scan's components; AC scans (Ss>0) carry exactly one component in its
     own data-unit raster. Ah=0 is the first pass for the band, Ah>0 a
-    successive-approximation refinement adding bit Al."""
+    successive-approximation refinement adding bit Al. ``dpcm=False`` is
+    the hierarchical differential variant (SOF6): DC prediction is always
+    zero (T.81 Annex J); the AC procedures are unchanged."""
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
     if not (0 <= ss <= se <= 63 and al <= 13):
         raise UnsupportedMediaError("bad JPEG progressive scan parameters")
@@ -313,8 +330,11 @@ def _decode_progressive_scan(scan, by_id, mcx, mcy, dc_max=11, ac_max=10) -> Non
                             t = reader.decode(oc["dc"])
                             if t > dc_max:
                                 raise UnsupportedMediaError("bad JPEG DC category")
-                            preds[ci] += _extend(reader.receive(t), t)
-                            blk[0] = preds[ci] << al
+                            d = _extend(reader.receive(t), t)
+                            if dpcm:
+                                preds[ci] += d
+                                d = preds[ci]
+                            blk[0] = d << al
                         else:  # refinement: one bit per block
                             if reader.receive(1):
                                 blk[0] |= 1 << al
@@ -463,10 +483,35 @@ def _decode_lossless_scan(order, scan, H, W, prec, pt):
     return [p.astype(np.int64) << pt for p in planes]
 
 
+def _exp_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 hierarchical reference expansion: double along each
+    requested axis — even output samples copy the input, odd ones are the
+    rounded mean of the two neighbors, the last one replicates the edge."""
+    if eh:
+        h, w = plane.shape
+        out = np.empty((h, 2 * w), dtype=plane.dtype)
+        out[:, 0::2] = plane
+        if w > 1:
+            out[:, 1:-1:2] = (plane[:, :-1] + plane[:, 1:] + 1) >> 1
+        out[:, -1] = plane[:, -1]
+        plane = out
+    if ev:
+        h, w = plane.shape
+        out = np.empty((2 * h, w), dtype=plane.dtype)
+        out[0::2] = plane
+        if h > 1:
+            out[1:-1:2] = (plane[:-1] + plane[1:] + 1) >> 1
+        out[-1] = plane[-1]
+        plane = out
+    return plane
+
+
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
     """→ ((H, W) gray or (H, W, 3) RGB array, maxval) — uint8/255 for
     8-bit frames, uint16 with maxval (1<<P)-1 for 12-bit DCT (SOF1/SOF2)
-    and 2..16-bit lossless (SOF3) frames."""
+    and 2..16-bit lossless (SOF3) frames. Hierarchical streams (T.81
+    Annex J: DHP + a non-differential first frame + EXP-expanded
+    SOF5/SOF6 differential correction frames) decode too."""
     if payload[:3] != b"\xff\xd8\xff":
         raise UnsupportedMediaError("not a JPEG payload")
 
@@ -474,12 +519,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
     htables: dict[tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
     dac_dc: dict[int, tuple[int, int]] = {}  # DAC conditioning: id → (L, U)
     dac_ac: dict[int, int] = {}  # id → Kx
-    sof = None
-    progressive = False
-    lossless = False
-    arithmetic = False
+    frames: list[dict] = []  # one per SOF; >1 only in hierarchical mode
+    dhp = None  # hierarchical full-resolution header (DHP marker)
+    pending_exp = None  # EXP marker state, consumed by the next frame
     dri = 0
-    scans: list[dict] = []
     adobe_transform = None  # APP14 "Adobe" color-transform flag
 
     pos = 2
@@ -526,12 +569,15 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                     raise UnsupportedMediaError("truncated JPEG DHT")
                 htables[(tc, th)] = _Huff(counts, values)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC9, 0xCA, 0xDE):
             # SOF0 baseline (8-bit only per T.81 §B.2.2) / SOF1 extended
             # sequential / SOF2 progressive DCT (both 8- or 12-bit) /
-            # SOF3 lossless (2..16-bit, T.81 Annex H) / SOF9 extended
-            # sequential + SOF10 progressive with ARITHMETIC entropy
-            # coding (T.81 Annex F QM-coder, operators/jpeg_arith.py)
+            # SOF3 lossless (2..16-bit, T.81 Annex H) / SOF5+SOF6
+            # differential sequential/progressive DCT (hierarchical
+            # correction frames, T.81 Annex J) / SOF9 extended sequential
+            # + SOF10 progressive with ARITHMETIC entropy coding (T.81
+            # Annex F QM-coder, operators/jpeg_arith.py) / DHP (0xDE,
+            # hierarchical full-resolution header — same body syntax)
             if len(body) < 6:
                 raise UnsupportedMediaError("truncated JPEG SOF body")
             prec, H, W, nc = struct.unpack_from(">BHHB", body, 0)
@@ -550,15 +596,37 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            sof = (H, W, comps, prec)
-            progressive = marker in (0xC2, 0xCA)
-            lossless = marker == 0xC3
-            arithmetic = marker in (0xC9, 0xCA)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xDE:
+                if dhp is not None or frames:
+                    raise UnsupportedMediaError("JPEG DHP after first frame")
+                dhp = (H, W, comps, prec)
+            else:
+                if len(frames) >= 16:
+                    # hostile-header guard: each frame's decode walk is
+                    # MCU-bounded, but an attacker could stack frames
+                    raise UnsupportedMediaError("too many JPEG frames")
+                frames.append({
+                    "sof": (H, W, comps, prec),
+                    "progressive": marker in (0xC2, 0xC6, 0xCA),
+                    "lossless": marker == 0xC3,
+                    "arithmetic": marker in (0xC9, 0xCA),
+                    "differential": marker in (0xC5, 0xC6),
+                    "exp": pending_exp,
+                    "scans": [],
+                })
+                pending_exp = None
+        elif marker in (0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"JPEG mode SOF{marker - 0xC0} (differential/hierarchical/"
-                "lossless-arithmetic) not supported"
+                f"JPEG mode SOF{marker - 0xC0} (differential-lossless/"
+                "differential-arithmetic/lossless-arithmetic) not supported"
             )
+        elif marker == 0xDF:  # EXP — expand hierarchical reference (J.1)
+            if not body:
+                raise UnsupportedMediaError("truncated JPEG EXP body")
+            eh, ev = body[0] >> 4, body[0] & 15
+            if eh > 1 or ev > 1 or not (eh or ev):
+                raise UnsupportedMediaError("bad JPEG EXP expansion")
+            pending_exp = (eh, ev)
         elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 §B.2.4.3)
             i = 0
             while i + 2 <= len(body):
@@ -591,30 +659,41 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
                 raise UnsupportedMediaError("truncated JPEG SOS components")
             sel = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if not frames:
+                raise UnsupportedMediaError("JPEG SOS before SOF")
             # arithmetic scans use the same 0xFF00 byte stuffing as
             # Huffman ones (the QM byte feed sees unstuffed data and
             # reads zeros past the terminating marker)
             segs, pos = _split_scan(payload, pos + 2 + ln)
-            scans.append({
+            frames[-1]["scans"].append({
                 "sel": sel, "ss": ss, "se": se,
                 "ah": ahal >> 4, "al": ahal & 15,
                 "segs": segs, "htables": dict(htables), "dri": dri,
                 "dac": (dict(dac_dc), dict(dac_ac)),
             })
-            if not progressive:
-                break  # single-scan baseline: decode what we have
-            continue  # progressive: keep walking (more scans / DHT / EOI)
+            if dhp is None and not frames[-1]["progressive"]:
+                break  # single-scan sequential: decode what we have
+            continue  # keep walking (more scans / frames / DHT / EOI)
         # APPn / COM / others: skip
         pos += 2 + ln
 
-    if sof is None or not scans:
+    if not frames or any(not f["scans"] for f in frames):
         raise UnsupportedMediaError("JPEG missing SOF/SOS")
-    H, W, comps, prec = sof
-    dc_max, ac_max = (11, 10) if prec == 8 else (15, 14)
+    if dhp is None:
+        if len(frames) > 1:
+            raise UnsupportedMediaError("multiple JPEG frames without DHP")
+        if frames[0]["differential"] or frames[0]["exp"]:
+            raise UnsupportedMediaError("JPEG differential frame without DHP")
+    else:
+        return _decode_hierarchical(dhp, frames, qtables, adobe_transform)
+
+    frame = frames[0]
+    scans = frame["scans"]
+    H, W, comps, prec = frame["sof"]
     mid, maxval = 1 << (prec - 1), (1 << prec) - 1
     out_dtype = np.uint8 if prec == 8 else np.uint16
 
-    if lossless:  # SOF3: no quant tables, no MCU blocking, no IDCT
+    if frame["lossless"]:  # SOF3: no quant tables, no MCU blocking, no IDCT
         scan = scans[0]
         for c in comps:
             if len(comps) > 1 and (c["h"] != 1 or c["v"] != 1):
@@ -646,6 +725,33 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
             return np.clip(np.round(rgb), 0, maxval).astype(out_dtype), maxval
         return np.stack(planes, axis=-1), maxval
 
+    comps, spatial, hmax, vmax = _dct_decode_spatial(frame, qtables)
+    planes = []
+    for c, sp in zip(comps, spatial):
+        px = np.clip(np.round(sp) + mid, 0, maxval).astype(out_dtype)
+        px = np.repeat(px, vmax // c["v"], axis=0)
+        px = np.repeat(px, hmax // c["h"], axis=1)
+        planes.append(px[:H, :W])
+    return _finish_color(planes, comps, adobe_transform, mid, maxval, out_dtype)
+
+
+def _dct_decode_spatial(frame, qtables, differential: bool = False):
+    """Decode one DCT frame's scans → (comps, per-component float64 IDCT
+    output planes at each component's OWN sample resolution — no level
+    shift, no clipping — hmax, vmax). Shared by the single-frame path
+    (which level-shifts and clips) and the hierarchical path (which adds
+    differential planes onto the running reference, T.81 Annex J). In
+    differential frames the DC prediction is always zero (no DPCM across
+    blocks) and the category bounds widen to 15/14 — difference images
+    span twice the source range; the int64 dequant below keeps the wide
+    categories overflow-safe."""
+    H, W, comps, prec = frame["sof"]
+    scans = frame["scans"]
+    if differential:
+        dc_max, ac_max = 15, 14
+    else:
+        dc_max, ac_max = (11, 10) if prec == 8 else (15, 14)
+
     # frame geometry: sampling factors / MCU grid over ALL components
     if len(comps) == 1:
         # single-component frame: data units are the component's own
@@ -667,10 +773,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         c["bw"] = (-(-W * c["h"] // hmax) + 7) // 8
         c["bh"] = (-(-H * c["v"] // vmax) + 7) // 8
 
-    if arithmetic:
+    if frame["arithmetic"]:
         from .jpeg_arith import decode_arith_progressive, decode_arith_sequential
 
-        if not progressive:
+        if not frame["progressive"]:
             scan = scans[0]
             if len(scan["sel"]) != len(comps):
                 raise UnsupportedMediaError(
@@ -681,19 +787,21 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
             for scan in scans:
                 order = _resolve_arith_scan(scan, by_id)
                 decode_arith_progressive(scan, order, mcx, mcy)
-    elif not progressive:
+    elif not frame["progressive"]:
         scan = scans[0]
         if len(scan["sel"]) != len(comps):
             raise UnsupportedMediaError(
                 "non-interleaved multi-scan JPEG not supported")
         order = _resolve_scan(scan, by_id, need_dc=True, need_ac=True)
-        _decode_baseline_scan(order, scan, mcx, mcy, dc_max, ac_max)
+        _decode_baseline_scan(
+            order, scan, mcx, mcy, dc_max, ac_max, dpcm=not differential)
     else:
         for scan in scans:
-            _decode_progressive_scan(scan, by_id, mcx, mcy, dc_max, ac_max)
+            _decode_progressive_scan(
+                scan, by_id, mcx, mcy, dc_max, ac_max, dpcm=not differential)
 
     # --- vectorized reconstruction: dequant → zigzag → IDCT → planes ---
-    planes = []
+    spatial_planes = []
     for c in comps:
         bh, bw, _ = c["coef"].shape
         # int64: a 12-bit DC category-15 value (±32767) against a 16-bit
@@ -704,14 +812,99 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, int]:
         spatial = np.einsum(
             "ux,nuv,vy->nxy", _IDCT_T, fblk.reshape(-1, 8, 8), _IDCT_T
         )
-        px = np.clip(np.round(spatial) + mid, 0, maxval).astype(out_dtype)
         plane = (
-            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
         )
-        plane = np.repeat(plane, vmax // c["v"], axis=0)
-        plane = np.repeat(plane, hmax // c["h"], axis=1)
-        planes.append(plane[:H, :W])
+        ch = -(-H * c["v"] // vmax)
+        cw = -(-W * c["h"] // hmax)
+        spatial_planes.append(plane[:ch, :cw])
+    return comps, spatial_planes, hmax, vmax
 
+
+def _decode_hierarchical(dhp, frames, qtables, adobe_transform):
+    """T.81 Annex J: a DHP header, a non-differential first frame at
+    reduced resolution, then EXP-expanded Huffman differential correction
+    frames (SOF5 sequential / SOF6 progressive). The running reference is
+    kept per component at that component's sample resolution and clamped
+    to [0, maxval] after every frame; the final frame must land on the
+    DHP's declared dimensions. All frames must share the DHP's component
+    ids and sampling factors (subsets / resolution-changing sampling
+    switches are out of scope and fail fast)."""
+    Hd, Wd, dcomps, prec = dhp
+    mid, maxval = 1 << (prec - 1), (1 << prec) - 1
+    out_dtype = np.uint8 if prec == 8 else np.uint16
+    if len(dcomps) == 1:
+        sig = [(dcomps[0]["id"], 1, 1)]
+    else:
+        sig = [(c["id"], c["h"], c["v"]) for c in dcomps]
+    ref = None
+    last = None
+    for fi, f in enumerate(frames):
+        if f["lossless"]:
+            raise UnsupportedMediaError(
+                "lossless frame in hierarchical JPEG not supported")
+        Hf, Wf, fcomps, fprec = f["sof"]
+        if fprec != prec:
+            raise UnsupportedMediaError("hierarchical JPEG precision mismatch")
+        if fi == 0:
+            if f["differential"] or f["exp"]:
+                raise UnsupportedMediaError(
+                    "hierarchical JPEG first frame must be non-differential")
+            comps, spatial, hmax, vmax = _dct_decode_spatial(f, qtables)
+            ref = [
+                np.clip(np.round(sp) + mid, 0, maxval).astype(np.int32)
+                for sp in spatial
+            ]
+        else:
+            if not f["differential"]:
+                raise UnsupportedMediaError(
+                    "non-differential later frame in hierarchical JPEG")
+            if f["exp"]:
+                eh, ev = f["exp"]
+                ref = [_exp_upsample(p, eh, ev) for p in ref]
+            comps, spatial, hmax, vmax = _dct_decode_spatial(
+                f, qtables, differential=True)
+            new_ref = []
+            for p, sp in zip(ref, spatial):
+                gh, gw = sp.shape
+                # align the (possibly EXP-doubled) reference to this
+                # frame's component grid: crop the J.1.1.2 edge replica,
+                # edge-pad defensively if a malformed stream runs short
+                p = p[:gh, :gw]
+                if p.shape != (gh, gw):
+                    p = np.pad(
+                        p,
+                        ((0, gh - p.shape[0]), (0, gw - p.shape[1])),
+                        mode="edge",
+                    )
+                new_ref.append(
+                    np.clip(np.round(sp).astype(np.int64) + p, 0, maxval)
+                    .astype(np.int32)
+                )
+            ref = new_ref
+        if [(c["id"], c["h"], c["v"]) for c in comps] != sig:
+            raise UnsupportedMediaError(
+                "hierarchical JPEG frame component geometry != DHP")
+        last = (Hf, Wf, comps, hmax, vmax)
+    Hf, Wf, comps, hmax, vmax = last
+    if (Hf, Wf) != (Hd, Wd):
+        raise UnsupportedMediaError(
+            "hierarchical JPEG final frame dimensions != DHP")
+    planes = []
+    for c, p in zip(comps, ref):
+        px = p.astype(out_dtype)
+        px = np.repeat(px, vmax // c["v"], axis=0)
+        px = np.repeat(px, hmax // c["h"], axis=1)
+        planes.append(px[:Hd, :Wd])
+    return _finish_color(planes, comps, adobe_transform, mid, maxval, out_dtype)
+
+
+def _finish_color(planes, comps, adobe_transform, mid, maxval, out_dtype):
+    """Final color stage shared by the single-frame and hierarchical
+    paths: gray passthrough, Adobe/RGB-component-id direct RGB, or the
+    JFIF YCbCr→RGB transform."""
     if len(planes) == 1:
         return planes[0], maxval
     # 3-component color space: JFIF default is YCbCr; Adobe APP14

@@ -962,3 +962,309 @@ def test_jpeg_lossless_rejects_bad_scan_params():
     payload[i + 7] = 0  # FF DA len(2) [ncomp cid tsel Ss ...]: Ss at +7
     with pytest.raises(UnsupportedMediaError, match="lossless"):
         decode_jpeg(bytes(payload))
+
+
+# --------------------------------------------------------------------------
+# hierarchical mode (T.81 Annex J): DHP + a non-differential first frame +
+# EXP-expanded SOF5/SOF6 differential correction frames. The encoder below
+# mirrors the decoder's clamped-reference reconstruction (the standard
+# requires the encoder to track the decoder's state), so with all-ones
+# quant the only loss is per-level coefficient rounding.
+# --------------------------------------------------------------------------
+
+
+def _exp_up_ref(p):
+    """Independent restatement of T.81 J.1.1.2 (both axes): even output
+    samples copy the input, odd ones are the rounded mean of the two
+    neighbors, the last row/column replicates the edge."""
+    h, w = p.shape
+    a = np.empty((h, 2 * w), dtype=np.int64)
+    a[:, 0::2] = p
+    if w > 1:
+        a[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+    a[:, -1] = p[:, -1]
+    b = np.empty((2 * h, 2 * w), dtype=np.int64)
+    b[0::2] = a
+    if h > 1:
+        b[1:-1:2] = (a[:-1] + a[1:] + 1) >> 1
+    b[-1] = a[-1]
+    return b
+
+
+def _box2(p):
+    hh, ww = p.shape
+    pp = np.pad(p, ((0, hh % 2), (0, ww % 2)), mode="edge")
+    return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+
+
+def _frame_coef_blocks(planes, h, w, shift):
+    """→ (zigzag coefficient blocks in raster order, decoder-side spatial
+    reconstruction of those blocks — IDCT of the rounded coefficients, no
+    level shift) per component, all-ones quant."""
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    comps, recon = [], []
+    for p in planes:
+        pp = _pad_blocks(p, bh, bw)
+        blocks = []
+        rec = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.round(_A @ (blk - shift) @ _A.T).astype(int)
+                blocks.append([int(q.flat[i]) for i in _ZZ])
+                rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _A.T @ q @ _A
+        comps.append(blocks)
+        recon.append(rec[:h, :w])
+    return comps, recon
+
+
+def _w_seq_scan(w, comps, dc_codes, ac_codes, dpcm):
+    """Sequential interleaved scan over precomputed raster blocks;
+    dpcm=False codes every DC against a zero prediction (the differential-
+    frame rule of Annex J)."""
+    preds = [0] * len(comps)
+    for m in range(len(comps[0])):
+        for ci, blocks in enumerate(comps):
+            zz = blocks[m]
+            diff = zz[0] - (preds[ci] if dpcm else 0)
+            if dpcm:
+                preds[ci] = zz[0]
+            t = _category(diff)
+            ln, code = dc_codes[t]
+            w.put(ln, code)
+            w.put(t, _enc_value(diff, t))
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    w.put(ln, code)
+                    run -= 16
+                s = _category(zz[k])
+                ln, code = ac_codes[(run << 4) | s]
+                w.put(ln, code)
+                w.put(s, _enc_value(zz[k], s))
+                run = 0
+            if last_nz < 63:
+                ln, code = ac_codes[0x00]
+                w.put(ln, code)
+
+
+def encode_jpeg_hierarchical(img, levels=3, progressive_diff=False,
+                             zero_diff=False):
+    """Independent hierarchical encoder: DHP, a non-differential SOF0
+    frame at 1/2^(levels-1) resolution, then EXP'd differential frames —
+    SOF5 sequential, or SOF6 progressive (DC scan + one full AC band scan
+    per component) with progressive_diff=True. Differential frames use the
+    widened 12-bit category tables (difference images span twice the
+    source range). zero_diff=True writes all-zero differential frames so
+    the decode must equal the EXP-expanded first-frame reconstruction
+    exactly. → (payload bytes, expected decoder output planes int64)."""
+    import struct
+
+    img = np.asarray(img)
+    H, W = img.shape[:2]
+    nc = 1 if img.ndim == 2 else 3
+    if nc == 1:
+        full = [img.astype(np.float64)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        full = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    pyramid = [full]
+    for _ in range(levels - 1):
+        pyramid.append([_box2(p) for p in pyramid[-1]])
+    pyramid = pyramid[::-1]  # coarsest first
+
+    dc8 = _huff_codes(_DC_COUNTS, _DC_VALUES)
+    ac8 = _huff_codes(_AC_COUNTS, _AC_VALUES)
+    dc12 = _huff_codes(_DC12_COUNTS, _DC12_VALUES)
+    acc, acv = (
+        (_ACP12_COUNTS, _ACP12_VALUES)  # EOBn symbols for the AC band scan
+        if progressive_diff
+        else (_AC12_COUNTS, _AC12_VALUES)
+    )
+    ac12 = _huff_codes(acc, acv)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    dhp = bytes([8]) + struct.pack(">HH", H, W) + bytes([nc])
+    for i in range(nc):
+        dhp += bytes([i + 1, 0x11, 0])
+    out += _seg(0xDE, dhp)
+
+    ref = None  # decoder-mirrored reference planes (int64, clamped)
+    for li, planes in enumerate(pyramid):
+        h, w = planes[0].shape
+        first = li == 0
+        if not first:
+            ref = [_exp_up_ref(p)[:h, :w] for p in ref]
+            planes = (
+                [np.zeros((h, w)) for _ in planes]
+                if zero_diff
+                else [p - r for p, r in zip(planes, ref)]
+            )
+        comps, recon = _frame_coef_blocks(planes, h, w, 128.0 if first else 0.0)
+        if first:
+            ref = [
+                np.clip(np.round(rc) + 128, 0, 255).astype(np.int64)
+                for rc in recon
+            ]
+        else:
+            ref = [
+                np.clip(np.round(rc).astype(np.int64) + r, 0, 255)
+                for rc, r in zip(recon, ref)
+            ]
+        if first:
+            marker = 0xC0
+            dcc, dcv, acc2, acv2 = _DC_COUNTS, _DC_VALUES, _AC_COUNTS, _AC_VALUES
+            dc_codes, ac_codes = dc8, ac8
+        else:
+            marker = 0xC6 if progressive_diff else 0xC5
+            dcc, dcv, acc2, acv2 = _DC12_COUNTS, _DC12_VALUES, acc, acv
+            dc_codes, ac_codes = dc12, ac12
+            out += _seg(0xDF, bytes([0x11]))  # EXP: expand both axes
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        for i in range(nc):
+            sof += bytes([i + 1, 0x11, 0])
+        out += _seg(marker, sof)
+        out += _seg(0xC4, bytes([0x00]) + dcc + dcv)
+        out += _seg(0xC4, bytes([0x10]) + acc2 + acv2)
+        if first or not progressive_diff:
+            sos = bytes([nc])
+            for i in range(nc):
+                sos += bytes([i + 1, 0x00])
+            out += _seg(0xDA, sos + bytes([0, 63, 0]))
+            bw_ = _BitWriter()
+            _w_seq_scan(bw_, comps, dc_codes, ac_codes, dpcm=first)
+            out += bw_.flush()
+        else:
+            # SOF6: interleaved DC scan with zero prediction, then one
+            # full-band AC first scan per component
+            sos = bytes([nc])
+            for i in range(nc):
+                sos += bytes([i + 1, 0x00])
+            out += _seg(0xDA, sos + bytes([0, 0, 0]))
+            bw_ = _BitWriter()
+            for m in range(len(comps[0])):
+                for blocks in comps:
+                    v = blocks[m][0]
+                    t = _category(v)
+                    ln, code = dc_codes[t]
+                    bw_.put(ln, code)
+                    bw_.put(t, _enc_value(v, t))
+            out += bw_.flush()
+            for ci in range(nc):
+                out += _seg(0xDA, bytes([1, ci + 1, 0x10, 1, 63, 0]))
+                bw_ = _BitWriter()
+                _w_ac_first(bw_, comps[ci], 1, 63, 0, ac_codes)
+                out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out), ref
+
+
+def test_jpeg_hierarchical_constant_known_answer():
+    """Constant gray: every level is DC-only and rounding-exact, so the
+    hierarchical decode must reproduce the constant exactly."""
+    img = np.full((19, 26), 147, dtype=np.uint8)
+    payload, _ = encode_jpeg_hierarchical(img, levels=3)
+    arr, maxval = decode_jpeg(payload)
+    assert maxval == 255 and arr.shape == (19, 26)
+    assert np.array_equal(arr, img)
+
+
+def test_jpeg_hierarchical_gray_near_exact():
+    """Final differential frame corrects the full-resolution residual, so
+    the decode tracks the SOURCE within baseline rounding tolerance."""
+    rng = np.random.default_rng(201)
+    for H, W in [(16, 16), (21, 13), (40, 33)]:
+        img = rng.integers(0, 256, (H, W), dtype=np.uint8)
+        payload, ref = encode_jpeg_hierarchical(img, levels=3)
+        arr, _ = decode_jpeg(payload)
+        assert arr.shape == (H, W)
+        err = np.abs(arr.astype(int) - img.astype(int))
+        assert err.max() <= 4 and err.mean() < 1.0, (H, W, err.max())
+        # and it must equal the encoder-mirrored reconstruction chain
+        # (clamped reference + rounding) within the float ulp of two
+        # different IDCT evaluation orders
+        assert np.abs(arr.astype(np.int64) - ref[0]).max() <= 1
+
+
+def test_jpeg_hierarchical_zero_diff_pins_exp_filter():
+    """All-zero differential frames: the decode must be EXACTLY the
+    J.1.1.2 expansion chain of the first frame's reconstruction — the
+    first frame's pixels are recovered decoder-vs-decoder (a standalone
+    SOF0 stream of the same coarse plane), so this pins the EXP filter
+    and the clamped-reference accumulation bit-for-bit."""
+    rng = np.random.default_rng(202)
+    img = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    payload, _ = encode_jpeg_hierarchical(img, levels=2, zero_diff=True)
+    arr, _ = decode_jpeg(payload)
+    # rebuild the first frame's reconstruction independently
+    coarse = _box2(img.astype(np.float64))
+    ch, cw = coarse.shape
+    comps, recon = _frame_coef_blocks([coarse], ch, cw, 128.0)
+    level0 = np.clip(np.round(recon[0]) + 128, 0, 255).astype(np.int64)
+    expected = _exp_up_ref(level0)[:23, :17]
+    assert np.array_equal(arr.astype(np.int64), expected)
+
+
+def test_jpeg_hierarchical_rgb_and_progressive_diff():
+    """RGB 4:4:4 through both differential frame types: SOF5 sequential
+    and SOF6 progressive must land on the same pixels (same coefficients,
+    different entropy layout) and track the source."""
+    rng = np.random.default_rng(203)
+    img = rng.integers(0, 256, (18, 25, 3), dtype=np.uint8)
+    p_seq, _ = encode_jpeg_hierarchical(img, levels=2)
+    p_prog, _ = encode_jpeg_hierarchical(img, levels=2, progressive_diff=True)
+    a_seq, _ = decode_jpeg(p_seq)
+    a_prog, _ = decode_jpeg(p_prog)
+    assert a_seq.shape == (18, 25, 3)
+    assert np.array_equal(a_seq, a_prog)
+    err = np.abs(a_seq.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_jpeg_hierarchical_feeds_builtin_decoder():
+    from mitie_spark.operators.media_codecs import builtin_decoder
+
+    img = np.full((16, 16), 64, dtype=np.uint8)
+    payload, _ = encode_jpeg_hierarchical(img, levels=2)
+    feats = builtin_decoder(payload)
+    assert feats is not None
+
+
+def test_jpeg_hierarchical_malformed_rejected():
+    img = np.full((16, 16), 90, dtype=np.uint8)
+    payload, _ = encode_jpeg_hierarchical(img, levels=2)
+
+    # differential frame without a DHP header: drop DHP AND the first
+    # (non-differential) frame so the stream leads with EXP+SOF5.
+    # (Dropping only DHP leaves a well-formed single-frame stream — the
+    # decoder stops at the first sequential frame's scan, as a baseline
+    # decoder must.)
+    i = payload.index(bytes([0xFF, 0xDE]))
+    j = payload.index(bytes([0xFF, 0xDF]))
+    no_dhp = payload[:i] + payload[j:]
+    with pytest.raises(UnsupportedMediaError, match="without DHP"):
+        decode_jpeg(no_dhp)
+
+    # bad EXP expansion value
+    j = payload.index(bytes([0xFF, 0xDF]))
+    bad_exp = bytearray(payload)
+    bad_exp[j + 4] = 0x22
+    with pytest.raises(UnsupportedMediaError, match="EXP"):
+        decode_jpeg(bytes(bad_exp))
+
+    # DHP dims that don't match the final frame
+    bad_dhp = bytearray(payload)
+    bad_dhp[i + 5] += 1  # H low byte inside the DHP body
+    with pytest.raises(UnsupportedMediaError, match="DHP"):
+        decode_jpeg(bytes(bad_dhp))
