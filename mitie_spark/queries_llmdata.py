@@ -432,3 +432,77 @@ def bpe_token_counts(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     merges = _bpe_merges_cached(spark, sf_dir)
     return bpe_tokenize(docs, merges).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Real-web ingestion edge: WARC/HTTP envelope round trip (SURVEY.md §2.8;
+# reference analog: the gigaword corpus reader's archive→documents edge,
+# mitielib/include/mitie/gigaword_reader.h:18-250 — here with the envelope
+# a real Common-Crawl crawl actually stores)
+# ---------------------------------------------------------------------------
+
+
+@query("warc_http_ingest")
+def warc_http_ingest(spark, sf_dir):
+    """Ingestion-edge round trip: documents → synthetic WARC archives whose
+    response records carry full HTTP envelopes — status line + headers,
+    bodies cycling identity/gzip/brotli (sources/brotli.py store mode,
+    decoded by the pure-Python RFC 7932 decoder), half of them
+    Transfer-Encoding: chunked, and even-leading archives gzip-member
+    framed like a real .warc.gz — then warc_to_pages recovers every
+    document byte-exactly.
+
+    Registered rows-only because the driver caps correctness rows at 50
+    gated slots (test_registry_fits_driver_correctness_cap); the SAME
+    md5+length-vs-documents DuckDB comparison runs locally in
+    tests/test_queries_vs_oracle.py::test_warc_http_ingest_oracle.
+
+    Scale shape: two narrow Arrow passes (pack, parse), zero shuffle; at
+    100 TB this is the numberless-input edge, so the gate is exactness,
+    not throughput — every envelope layer a crawl contains is exercised.
+    """
+    import pandas as pd
+
+    from mitie_spark.sources.warc import (
+        warc_to_pages,
+        write_http_response,
+        write_warc,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = (text or "").encode("utf-8")
+                recs.append(
+                    {
+                        "url": f"https://corpus.example/{did}",
+                        "warc_ts": "2024-01-01T00:00:00Z",
+                        "html": write_http_response(
+                            body,
+                            content_encoding=(None, "gzip", "br")[did % 3],
+                            chunked=bool(did % 2),
+                        ),
+                    }
+                )
+            for i in range(0, len(recs), 256):
+                part = recs[i : i + 256]
+                lead = int(part[0]["url"].rsplit("/", 1)[1])
+                yield pd.DataFrame(
+                    {"content": [write_warc(part, gzip_members=lead % 2 == 0)]}
+                )
+
+    archives = docs.mapInPandas(pack, "content binary")
+    pages = warc_to_pages(archives)
+    return pages.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.md5("html").alias("text_md5"),
+        F.length(F.col("html").cast("string")).alias("text_len"),
+    )

@@ -19,20 +19,169 @@ same headers the parser consumes (round-trip golden-tested).
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from .brotli import BrotliError, decode_brotli
+
 PAGES_SCHEMA = "url:string,warc_ts:timestamp,html:binary"
 
 _CRLF = b"\r\n"
 
 
-def write_warc(records: list[dict]) -> bytes:
+def gunzip_members(blob: bytes) -> bytes:
+    """Concatenated-gzip-member archive (.warc.gz stores one member per
+    record) → raw bytes. Stops at trailing garbage; raises ValueError on
+    a corrupt first member so callers can fall back."""
+    out = []
+    pos = 0
+    n = len(blob)
+    while pos < n and blob[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(blob[pos:]))
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        pos = n - len(d.unused_data)
+    if not out:
+        raise ValueError("not a gzip archive")
+    return b"".join(out)
+
+
+def _dechunk(body: bytes) -> bytes | None:
+    """Transfer-Encoding: chunked → payload bytes, or None if malformed
+    (caller falls back to the raw body). Chunk extensions after ';' and
+    trailer headers are ignored per RFC 9112."""
+    out = []
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size < 0:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) ignored
+        if pos + size > n:
+            return None
+        out.append(body[pos : pos + size])
+        pos += size
+        if body[pos : pos + 2] != _CRLF:
+            return None
+        pos += 2
+
+
+def _decode_content(body: bytes, encoding: str) -> bytes | None:
+    """Content-Encoding layer → decoded bytes, or None if undecodable
+    (caller keeps the raw body rather than dropping the record)."""
+    enc = encoding.strip().lower()
+    try:
+        if enc in ("", "identity", "none"):
+            return body
+        if enc in ("gzip", "x-gzip"):
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out = d.decompress(body)
+            return out + d.flush()
+        if enc == "deflate":
+            # servers send both zlib-wrapped and raw-deflate bodies
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+        if enc == "br":
+            return decode_brotli(body, max_out=1 << 28)
+    except (zlib.error, BrotliError, EOFError):
+        return None
+    return None  # unknown encoding (zstd without the codec, etc.)
+
+
+def strip_http_envelope(payload: bytes) -> bytes:
+    """Full HTTP response (status line + headers + body) → document
+    bytes, applying Transfer-Encoding: chunked and Content-Encoding:
+    gzip/x-gzip/deflate/br — the envelope a real Common-Crawl response
+    record actually carries. Non-HTTP payloads pass through unchanged;
+    undecodable layers degrade to the raw body (record kept)."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    body_at = payload.find(_CRLF + _CRLF)
+    if body_at < 0:
+        return payload
+    head = payload[:body_at].decode("latin-1", "replace")
+    body = payload[body_at + 4 :]
+    te = ce = ""
+    for line in head.split("\r\n")[1:]:
+        k, _, v = line.partition(":")
+        k = k.strip().lower()
+        if k == "transfer-encoding":
+            te = v.strip().lower()
+        elif k == "content-encoding":
+            ce = v.strip().lower()
+    if "chunked" in te:
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+    if ce:
+        decoded = _decode_content(body, ce)
+        if decoded is not None:
+            body = decoded
+    return body
+
+
+def write_http_response(
+    body: bytes,
+    *,
+    content_encoding: str | None = None,
+    chunked: bool = False,
+    chunk: int = 4096,
+) -> bytes:
+    """Synthesize the HTTP response envelope a real crawl record carries:
+    status line + headers + body, optionally Content-Encoding'd
+    (gzip/deflate/br — br uses the store-mode brotli encoder, so the
+    round-trip is self-contained) and/or Transfer-Encoding: chunked.
+    Round-trip partner of strip_http_envelope."""
+    headers = [b"HTTP/1.1 200 OK", b"Content-Type: text/html; charset=UTF-8"]
+    if content_encoding == "gzip":
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        body = co.compress(body) + co.flush()
+        headers.append(b"Content-Encoding: gzip")
+    elif content_encoding == "deflate":
+        body = zlib.compress(body)
+        headers.append(b"Content-Encoding: deflate")
+    elif content_encoding == "br":
+        from .brotli import encode_brotli_store
+
+        body = encode_brotli_store(body)
+        headers.append(b"Content-Encoding: br")
+    elif content_encoding:
+        raise ValueError(f"unsupported encoding {content_encoding!r}")
+    if chunked:
+        headers.append(b"Transfer-Encoding: chunked")
+        parts = []
+        for i in range(0, len(body), chunk):
+            piece = body[i : i + chunk]
+            parts.append(b"%x" % len(piece) + _CRLF + piece + _CRLF)
+        parts.append(b"0" + _CRLF + _CRLF)
+        body = b"".join(parts)
+    else:
+        headers.append(b"Content-Length: " + str(len(body)).encode("ascii"))
+    return _CRLF.join(headers) + _CRLF + _CRLF + body
+
+
+def write_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
     """records: [{url, warc_ts (ISO str), html (bytes)}] → WARC/1.0 bytes.
-    Response records only; headers cover what the parser reads."""
+    Response records only; headers cover what the parser reads. With
+    gzip_members=True each record becomes its own gzip member — the
+    Common-Crawl .warc.gz framing gunzip_members undoes."""
     out = []
     for r in records:
         payload = r["html"]
@@ -43,9 +192,11 @@ def write_warc(records: list[dict]) -> bytes:
             b"WARC-Date: " + r["warc_ts"].encode("ascii"),
             b"Content-Length: " + str(len(payload)).encode("ascii"),
         ]
-        out.append(
-            _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
-        )
+        rec = _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            rec = co.compress(rec) + co.flush()
+        out.append(rec)
     return b"".join(out)
 
 
@@ -103,11 +254,10 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
             continue
         payload = blob[head_end + 4 : head_end + 4 + length]
         if fields.get("warc-type") == "response":
-            if payload.startswith(b"HTTP/"):
-                # application/http payload: strip the HTTP response headers
-                body_at = payload.find(_CRLF + _CRLF)
-                if body_at >= 0:
-                    payload = payload[body_at + 4 :]
+            # application/http payload: strip the status line + headers
+            # and undo Transfer-Encoding / Content-Encoding (chunked,
+            # gzip, deflate, brotli) — the envelope real crawls store.
+            payload = strip_http_envelope(payload)
             recs.append(
                 (
                     fields.get("warc-target-uri", ""),
@@ -132,7 +282,13 @@ def warc_to_pages(archives: DataFrame, content_col: str = "content") -> DataFram
             tss: list = []
             htmls: list = []
             for blob in pdf[content_col]:
-                for url, ts, payload in parse_warc_bytes(bytes(blob or b"")):
+                raw = bytes(blob or b"")
+                if raw[:2] == b"\x1f\x8b":  # .warc.gz member framing
+                    try:
+                        raw = gunzip_members(raw)
+                    except (ValueError, zlib.error):
+                        continue  # corrupt archive blob: skip, task lives
+                for url, ts, payload in parse_warc_bytes(raw):
                     urls.append(url)
                     tss.append(ts)
                     htmls.append(payload)

@@ -52,3 +52,25 @@ def test_registry_fits_driver_correctness_cap():
     assert not stranded, f"gated queries beyond the cap: {stranded}"
     # gated entries must come first (rows-only entries carry less evidence)
     assert all(n in gated for n in names[: len(gated)])
+
+
+def test_warc_http_ingest_oracle(spark):
+    """warc_http_ingest is registered rows-only (the driver's 50 gated
+    slots are full), so its DuckDB gate runs here explicitly: the WARC/
+    HTTP envelope round trip must reproduce every document's md5 and
+    length from the plain table."""
+    from mitie_spark.queries import QUERIES
+    from tests.oracle import compare, duck_connection
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = QUERIES["warc_http_ingest"](spark, sf_dir)
+    duck = duck_connection(sf_dir).execute(
+        """
+        SELECT doc_id,
+               md5(COALESCE(text, '')) AS text_md5,
+               length(COALESCE(text, '')) AS text_len
+        FROM documents
+        """
+    ).fetchdf()
+    errs = compare(got, duck)
+    assert not errs, errs

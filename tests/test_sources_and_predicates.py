@@ -334,3 +334,75 @@ def test_reader_mutation_fuzz_never_raises():
                 ins = rng.integers(0, 256, int(rng.integers(1, 65))).astype(np.uint8)
                 q = np.concatenate([q[:at], ins, q[at:]])
             parse(q.tobytes())  # must not raise, whatever it returns
+
+
+def test_warc_real_web_envelopes():
+    """Real Common-Crawl response payloads are HTTP responses whose
+    bodies arrive chunked and/or Content-Encoding'd (gzip/deflate/br).
+    strip_http_envelope must undo every layer; undecodable layers must
+    degrade to the raw body, never drop the record."""
+    import zlib
+
+    from mitie_spark.sources.brotli import encode_brotli_store
+    from mitie_spark.sources.warc import strip_http_envelope, write_http_response
+
+    body = ("<html><body>" + "<p>La niña публика 日本</p>" * 50 + "</body></html>").encode()
+    for enc in (None, "gzip", "deflate", "br"):
+        for chunked in (False, True):
+            env = write_http_response(body, content_encoding=enc, chunked=chunked)
+            assert strip_http_envelope(env) == body, (enc, chunked)
+    # raw-deflate variant (servers send deflate without the zlib wrapper)
+    raw = zlib.compress(body)[2:-4]
+    env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw)
+    assert strip_http_envelope(env) == body
+    # unknown encoding → raw body kept (record survives)
+    env = b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nOPAQUE"
+    assert strip_http_envelope(env) == b"OPAQUE"
+    # malformed chunk framing → raw body kept
+    env = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnot-hex\r\nx"
+    assert strip_http_envelope(env) == b"not-hex\r\nx"
+    # truncated brotli body → raw body kept
+    broken = encode_brotli_store(body)[:-4]
+    env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + broken)
+    assert strip_http_envelope(env) == broken
+    # non-HTTP payload passes through
+    assert strip_http_envelope(b"<html>bare</html>") == b"<html>bare</html>"
+
+
+def test_warc_gz_member_framing(spark, tmp_path):
+    """.warc.gz stores one gzip member per record; gunzip_members undoes
+    the framing and warc_to_pages sniffs it per blob — including pages
+    whose HTTP bodies are themselves brotli- or gzip-encoded (the two
+    compression layers are independent)."""
+    from mitie_spark.sources.warc import (
+        gunzip_members,
+        parse_warc_bytes,
+        warc_to_pages,
+        write_http_response,
+        write_warc,
+    )
+
+    docs = [f"<html><p>page {i} text</p></html>".encode() for i in range(6)]
+    encs = [None, "gzip", "br", None, "gzip", "br"]
+    recs = [
+        {
+            "url": f"https://ex.org/{i}",
+            "warc_ts": f"2024-02-0{i + 1}T00:00:00Z",
+            "html": write_http_response(docs[i], content_encoding=encs[i], chunked=(i % 2 == 1)),
+        }
+        for i in range(6)
+    ]
+    gz = write_warc(recs, gzip_members=True)
+    assert gz[:2] == b"\x1f\x8b"
+    assert parse_warc_bytes(gunzip_members(gz)) == [
+        (r["url"], r["warc_ts"], docs[i]) for i, r in enumerate(recs)
+    ]
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(gz)
+    # a corrupt sibling blob is skipped without killing the task
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 40)
+    pages = warc_to_pages(
+        spark.read.format("binaryFile").load(str(tmp_path))
+    ).orderBy("url")
+    rows = pages.collect()
+    assert [bytes(r["html"]) for r in rows] == docs
