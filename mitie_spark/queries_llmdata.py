@@ -446,11 +446,11 @@ def bpe_token_counts(spark, sf_dir):
 def warc_http_ingest(spark, sf_dir):
     """Ingestion-edge round trip: documents → synthetic WARC archives whose
     response records carry full HTTP envelopes — status line + headers,
-    bodies cycling identity/gzip/brotli (sources/brotli.py store mode,
-    decoded by the pure-Python RFC 7932 decoder), half of them
-    Transfer-Encoding: chunked, and even-leading archives gzip-member
-    framed like a real .warc.gz — then warc_to_pages recovers every
-    document byte-exactly.
+    bodies cycling identity/gzip/brotli/zstd (sources/brotli.py and
+    sources/zstd.py store modes, decoded by the pure-Python RFC 7932 and
+    RFC 8878 decoders), half of them Transfer-Encoding: chunked, and
+    even-leading archives gzip-member framed like a real .warc.gz — then
+    warc_to_pages recovers every document byte-exactly.
 
     Registered rows-only because the driver caps correctness rows at 50
     gated slots (test_registry_fits_driver_correctness_cap); the SAME
@@ -487,7 +487,9 @@ def warc_http_ingest(spark, sf_dir):
                         "warc_ts": "2024-01-01T00:00:00Z",
                         "html": write_http_response(
                             body,
-                            content_encoding=(None, "gzip", "br")[did % 3],
+                            content_encoding=(None, "gzip", "br", "zstd")[
+                                did % 4
+                            ],
                             chunked=bool(did % 2),
                         ),
                     }

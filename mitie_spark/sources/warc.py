@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .brotli import BrotliError, decode_brotli
+from .zstd import ZstdError, decode_zstd
 
 PAGES_SCHEMA = "url:string,warc_ts:timestamp,html:binary"
 
@@ -100,17 +101,20 @@ def _decode_content(body: bytes, encoding: str) -> bytes | None:
                 return zlib.decompress(body, -zlib.MAX_WBITS)
         if enc == "br":
             return decode_brotli(body, max_out=1 << 28)
-    except (zlib.error, BrotliError, EOFError):
+        if enc == "zstd":
+            return decode_zstd(body, max_out=1 << 28)
+    except (zlib.error, BrotliError, ZstdError, EOFError):
         return None
-    return None  # unknown encoding (zstd without the codec, etc.)
+    return None  # unknown encoding (compress, multi-layer lists, etc.)
 
 
 def strip_http_envelope(payload: bytes) -> bytes:
     """Full HTTP response (status line + headers + body) → document
     bytes, applying Transfer-Encoding: chunked and Content-Encoding:
-    gzip/x-gzip/deflate/br — the envelope a real Common-Crawl response
-    record actually carries. Non-HTTP payloads pass through unchanged;
-    undecodable layers degrade to the raw body (record kept)."""
+    gzip/x-gzip/deflate/br/zstd — the envelope a real Common-Crawl
+    response record actually carries. Non-HTTP payloads pass through
+    unchanged; undecodable layers degrade to the raw body (record
+    kept)."""
     if not payload.startswith(b"HTTP/"):
         return payload
     body_at = payload.find(_CRLF + _CRLF)
@@ -146,9 +150,9 @@ def write_http_response(
 ) -> bytes:
     """Synthesize the HTTP response envelope a real crawl record carries:
     status line + headers + body, optionally Content-Encoding'd
-    (gzip/deflate/br — br uses the store-mode brotli encoder, so the
-    round-trip is self-contained) and/or Transfer-Encoding: chunked.
-    Round-trip partner of strip_http_envelope."""
+    (gzip/deflate/br/zstd — br and zstd use the store-mode encoders,
+    so the round-trip is self-contained) and/or Transfer-Encoding:
+    chunked. Round-trip partner of strip_http_envelope."""
     headers = [b"HTTP/1.1 200 OK", b"Content-Type: text/html; charset=UTF-8"]
     if content_encoding == "gzip":
         co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
@@ -162,6 +166,11 @@ def write_http_response(
 
         body = encode_brotli_store(body)
         headers.append(b"Content-Encoding: br")
+    elif content_encoding == "zstd":
+        from .zstd import encode_zstd_store
+
+        body = encode_zstd_store(body)
+        headers.append(b"Content-Encoding: zstd")
     elif content_encoding:
         raise ValueError(f"unsupported encoding {content_encoding!r}")
     if chunked:

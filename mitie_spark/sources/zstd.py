@@ -1,0 +1,821 @@
+"""Pure-Python Zstandard (RFC 8878) decoder + store-mode encoder.
+
+Role in the engine: the fourth Content-Encoding a real web crawl
+contains is ``zstd`` (RFC 8878 registered it for HTTP alongside gzip/
+deflate/br).  gzip/deflate come from the stdlib and brotli from
+``sources/brotli.py``; zstd does not ship with CPython, so this module
+implements the decode side of RFC 8878 from scratch — frame and block
+framing, FSE (tANS) normalized-count headers and decode tables, Huffman
+literals (direct and FSE-compressed weights, 1- and 4-stream), the
+sequences section with all four symbol-compression modes (predefined /
+RLE / FSE / repeat), the three-slot repeat-offset machinery with its
+literals_length==0 special cases, skippable frames, and XXH64 content
+checksums.  External dictionaries (Dictionary_ID != 0) are rejected —
+HTTP zstd bodies are dictionary-less.
+
+Correctness story (tests/test_zstd.py): differential against the
+in-sandbox system libzstd (ctypes) in both directions — every frame
+libzstd emits (levels 1..22, forced window logs, checksum on/off,
+content-size on/off, seven corpora; plus pyarrow's bundled zstd as a
+second independent producer) must decode byte-identically here, and
+every frame our store-mode encoder emits must decode byte-identically
+under ZSTD_decompress.  Random corruption / truncation must fail fast
+with ZstdError, never hang, and never leak another exception type.
+
+Scale note: like brotli.py this is the built-in (dependency-free)
+decoder used inside Arrow-batched ``mapInPandas`` ingestion stages; it
+trades single-stream speed for zero native dependencies, and the
+ingestion seam accepts an injected C decoder where one is available.
+Store-mode output (`encode_zstd_store`) decodes on the raw-block
+byte-copy fast path.
+"""
+
+from __future__ import annotations
+
+__all__ = ["ZstdError", "decode_zstd", "encode_zstd_store", "xxh64"]
+
+
+class ZstdError(ValueError):
+    """Malformed or truncated zstd stream (fail-fast contract)."""
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (the checksum RFC 8878 fixes; seed 0, low 32 bits stored)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    mv = memoryview(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        lim = n - 32
+        while i <= lim:
+            v1 = _round(v1, int.from_bytes(mv[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(mv[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(mv[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(mv[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _round(0, int.from_bytes(mv[i : i + 8], "little"))
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(mv[i : i + 4], "little") * _P1) & _M64
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (mv[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Bit readers.  FSE table descriptions read FORWARD (LSB-first within
+# bytes); FSE/Huffman payload bitstreams read BACKWARD from a sentinel
+# bit (the highest set bit of the last byte).
+# ---------------------------------------------------------------------------
+
+
+class _FwdBits:
+    __slots__ = ("data", "n", "bitpos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.bitpos = 0
+
+    def peek(self, nbits: int) -> int:
+        # zero-filled past the end (the byte-aligned accounting at the
+        # end of a table description rejects real overruns)
+        p = self.bitpos
+        lo = p >> 3
+        hi = min((p + nbits + 7) >> 3, self.n)
+        if lo >= self.n:
+            return 0
+        chunk = int.from_bytes(self.data[lo:hi], "little")
+        return (chunk >> (p & 7)) & ((1 << nbits) - 1)
+
+    def read(self, nbits: int) -> int:
+        v = self.peek(nbits)
+        self.bitpos += nbits
+        if self.bitpos > self.n * 8 + 64:
+            raise ZstdError("FSE table description overruns its data")
+        return v
+
+    def consumed_bytes(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+class _BackBits:
+    """RFC 8878 §3.1.1.4-3.1.1.5 backward bitstream: the encoder pads
+    the last byte with a single 1 sentinel bit; the decoder reads from
+    just below the sentinel toward bit 0.  Reads below bit 0 zero-fill
+    and set p negative (the FSE tail loop uses that as its stop
+    condition, mirroring BIT_DStream_overflow)."""
+
+    __slots__ = ("data", "p")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ZstdError("bitstream missing its sentinel bit")
+        self.data = data
+        self.p = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def peek(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        p = self.p - nbits
+        if p >= 0:
+            lo = p >> 3
+            hi = (self.p + 7) >> 3
+            chunk = int.from_bytes(self.data[lo:hi], "little")
+            return (chunk >> (p & 7)) & ((1 << nbits) - 1)
+        avail = nbits + p  # bits remaining above position 0
+        if avail <= 0:
+            return 0
+        chunk = int.from_bytes(self.data[0 : (avail + 7) >> 3], "little")
+        return (chunk & ((1 << avail) - 1)) << -p
+
+    def read(self, nbits: int) -> int:
+        v = self.peek(nbits)
+        self.p -= nbits
+        return v
+
+
+# ---------------------------------------------------------------------------
+# FSE: normalized-count header (forward) + decode-table build (§4.1)
+# ---------------------------------------------------------------------------
+
+
+def _read_ncount(
+    data: bytes, max_symbol: int, max_alog: int
+) -> tuple[list[int], int, int]:
+    """FSE table description → (normalized counts, accuracy_log,
+    bytes consumed).  Counts may include -1 ("less than 1")."""
+    br = _FwdBits(data)
+    alog = br.read(4) + 5
+    if alog > max_alog:
+        raise ZstdError("FSE accuracy log too large")
+    remaining = (1 << alog) + 1
+    threshold = 1 << alog
+    nbits = alog + 1
+    counts: list[int] = []
+    prev0 = False
+    while remaining > 1:
+        if len(counts) > max_symbol:
+            raise ZstdError("FSE counts exceed the alphabet")
+        if prev0:
+            # zero-run: 2-bit repeats, value 3 continues the run
+            while br.peek(2) == 3:
+                br.read(2)
+                counts.extend((0, 0, 0))
+                if len(counts) > max_symbol:
+                    raise ZstdError("FSE zero run exceeds the alphabet")
+            counts.extend((0,) * br.read(2))
+            if len(counts) > max_symbol:
+                raise ZstdError("FSE zero run exceeds the alphabet")
+            prev0 = False
+        vmax = (2 * threshold - 1) - remaining
+        low = br.peek(nbits - 1)
+        if low < vmax:
+            br.read(nbits - 1)
+            value = low
+        else:
+            value = br.read(nbits)
+            if value >= threshold:
+                value -= vmax
+        count = value - 1
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        prev0 = count == 0
+        while remaining < threshold:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ZstdError("FSE counts do not sum to the table size")
+    consumed = br.consumed_bytes()
+    if consumed > len(data):
+        raise ZstdError("FSE table description overruns its data")
+    return counts, alog, consumed
+
+
+def _fse_table(counts: list[int], alog: int) -> list[tuple[int, int, int]]:
+    """Normalized counts → decode table: entries (symbol, nb_bits,
+    baseline); next_state = baseline + read(nb_bits)."""
+    size = 1 << alog
+    table = [0] * size
+    high = size - 1
+    nxt = [0] * len(counts)
+    for s, c in enumerate(counts):
+        if c == -1:  # low-probability symbols sit at the table's end
+            table[high] = s
+            high -= 1
+            nxt[s] = 1
+        elif c > 0:
+            nxt[s] = c
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            table[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("FSE spread did not close")
+    entries = []
+    for i in range(size):
+        s = table[i]
+        ns = nxt[s]
+        nxt[s] = ns + 1
+        nb = alog - (ns.bit_length() - 1)
+        entries.append((s, nb, (ns << nb) - size))
+    return entries
+
+
+def _fse_decode_tail(
+    entries: list[tuple[int, int, int]], alog: int, stream: bytes, cap: int
+) -> list[int]:
+    """Two-state interleaved FSE decode of an unknown-length symbol
+    stream (the Huffman-weights payload, §4.2.1.2): alternate states,
+    stop after the first state update that underflows the bitstream,
+    flushing one final symbol from the other state."""
+    br = _BackBits(stream)
+    s1 = br.read(alog)
+    s2 = br.read(alog)
+    if br.p < 0:
+        raise ZstdError("FSE stream shorter than its two initial states")
+    out: list[int] = []
+    while True:
+        sym, nb, base = entries[s1]
+        out.append(sym)
+        s1 = base + br.read(nb)
+        if br.p < 0:
+            out.append(entries[s2][0])
+            break
+        sym, nb, base = entries[s2]
+        out.append(sym)
+        s2 = base + br.read(nb)
+        if br.p < 0:
+            out.append(entries[s1][0])
+            break
+        if len(out) > cap:
+            raise ZstdError("FSE stream emits more symbols than allowed")
+    if len(out) > cap:
+        raise ZstdError("FSE stream emits more symbols than allowed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals (§4.2)
+# ---------------------------------------------------------------------------
+
+
+def _read_huffman(
+    block: bytes, pos: int
+) -> tuple[list[tuple[int, int]], int, int]:
+    """Huffman_Tree_Description at block[pos:] → (decode table of
+    (symbol, nb_bits) sized 1<<table_log, table_log, new pos)."""
+    if pos >= len(block):
+        raise ZstdError("missing Huffman tree description")
+    hb = block[pos]
+    pos += 1
+    if hb < 128:  # FSE-compressed weights, hb = compressed size
+        blob = block[pos : pos + hb]
+        if len(blob) < hb:
+            raise ZstdError("truncated Huffman weight stream")
+        pos += hb
+        counts, alog, used = _read_ncount(blob, 255, 6)
+        weights = _fse_decode_tail(
+            _fse_table(counts, alog), alog, blob[used:], 255
+        )
+    else:  # direct 4-bit weights, hb-127 of them
+        n = hb - 127
+        nb = (n + 1) >> 1
+        raw = block[pos : pos + nb]
+        if len(raw) < nb:
+            raise ZstdError("truncated Huffman weights")
+        pos += nb
+        weights = [
+            (raw[i >> 1] >> (4 if (i & 1) == 0 else 0)) & 15 for i in range(n)
+        ]
+    if len(weights) < 1 or len(weights) > 255:
+        raise ZstdError("bad Huffman weight count")
+    if any(w > 11 for w in weights):
+        raise ZstdError("Huffman weight exceeds the format's 11-bit cap")
+    total = sum(1 << (w - 1) for w in weights if w)
+    if total == 0:
+        raise ZstdError("empty Huffman code")
+    tlog = total.bit_length()  # smallest p with 2**p > total
+    if tlog > 11:
+        raise ZstdError("Huffman code deeper than 11 bits")
+    left = (1 << tlog) - total
+    if left & (left - 1):
+        raise ZstdError("Huffman weights do not close the code")
+    weights.append(left.bit_length())  # the implied last symbol
+    # canonical table: weight-1 (longest) codes fill from index 0 up
+    rank_count = [0] * 13
+    for w in weights:
+        rank_count[w] += 1
+    rank_pos = [0] * 13
+    cur = 0
+    for w in range(1, tlog + 1):
+        rank_pos[w] = cur
+        cur += rank_count[w] << (w - 1)
+    if cur != 1 << tlog:
+        raise ZstdError("Huffman ranks do not fill the table")
+    table: list[tuple[int, int]] = [(0, 0)] * (1 << tlog)
+    for sym, w in enumerate(weights):
+        if w == 0:
+            continue
+        span = 1 << (w - 1)
+        at = rank_pos[w]
+        entry = (sym, tlog + 1 - w)
+        for i in range(at, at + span):
+            table[i] = entry
+        rank_pos[w] = at + span
+    return table, tlog, pos
+
+
+def _huf_decode(
+    table: list[tuple[int, int]], tlog: int, stream: bytes, n_out: int
+) -> bytearray:
+    br = _BackBits(stream)
+    out = bytearray(n_out)
+    p = br.p
+    data = br.data
+    mask = (1 << tlog) - 1
+    for i in range(n_out):
+        at = p - tlog
+        if at >= 0:
+            lo = at >> 3
+            idx = (
+                int.from_bytes(data[lo : (p + 7) >> 3], "little") >> (at & 7)
+            ) & mask
+        else:
+            avail = tlog + at
+            if avail <= 0:
+                raise ZstdError("Huffman stream exhausted early")
+            idx = (
+                int.from_bytes(data[0 : (avail + 7) >> 3], "little")
+                & ((1 << avail) - 1)
+            ) << -at
+        sym, nb = table[idx]
+        p -= nb
+        if p < 0:
+            raise ZstdError("Huffman stream exhausted early")
+        out[i] = sym
+    if p != 0:
+        raise ZstdError("Huffman stream not fully consumed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Literals section (§3.1.1.3.1)
+# ---------------------------------------------------------------------------
+
+_MAX_BLOCK = 1 << 17  # 128 KB: maximum block size, compressed or regenerated
+
+
+def _decode_literals(block: bytes, pos: int, huff_state):
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype <= 1:  # 0 = raw, 1 = RLE
+        if sf in (0, 2):
+            size = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            size = int.from_bytes(block[pos : pos + 2], "little") >> 4
+            pos += 2
+        else:
+            size = int.from_bytes(block[pos : pos + 3], "little") >> 4
+            pos += 3
+        if ltype == 0:
+            lit = bytes(block[pos : pos + size])
+            if len(lit) < size:
+                raise ZstdError("truncated raw literals")
+            pos += size
+        else:
+            if pos >= len(block):
+                raise ZstdError("truncated RLE literals")
+            lit = bytes((block[pos],)) * size
+            pos += 1
+        return lit, pos, huff_state
+    # 2 = compressed (new tree), 3 = treeless (reuse frame's tree)
+    if sf == 0:
+        v = int.from_bytes(block[pos : pos + 3], "little")
+        regen, csize, streams = (v >> 4) & 0x3FF, v >> 14, 1
+        pos += 3
+    elif sf == 1:
+        v = int.from_bytes(block[pos : pos + 3], "little")
+        regen, csize, streams = (v >> 4) & 0x3FF, v >> 14, 4
+        pos += 3
+    elif sf == 2:
+        v = int.from_bytes(block[pos : pos + 4], "little")
+        regen, csize, streams = (v >> 4) & 0x3FFF, v >> 18, 4
+        pos += 4
+    else:
+        v = int.from_bytes(block[pos : pos + 5], "little")
+        regen, csize, streams = (v >> 4) & 0x3FFFF, v >> 22, 4
+        pos += 5
+    if regen > _MAX_BLOCK:
+        raise ZstdError("literals regenerate past the 128 KB block cap")
+    end = pos + csize
+    if end > len(block):
+        raise ZstdError("literals section overruns the block")
+    if ltype == 2:
+        table, tlog, pos = _read_huffman(block, pos)
+        huff_state = (table, tlog)
+    else:
+        if huff_state is None:
+            raise ZstdError("treeless literals with no previous tree")
+        table, tlog = huff_state
+    if streams == 1:
+        lit = _huf_decode(table, tlog, block[pos:end], regen)
+    else:
+        if end - pos < 6:
+            raise ZstdError("missing 4-stream jump table")
+        s1 = int.from_bytes(block[pos : pos + 2], "little")
+        s2 = int.from_bytes(block[pos + 2 : pos + 4], "little")
+        s3 = int.from_bytes(block[pos + 4 : pos + 6], "little")
+        s4 = (end - pos - 6) - s1 - s2 - s3
+        if s4 <= 0:
+            raise ZstdError("4-stream jump table overruns the section")
+        n123 = (regen + 3) >> 2
+        n4 = regen - 3 * n123
+        if n4 < 0:
+            raise ZstdError("4-stream literals shorter than 3 streams")
+        lit = bytearray()
+        at = pos + 6
+        for size, cnt in ((s1, n123), (s2, n123), (s3, n123), (s4, n4)):
+            lit += _huf_decode(table, tlog, block[at : at + size], cnt)
+            at += size
+    return bytes(lit), end, huff_state
+
+
+# ---------------------------------------------------------------------------
+# Sequences section (§3.1.1.3.2): code tables, predefined distributions
+# ---------------------------------------------------------------------------
+
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512,
+    1024, 2048, 4096, 8192, 16384, 32768, 65536,
+]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515,
+    1027, 2051, 4099, 8195, 16387, 32771, 65539,
+]
+
+# RFC 8878 predefined distributions (mode 0)
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+     2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+     -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+     -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+_PREDEFINED: dict[str, tuple[list, int]] = {}
+
+
+def _predefined(kind: str):
+    if not _PREDEFINED:
+        for k, (counts, alog) in (
+            ("ll", _LL_DEFAULT), ("ml", _ML_DEFAULT), ("of", _OF_DEFAULT)
+        ):
+            _PREDEFINED[k] = (_fse_table(counts, alog), alog)
+    return _PREDEFINED[kind]
+
+
+_SEQ_MAX_CODE = {"ll": 35, "of": 31, "ml": 52}
+_SEQ_MAX_ALOG = {"ll": 9, "of": 8, "ml": 9}
+
+
+def _seq_table(block: bytes, pos: int, mode: int, kind: str, prev):
+    """One sequence symbol table per its 2-bit compression mode →
+    ((entries, accuracy_log), new pos)."""
+    if mode == 0:
+        return _predefined(kind), pos
+    if mode == 1:  # RLE: a single symbol, zero bits per use
+        if pos >= len(block):
+            raise ZstdError("truncated RLE sequence table")
+        sym = block[pos]
+        if sym > _SEQ_MAX_CODE[kind]:
+            raise ZstdError(f"RLE {kind} code out of range")
+        return ([(sym, 0, 0)], 0), pos + 1
+    if mode == 2:
+        counts, alog, used = _read_ncount(
+            block[pos:], _SEQ_MAX_CODE[kind], _SEQ_MAX_ALOG[kind]
+        )
+        return (_fse_table(counts, alog), alog), pos + used
+    if prev is None:
+        raise ZstdError(f"repeat {kind} table with no previous table")
+    return prev, pos
+
+
+def _decode_sequences(block, pos, lit, out, rep, seq_state, out_budget):
+    """Sequences section + execution against `out` (the frame-local
+    history).  Mutates out/rep/seq_state; returns the updated rep."""
+    if pos >= len(block):
+        raise ZstdError("missing sequences section")
+    b0 = block[pos]
+    if b0 == 0:
+        if pos + 1 != len(block):
+            raise ZstdError("trailing bytes after an empty sequences section")
+        out += lit
+        return rep
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 2 > len(block):
+            raise ZstdError("truncated sequence count")
+        nseq = ((b0 - 128) << 8) + block[pos + 1]
+        pos += 2
+    else:
+        if pos + 3 > len(block):
+            raise ZstdError("truncated sequence count")
+        nseq = int.from_bytes(block[pos + 1 : pos + 3], "little") + 0x7F00
+        pos += 3
+    if pos >= len(block):
+        raise ZstdError("missing sequence compression modes")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("reserved sequence mode bits set")
+    (ll_tab, ll_log), pos = _seq_table(block, pos, (modes >> 6) & 3, "ll", seq_state["ll"])
+    (of_tab, of_log), pos = _seq_table(block, pos, (modes >> 4) & 3, "of", seq_state["of"])
+    (ml_tab, ml_log), pos = _seq_table(block, pos, (modes >> 2) & 3, "ml", seq_state["ml"])
+    seq_state["ll"], seq_state["of"], seq_state["ml"] = (
+        (ll_tab, ll_log), (of_tab, of_log), (ml_tab, ml_log)
+    )
+    br = _BackBits(block[pos:])
+    ll_s = br.read(ll_log)
+    of_s = br.read(of_log)
+    ml_s = br.read(ml_log)
+    if br.p < 0:
+        raise ZstdError("sequence bitstream shorter than its states")
+    lit_pos = 0
+    base = len(out)
+    for i in range(nseq):
+        ll_code = ll_tab[ll_s][0]
+        of_code = of_tab[of_s][0]
+        ml_code = ml_tab[ml_s][0]
+        # value bits read in OF, ML, LL order (§3.1.1.4)
+        ofval = (1 << of_code) + br.read(of_code)
+        ml = _ML_BASE[ml_code] + br.read(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + br.read(_LL_BITS[ll_code])
+        if br.p < 0:
+            raise ZstdError("sequence bitstream exhausted mid-sequence")
+        if ofval > 3:
+            offset = ofval - 3
+            rep = [offset, rep[0], rep[1]]
+        else:
+            idx = ofval - 1 if ll != 0 else ofval
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep = [offset, rep[0], rep[2]]
+            elif idx == 2:
+                offset = rep[2]
+                rep = [offset, rep[0], rep[1]]
+            else:  # literals_length == 0, Offset_Value == 3
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ZstdError("repeat offset underflow")
+                rep = [offset, rep[0], rep[1]]
+        if ll:
+            if lit_pos + ll > len(lit):
+                raise ZstdError("sequence consumes more literals than exist")
+            out += lit[lit_pos : lit_pos + ll]
+            lit_pos += ll
+        if ml:
+            start = len(out) - offset
+            if start < 0:
+                raise ZstdError("match offset reaches before the frame")
+            if offset >= ml:
+                out += out[start : start + ml]
+            else:  # overlap: the offset-long pattern repeats
+                pattern = bytes(out[start:])
+                out += (pattern * (ml // offset + 1))[:ml]
+        if len(out) - base > _MAX_BLOCK:
+            raise ZstdError("block regenerates past the 128 KB cap")
+        if len(out) > out_budget:
+            raise ZstdError("output exceeds max_out")
+        if i + 1 < nseq:  # state updates in LL, ML, OF order
+            ll_s = ll_tab[ll_s][2] + br.read(ll_tab[ll_s][1])
+            ml_s = ml_tab[ml_s][2] + br.read(ml_tab[ml_s][1])
+            of_s = of_tab[of_s][2] + br.read(of_tab[of_s][1])
+            if br.p < 0:
+                raise ZstdError("sequence bitstream exhausted mid-update")
+    if br.p != 0:
+        raise ZstdError("sequence bitstream not fully consumed")
+    out += lit[lit_pos:]
+    if len(out) - base > _MAX_BLOCK:
+        raise ZstdError("block regenerates past the 128 KB cap")
+    return rep
+
+
+# ---------------------------------------------------------------------------
+# Frames (§3.1)
+# ---------------------------------------------------------------------------
+
+_MAGIC = 0xFD2FB528
+
+
+def _decode_frame(data: bytes, pos: int, sink: bytearray, max_out: int) -> int:
+    """One zstd frame starting after the magic → new position.
+    Appends the frame content to sink."""
+    if pos >= len(data):
+        raise ZstdError("truncated frame header")
+    fhd = data[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ZstdError("reserved frame header bit set")
+    single = (fhd >> 5) & 1
+    has_checksum = (fhd >> 2) & 1
+    fcs_flag = fhd >> 6
+    if not single:
+        if pos >= len(data):
+            raise ZstdError("truncated window descriptor")
+        wd = data[pos]
+        pos += 1
+        wbase = 1 << (10 + (wd >> 3))
+        wsize = wbase + (wbase >> 3) * (wd & 7)
+        if wsize > 1 << 31:
+            raise ZstdError("window size beyond the 2 GiB support cap")
+    else:
+        wsize = None  # becomes the content size below
+    did_size = (0, 1, 2, 4)[fhd & 3]
+    if did_size:
+        if int.from_bytes(data[pos : pos + did_size], "little") != 0:
+            raise ZstdError("external dictionaries are not supported")
+        pos += did_size
+    fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    fcs = None
+    if fcs_size:
+        if pos + fcs_size > len(data):
+            raise ZstdError("truncated frame content size")
+        fcs = int.from_bytes(data[pos : pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+        pos += fcs_size
+    if single:
+        wsize = fcs if fcs is not None else 0
+    out = bytearray()
+    huff_state = None
+    seq_state = {"ll": None, "of": None, "ml": None}
+    rep = [1, 4, 8]
+    block_cap = min(wsize if wsize else _MAX_BLOCK, _MAX_BLOCK)
+    out_budget = max_out - len(sink)
+    if fcs is not None and fcs > out_budget:
+        raise ZstdError("output exceeds max_out")
+    while True:
+        if pos + 3 > len(data):
+            raise ZstdError("truncated block header")
+        bh = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 3:
+            raise ZstdError("reserved block type")
+        if bsize > max(block_cap, 1):
+            raise ZstdError("block larger than the frame permits")
+        if btype == 0:  # raw
+            if pos + bsize > len(data):
+                raise ZstdError("truncated raw block")
+            out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE: one byte, bsize copies
+            if pos >= len(data):
+                raise ZstdError("truncated RLE block")
+            out += bytes((data[pos],)) * bsize
+            pos += 1
+        else:  # compressed
+            block = data[pos : pos + bsize]
+            if len(block) < bsize:
+                raise ZstdError("truncated compressed block")
+            pos += bsize
+            lit, at, huff_state = _decode_literals(block, 0, huff_state)
+            rep = _decode_sequences(
+                block, at, lit, out, rep, seq_state, out_budget
+            )
+        if len(out) > out_budget:
+            raise ZstdError("output exceeds max_out")
+        if last:
+            break
+    if fcs is not None and len(out) != fcs:
+        raise ZstdError("frame content size mismatch")
+    if has_checksum:
+        if pos + 4 > len(data):
+            raise ZstdError("truncated content checksum")
+        want = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if xxh64(bytes(out)) & 0xFFFFFFFF != want:
+            raise ZstdError("content checksum mismatch")
+    sink += out
+    return pos
+
+
+def decode_zstd(data: bytes, max_out: int = 1 << 28) -> bytes:
+    """Decode a zstd body: one or more frames, skippable frames
+    allowed between them.  Raises ZstdError on anything malformed;
+    output is capped at max_out (decompression-bomb guard)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ZstdError("trailing bytes too short for a frame magic")
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            if pos + 8 > n:
+                raise ZstdError("truncated skippable frame")
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            pos += 8 + size
+            if pos > n:
+                raise ZstdError("skippable frame overruns the data")
+            continue
+        if magic != _MAGIC:
+            raise ZstdError("bad zstd frame magic")
+        pos = _decode_frame(data, pos + 4, out, max_out)
+    return bytes(out)
+
+
+def encode_zstd_store(data: bytes) -> bytes:
+    """Uncompressed ("store"-mode) zstd frame: single segment, raw
+    blocks, XXH64 content checksum.  Self-contained round-trip partner
+    of decode_zstd; decodes under any conformant decoder."""
+    n = len(data)
+    if n <= 255:
+        flag, fcs = 0, bytes((n,))
+    elif n <= 65535 + 256:
+        flag, fcs = 1, (n - 256).to_bytes(2, "little")
+    elif n < 1 << 32:
+        flag, fcs = 2, n.to_bytes(4, "little")
+    else:
+        flag, fcs = 3, n.to_bytes(8, "little")
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    out.append((flag << 6) | (1 << 5) | (1 << 2))  # single segment + checksum
+    out += fcs
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last empty raw block
+    else:
+        step = min(n, _MAX_BLOCK)
+        for i in range(0, n, step):
+            chunk = data[i : i + step]
+            last = 1 if i + step >= n else 0
+            out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+    out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -347,7 +347,7 @@ def test_warc_real_web_envelopes():
     from mitie_spark.sources.warc import strip_http_envelope, write_http_response
 
     body = ("<html><body>" + "<p>La niña публика 日本</p>" * 50 + "</body></html>").encode()
-    for enc in (None, "gzip", "deflate", "br"):
+    for enc in (None, "gzip", "deflate", "br", "zstd"):
         for chunked in (False, True):
             env = write_http_response(body, content_encoding=enc, chunked=chunked)
             assert strip_http_envelope(env) == body, (enc, chunked)
@@ -356,7 +356,7 @@ def test_warc_real_web_envelopes():
     env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw)
     assert strip_http_envelope(env) == body
     # unknown encoding → raw body kept (record survives)
-    env = b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nOPAQUE"
+    env = b"HTTP/1.1 200 OK\r\nContent-Encoding: compress\r\n\r\nOPAQUE"
     assert strip_http_envelope(env) == b"OPAQUE"
     # malformed chunk framing → raw body kept
     env = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnot-hex\r\nx"
@@ -364,6 +364,12 @@ def test_warc_real_web_envelopes():
     # truncated brotli body → raw body kept
     broken = encode_brotli_store(body)[:-4]
     env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + broken)
+    assert strip_http_envelope(env) == broken
+    # truncated zstd body → raw body kept
+    from mitie_spark.sources.zstd import encode_zstd_store
+
+    broken = encode_zstd_store(body)[:-4]
+    env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\n" + broken)
     assert strip_http_envelope(env) == broken
     # non-HTTP payload passes through
     assert strip_http_envelope(b"<html>bare</html>") == b"<html>bare</html>"
@@ -383,7 +389,7 @@ def test_warc_gz_member_framing(spark, tmp_path):
     )
 
     docs = [f"<html><p>page {i} text</p></html>".encode() for i in range(6)]
-    encs = [None, "gzip", "br", None, "gzip", "br"]
+    encs = [None, "gzip", "br", "zstd", "gzip", "br"]
     recs = [
         {
             "url": f"https://ex.org/{i}",
