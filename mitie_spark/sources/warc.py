@@ -83,9 +83,19 @@ def _dechunk(body: bytes) -> bytes | None:
 
 
 def _decode_content(body: bytes, encoding: str) -> bytes | None:
-    """Content-Encoding layer → decoded bytes, or None if undecodable
-    (caller keeps the raw body rather than dropping the record)."""
+    """Content-Encoding → decoded bytes, or None if undecodable (caller
+    keeps the raw body rather than dropping the record). Handles RFC
+    9110 coding LISTS ("gzip, br" = gzip applied first, br second) by
+    undoing the layers in reverse; all-or-nothing — one undecodable
+    layer degrades to the original raw body."""
     enc = encoding.strip().lower()
+    if "," in enc:
+        for layer in reversed(enc.split(",")):
+            body2 = _decode_content(body, layer)
+            if body2 is None:
+                return None
+            body = body2
+        return body
     try:
         if enc in ("", "identity", "none"):
             return body
@@ -105,7 +115,7 @@ def _decode_content(body: bytes, encoding: str) -> bytes | None:
             return decode_zstd(body, max_out=1 << 28)
     except (zlib.error, BrotliError, ZstdError, EOFError):
         return None
-    return None  # unknown encoding (compress, multi-layer lists, etc.)
+    return None  # unknown encoding (compress, sdch, etc.)
 
 
 def strip_http_envelope(payload: bytes) -> bytes:

@@ -358,6 +358,18 @@ def test_warc_real_web_envelopes():
     # unknown encoding → raw body kept (record survives)
     env = b"HTTP/1.1 200 OK\r\nContent-Encoding: compress\r\n\r\nOPAQUE"
     assert strip_http_envelope(env) == b"OPAQUE"
+    # RFC 9110 coding list: applied gzip-then-br, undone in reverse
+    import zlib as _z
+
+    from mitie_spark.sources.brotli import encode_brotli_store as _ebs
+
+    co = _z.compressobj(6, _z.DEFLATED, 16 + _z.MAX_WBITS)
+    layered = _ebs(co.compress(body) + co.flush())
+    env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip, br\r\n\r\n" + layered)
+    assert strip_http_envelope(env) == body
+    # a list with one undecodable layer → original raw body kept
+    env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: sdch, br\r\n\r\n" + layered)
+    assert strip_http_envelope(env) == layered
     # malformed chunk framing → raw body kept
     env = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnot-hex\r\nx"
     assert strip_http_envelope(env) == b"not-hex\r\nx"
