@@ -256,6 +256,48 @@ def test_bomb_guard():
         decode_zstd(blob, max_out=1000)
 
 
+@needs_lib
+def test_crafted_header_variants():
+    """Frame-header shapes a real encoder never emits but the format
+    allows — wide FCS fields on tiny frames, explicit zero dictionary
+    IDs at every width, window-descriptor mantissas, crafted checksums,
+    RLE blocks — must decode here AND under libzstd identically
+    (the tests/brotli_craft.py pattern: pin conventions the producer
+    differential can't reach)."""
+    magic = (0xFD2FB528).to_bytes(4, "little")
+
+    def raw_block(data, last=1):
+        return (last | (len(data) << 3)).to_bytes(3, "little") + data
+
+    body = b"hello zstd crafted header variants!"
+    n = len(body)
+    big = (body * 12)[:300]
+    frames = {
+        # 8- and 4-byte FCS on a 36-byte single-segment frame
+        "fcs8": magic + bytes([(3 << 6) | 32]) + n.to_bytes(8, "little") + raw_block(body),
+        "fcs4": magic + bytes([(2 << 6) | 32]) + n.to_bytes(4, "little") + raw_block(body),
+        # window descriptor (1 KB), no FCS; and one with mantissa bits
+        "wd_nofcs": magic + bytes([0x00, 0x00]) + raw_block(body),
+        "wd_mant": magic + bytes([0x00, (2 << 3) | 5]) + raw_block(body),
+        # 2-byte FCS stores value-256: needs a >=256-byte frame
+        "fcs2_wd": magic + bytes([1 << 6, 0x00]) + (300 - 256).to_bytes(2, "little") + raw_block(big),
+        # crafted checksum; RLE block
+        "crafted_ck": magic + bytes([32 | 4, n]) + raw_block(body)
+        + (xxh64(body) & 0xFFFFFFFF).to_bytes(4, "little"),
+        "rle": magic + bytes([32, 40])
+        + (1 | (1 << 1) | (40 << 3)).to_bytes(3, "little") + b"Q",
+    }
+    # explicit zero dictionary IDs at 1/2/4 bytes
+    for flag, size in ((1, 1), (2, 2), (3, 4)):
+        frames[f"did{size}"] = (
+            magic + bytes([flag, 0x00]) + b"\x00" * size + raw_block(body)
+        )
+    for name, blob in frames.items():
+        want = {"fcs2_wd": big, "rle": b"Q" * 40}.get(name, body)
+        assert decode_zstd(blob) == want, name
+        assert c_decompress(blob, len(want)) == want, name
+
+
 def test_structural_rejections():
     with pytest.raises(ZstdError):
         decode_zstd(b"\x00\x01\x02\x03")  # bad magic
