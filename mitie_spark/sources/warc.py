@@ -100,9 +100,23 @@ def _decode_content(body: bytes, encoding: str) -> bytes | None:
         if enc in ("", "identity", "none"):
             return body
         if enc in ("gzip", "x-gzip"):
-            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            out = d.decompress(body)
-            return out + d.flush()
+            # walk concatenated members (servers do send them); a
+            # truncated tail member keeps its decoded prefix — better
+            # than surfacing compressed bytes for a cut connection
+            out = []
+            pos = 0
+            n = len(body)
+            while pos < n and body[pos : pos + 2] == b"\x1f\x8b":
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                try:
+                    chunk = d.decompress(body[pos:])
+                except zlib.error:
+                    break
+                out.append(chunk + d.flush())
+                if not d.eof:
+                    break
+                pos = n - len(d.unused_data)
+            return b"".join(out) if out else None
         if enc == "deflate":
             # servers send both zlib-wrapped and raw-deflate bodies
             try:

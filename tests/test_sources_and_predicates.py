@@ -370,6 +370,20 @@ def test_warc_real_web_envelopes():
     # a list with one undecodable layer → original raw body kept
     env = (b"HTTP/1.1 200 OK\r\nContent-Encoding: sdch, br\r\n\r\n" + layered)
     assert strip_http_envelope(env) == layered
+    # concatenated gzip members decode in full; a truncated tail
+    # member degrades to its decoded prefix, not to compressed bytes
+    def gz(b):
+        c = _z.compressobj(6, _z.DEFLATED, 16 + _z.MAX_WBITS)
+        return c.compress(b) + c.flush()
+
+    multi = gz(body[:100]) + gz(body[100:])
+    env = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + multi
+    assert strip_http_envelope(env) == body
+    m2 = gz(body[100:])
+    cut = gz(body[:100]) + m2[: len(m2) // 2]
+    env = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + cut
+    got = strip_http_envelope(env)
+    assert got.startswith(body[:100]) and len(got) < len(body)
     # malformed chunk framing → raw body kept
     env = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnot-hex\r\nx"
     assert strip_http_envelope(env) == b"not-hex\r\nx"
