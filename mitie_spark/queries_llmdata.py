@@ -508,3 +508,67 @@ def warc_http_ingest(spark, sf_dir):
         F.md5("html").alias("text_md5"),
         F.length(F.col("html").cast("string")).alias("text_len"),
     )
+
+
+@query("pdf_document_ingest")
+def pdf_document_ingest(spark, sf_dir):
+    """Ingestion-edge round trip for the web's second document payload:
+    documents → synthetic PDFs via the deterministic writer
+    (sources/pdf.py — cycling classic-xref / xref-stream+ObjStm layout,
+    Flate / LZW / ASCII85-chained content filters, WinAnsi and
+    Identity-H+ToUnicode text, multi-page splits) → extract_pdf_text
+    recovers every document byte-exactly (md5+length vs the plain
+    table; the DuckDB gate runs in tests/test_queries_vs_oracle.py,
+    rows-only here because the driver's 50 gated slots are full).
+
+    Scale shape: one narrow Arrow pass, zero shuffle — each document's
+    PDF is written and parsed inside its own batch, the same
+    per-record shape as the image codecs.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from mitie_spark.sources.pdf import extract_pdf_text, write_pdf
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+
+    def roundtrip(batches):
+        variants = ("classic", "xrefstream")
+        filters = ("flate", "lzw", "a85flate", "none")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, md5s, lens = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = text or ""
+                lines = text.split("\n")
+                pages = [
+                    "\n".join(lines[i : i + 30])
+                    for i in range(0, max(len(lines), 1), 30)
+                ]
+                try:
+                    # winansi needs cp1252-encodable text without bare
+                    # control chars (fonts don't encode those)
+                    text.encode("cp1252")
+                    safe = not any(ch < " " and ch not in "\t\n\r" for ch in text)
+                    font = ("winansi", "tounicode2")[did % 2] if safe else "tounicode2"
+                except UnicodeEncodeError:
+                    font = "tounicode2"
+                blob = write_pdf(
+                    pages, variants[did % 2], filters[did % 4], font
+                )
+                got = extract_pdf_text(blob)
+                ids.append(did)
+                md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+                lens.append(len(got))
+            yield pd.DataFrame(
+                {"doc_id": ids, "text_md5": md5s, "text_len": lens}
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, text_md5 string, text_len bigint"
+    )

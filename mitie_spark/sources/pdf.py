@@ -1,0 +1,1471 @@
+"""Pure-Python PDF text extractor + deterministic writer.
+
+Role in the engine: after HTML, PDF is the web's second document
+payload, and a large-scale training-data pipeline ingests it as text
+(reference analog: the gigaword corpus reader's archive→documents edge,
+mitielib/include/mitie/gigaword_reader.h:18-250 — here the payload is a
+page-description program instead of markup).  This module implements
+the text-bearing subset of ISO 32000-1 from scratch:
+
+- the COS object layer — lexer, literal/hex strings with the full
+  escape set, names with #-escapes, dicts/arrays/refs, indirect
+  objects, classic xref tables AND cross-reference streams (PNG
+  predictors), object streams (ObjStm), /Prev chains, plus a
+  brute-force object scan that rescues documents with broken xref
+  (the single most common real-crawl damage);
+- stream filters: FlateDecode, LZWDecode (EarlyChange both ways),
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode, with PNG/TIFF
+  predictors and filter chains;
+- the text show machine: BT/ET, Tj ' " TJ, Td/TD/T*/Tm line tracking,
+  inline-image skipping, with per-font decoding — ToUnicode CMaps
+  (bfchar/bfrange, both range forms), 2-byte Identity-H composite
+  codes, WinAnsi/MacRoman/Standard simple-font encodings and
+  /Differences glyph names (AGL subset + uniXXXX).
+
+Honest seams: encrypted documents (/Encrypt) raise PdfError;
+DCT/JPX/JBIG2/CCITT-filtered CONTENT streams raise (image XObjects are
+never traversed, so scanned-image PDFs yield their genuine text layer
+or nothing — this extractor does not OCR); composite fonts without a
+ToUnicode map decode to U+FFFD (documented lossy).
+
+Correctness story (tests/test_pdf.py): no PDF producer or consumer
+exists in this sandbox, so — like the WARC envelope — the gate is a
+self-contained round trip through a deterministic writer that emits
+REAL spec features (classic xref, xref-stream + ObjStm, Flate and LZW
+content, WinAnsi and Identity-H+ToUnicode text), plus known-answer
+filter vectors and a hostile-input fuzz contract (PdfError or bounded
+text, never a hang or foreign exception).
+
+Scale note: used inside Arrow-batched ``mapInPandas`` stages, one
+document per record, no shuffle — the same shape as the image codecs.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["PdfError", "extract_pdf_text", "write_pdf"]
+
+
+class PdfError(ValueError):
+    """Malformed, encrypted, or unsupported PDF (fail-fast contract)."""
+
+
+# ---------------------------------------------------------------------------
+# COS lexer (ISO 32000-1 §7.2-7.3)
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Name(str):
+    """A /Name — distinct from literal strings (which parse to bytes)."""
+
+    __slots__ = ()
+
+
+class Ref(tuple):
+    """An indirect reference `num gen R`."""
+
+    __slots__ = ()
+
+    def __new__(cls, num: int, gen: int):
+        return super().__new__(cls, (num, gen))
+
+
+class _Lexer:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.n = len(data)
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, self.n
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to end of line
+                while self.pos < n and data[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek_byte(self) -> int:
+        self._skip_ws()
+        if self.pos >= self.n:
+            raise PdfError("unexpected end of PDF data")
+        return self.data[self.pos]
+
+    def _regular_run(self) -> bytes:
+        start = self.pos
+        data, n = self.data, self.n
+        while self.pos < n and data[self.pos] not in _WS and data[self.pos] not in _DELIM:
+            self.pos += 1
+        return data[start : self.pos]
+
+    def next_token(self):
+        """One token: Name / bytes(string) / int / float / bool / None /
+        Ref placeholder handled by the parser / str keyword markers
+        ('[', ']', '<<', '>>', or a bare keyword like 'obj')."""
+        c = self.peek_byte()
+        data = self.data
+        if c == 0x2F:  # /Name
+            self.pos += 1
+            raw = self._regular_run()
+            if b"#" in raw:
+                out = bytearray()
+                i = 0
+                while i < len(raw):
+                    if raw[i : i + 1] == b"#" and i + 2 < len(raw) + 1:
+                        try:
+                            out.append(int(raw[i + 1 : i + 3], 16))
+                            i += 3
+                            continue
+                        except ValueError:
+                            pass
+                    out.append(raw[i])
+                    i += 1
+                raw = bytes(out)
+            return Name(raw.decode("latin-1"))
+        if c == 0x28:  # ( literal string
+            return self._literal_string()
+        if c == 0x3C:  # << or <hex>
+            if data[self.pos : self.pos + 2] == b"<<":
+                self.pos += 2
+                return "<<"
+            return self._hex_string()
+        if c == 0x3E:
+            if data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return ">>"
+            raise PdfError("stray '>' in PDF data")
+        if c == 0x5B:
+            self.pos += 1
+            return "["
+        if c == 0x5D:
+            self.pos += 1
+            return "]"
+        if c in b"{}":
+            self.pos += 1
+            return chr(c)
+        raw = self._regular_run()
+        if not raw:
+            raise PdfError("unparseable byte in PDF data")
+        if raw == b"true":
+            return True
+        if raw == b"false":
+            return False
+        if raw == b"null":
+            return None
+        try:
+            if b"." in raw or b"e" in raw or b"E" in raw:
+                return float(raw)
+            return int(raw)
+        except ValueError:
+            return raw.decode("latin-1")  # keyword: obj/endobj/stream/R/...
+
+    def _literal_string(self) -> bytes:
+        data, n = self.data, self.n
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while True:
+            if self.pos >= n:
+                raise PdfError("unterminated literal string")
+            c = data[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash escape
+                if self.pos >= n:
+                    raise PdfError("unterminated string escape")
+                e = data[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # \ooo, 1-3 octal digits
+                    v = e - 0x30
+                    for _ in range(2):
+                        if self.pos < n and 0x30 <= data[self.pos] <= 0x37:
+                            v = v * 8 + (data[self.pos] - 0x30)
+                            self.pos += 1
+                    out.append(v & 0xFF)
+                elif e == 0x0D:  # line continuation (\CR[LF])
+                    if self.pos < n and data[self.pos] == 0x0A:
+                        self.pos += 1
+                elif e == 0x0A:
+                    pass
+                else:
+                    out.append(e)  # unknown escape: the byte itself
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            elif c == 0x0D:  # EOL in string → LF per spec
+                if self.pos < n and data[self.pos] == 0x0A:
+                    self.pos += 1
+                out.append(0x0A)
+            else:
+                out.append(c)
+
+    def _hex_string(self) -> bytes:
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            raise PdfError("unterminated hex string")
+        seg = self.data[self.pos : end].translate(None, _WS)
+        self.pos = end + 1
+        if len(seg) % 2:
+            seg += b"0"
+        try:
+            return bytes.fromhex(seg.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            raise PdfError("bad hex-string digit") from None
+
+
+def _parse_value(lx: _Lexer, depth: int = 0):
+    """One COS value (resolving `N G R` into Ref)."""
+    if depth > 48:
+        raise PdfError("COS nesting too deep")
+    tok = lx.next_token()
+    return _parse_from_token(lx, tok, depth)
+
+
+def _parse_from_token(lx: _Lexer, tok, depth: int):
+    if tok == "<<":
+        d: dict = {}
+        while True:
+            k = lx.next_token()
+            if k == ">>":
+                return d
+            if not isinstance(k, Name):
+                raise PdfError("dict key is not a name")
+            d[str(k)] = _parse_value(lx, depth + 1)
+        # NB: `N G R` values inside dicts come back through _parse_value
+    if tok == "[":
+        arr: list = []
+        while True:
+            t = lx.next_token()
+            if t == "]":
+                return arr
+            arr.append(_maybe_ref(lx, t, arr, depth))
+        # fallthrough impossible
+    if isinstance(tok, int):
+        # might start `N G R`
+        save = lx.pos
+        try:
+            t2 = lx.next_token()
+        except PdfError:
+            lx.pos = save
+            return tok
+        if isinstance(t2, int):
+            save2 = lx.pos
+            try:
+                t3 = lx.next_token()
+            except PdfError:
+                t3 = None
+            if t3 == "R":
+                return Ref(tok, t2)
+            lx.pos = save
+            return tok
+        lx.pos = save
+        return tok
+    return tok
+
+
+def _maybe_ref(lx: _Lexer, tok, arr: list, depth: int):
+    """Array element: collapse trailing `N G R` triples into Ref."""
+    if tok == "R" and len(arr) >= 2 and isinstance(arr[-1], int) and isinstance(arr[-2], int):
+        gen = arr.pop()
+        num = arr.pop()
+        return Ref(num, gen)
+    return _parse_from_token(lx, tok, depth + 1)
+
+
+# ---------------------------------------------------------------------------
+# Stream filters (§7.4)
+# ---------------------------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    bpp = max(1, (colors * bpc + 7) >> 3)
+    rowlen = (columns * colors * bpc + 7) >> 3
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    n = len(data)
+    while pos + 1 + rowlen <= n:
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError("bad PNG predictor filter type")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    columns = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    for v, hi in ((columns, 1 << 20), (colors, 64), (bpc, 32)):
+        if not isinstance(v, int) or not 1 <= v <= hi:
+            raise PdfError("bad predictor parameters")
+    if pred >= 10:
+        return _png_unpredict(data, columns, colors, bpc)
+    if pred == 2:  # TIFF horizontal differencing (8-bit support)
+        if bpc != 8:
+            raise PdfError("TIFF predictor only supported at 8 bpc")
+        rowlen = columns * colors
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + colors, r + rowlen):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    raise PdfError("unknown predictor")
+
+
+def _lzw_decode(data: bytes, early: int, cap: int) -> bytes:
+    """PDF LZWDecode (§7.4.4): MSB-first variable-width codes,
+    clear=256, EOD=257; EarlyChange=1 (default) widens one code early —
+    the TIFF convention (operators/tiff.py pins it against libtiff)."""
+    clear, eod = 256, 257
+    base = [bytes((i,)) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # missing EOD: tolerate, data complete
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eod:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise PdfError("bad LZW start code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if not entry:
+                raise PdfError("bad LZW code")
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise PdfError("LZW code past table")
+        out += entry
+        if len(out) > cap:
+            raise PdfError("LZW output exceeds cap")
+        prev = entry
+        if len(table) == (1 << width) - early and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Matching encoder (writer + tests): emits clear up front, EOD at
+    the end, resets at table-full."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    nxt = 258
+    width = 9
+    put(256, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes((b,))
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) - early + 1 and width < 12:
+            width += 1
+        if nxt >= 4094:
+            put(256, width)
+            table = {bytes((i,)): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes((b,))
+    if cur:
+        put(table[cur], width)
+    put(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z' = four zero bytes (only legal between groups)
+            if group:
+                raise PdfError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PdfError("bad ASCII85 character")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise PdfError("ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("single trailing ASCII85 digit")
+        k = len(group)
+        group += [84] * (5 - k)
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        l = data[pos]
+        pos += 1
+        if l == 128:
+            break
+        if l < 128:
+            chunk = data[pos : pos + l + 1]
+            if len(chunk) < l + 1:
+                raise PdfError("truncated RunLength literal")
+            out += chunk
+            pos += l + 1
+        else:
+            if pos >= n:
+                raise PdfError("truncated RunLength run")
+            out += bytes((data[pos],)) * (257 - l)
+            pos += 1
+    return bytes(out)
+
+
+def _decode_stream(raw: bytes, sdict: dict, resolve, cap: int) -> bytes:
+    filters = sdict.get("Filter")
+    if filters is None:
+        return raw
+    filters = resolve(filters)
+    if isinstance(filters, (Name, str)):
+        filters = [filters]
+    parms = resolve(sdict.get("DecodeParms") or sdict.get("DP"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, p in zip(filters, parms):
+        p = resolve(p) or {}
+        if not isinstance(p, dict):
+            p = {}
+        p = {k: resolve(v) for k, v in p.items()}
+        f = str(resolve(f))
+        if f in ("FlateDecode", "Fl"):
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                # tolerate truncated tails: keep the decodable prefix
+                d = zlib.decompressobj()
+                try:
+                    data = d.decompress(data, cap)
+                except zlib.error:
+                    raise PdfError(f"bad Flate stream: {e}") from None
+            data = _apply_predictor(data, p)
+        elif f in ("LZWDecode", "LZW"):
+            data = _lzw_decode(data, p.get("EarlyChange", 1), cap)
+            data = _apply_predictor(data, p)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            end = data.find(b">")
+            hx = data[:end] if end >= 0 else data
+            hx = bytes(c for c in hx if c not in _WS)
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                data = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                raise PdfError("bad ASCIIHex stream") from None
+        elif f in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+        elif f in ("RunLengthDecode", "RL"):
+            data = _runlength_decode(data)
+        elif f == "Crypt":
+            raise PdfError("Crypt filter unsupported")
+        else:
+            # DCTDecode/JPXDecode/JBIG2Decode/CCITTFaxDecode: image
+            # payloads — a text-bearing stream never carries them
+            raise PdfError(f"unsupported stream filter {f}")
+        if len(data) > cap:
+            raise PdfError("decoded stream exceeds cap")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Document structure: xref chains, indirect objects, ObjStm (§7.5)
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
+
+
+class _Document:
+    def __init__(self, data: bytes, max_out: int):
+        self.data = data
+        self.max_out = max_out
+        self.offsets: dict[int, tuple] = {}  # num -> ("at", off) | ("in", stm, idx)
+        self.trailer: dict = {}
+        self.cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list] = {}
+        self._load_xref()
+        if self.trailer.get("Encrypt") is not None:
+            raise PdfError("encrypted PDF")
+
+    # -- xref loading ------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        data = self.data
+        tail = data[-2048:]
+        at = tail.rfind(b"startxref")
+        try:
+            if at < 0:
+                raise PdfError("no startxref")
+            lx = _Lexer(tail, at + len(b"startxref"))
+            off = lx.next_token()
+            if not isinstance(off, int):
+                raise PdfError("bad startxref offset")
+            seen: set[int] = set()
+            while isinstance(off, int) and 0 <= off < len(data) and off not in seen:
+                seen.add(off)
+                if len(seen) > 64:
+                    raise PdfError("xref chain too long")
+                off = self._load_xref_section(off)
+        except PdfError:
+            self._rescue_scan()
+            return
+        if "Root" not in self.trailer:
+            self._rescue_scan()
+
+    def _load_xref_section(self, off: int):
+        """One xref section (classic table or xref stream) → /Prev
+        offset or None."""
+        lx = _Lexer(self.data, off)
+        save = lx.pos
+        tok = lx.next_token()
+        if tok == "xref":  # classic table
+            while True:
+                t = lx.next_token()
+                if t == "trailer":
+                    break
+                if not isinstance(t, int):
+                    raise PdfError("bad xref subsection header")
+                first = t
+                count = lx.next_token()
+                if not isinstance(count, int) or count < 0 or count > 1 << 22:
+                    raise PdfError("bad xref subsection count")
+                for i in range(count):
+                    o = lx.next_token()
+                    g = lx.next_token()
+                    kind = lx.next_token()
+                    if not isinstance(o, int) or not isinstance(g, int):
+                        raise PdfError("bad xref entry")
+                    if kind == "n":
+                        self.offsets.setdefault(first + i, ("at", o))
+                    elif kind != "f":
+                        raise PdfError("bad xref entry kind")
+            tdict = _parse_value(lx)
+            if not isinstance(tdict, dict):
+                raise PdfError("bad trailer")
+            for k, v in tdict.items():
+                self.trailer.setdefault(k, v)
+            # hybrid-reference file: the XRefStm supplements the table
+            if isinstance(tdict.get("XRefStm"), int):
+                self._load_xref_section(tdict["XRefStm"])
+            return tdict.get("Prev")
+        # cross-reference stream: `N G obj <<...>> stream`
+        lx.pos = save
+        num, gen, sdict, raw = self._parse_indirect_at(off)
+        if not isinstance(sdict, dict) or sdict.get("Type") != "XRef":
+            raise PdfError("startxref does not point at an xref")
+        if raw is None:
+            raise PdfError("xref stream has no stream body")
+        payload = _decode_stream(raw, sdict, self.resolve, 1 << 24)
+        w = [self.resolve(x) for x in self.resolve(sdict.get("W", []))]
+        if len(w) != 3 or any(not isinstance(x, int) or x < 0 or x > 8 for x in w):
+            raise PdfError("bad xref-stream W")
+        size = self.resolve(sdict.get("Size", 0))
+        index = self.resolve(sdict.get("Index", [0, size]))
+        rowlen = sum(w)
+        if rowlen == 0:
+            raise PdfError("empty xref-stream rows")
+        pos = 0
+
+        def field(width: int, default: int) -> int:
+            nonlocal pos
+            if width == 0:
+                return default
+            v = int.from_bytes(payload[pos : pos + width], "big")
+            pos += width
+            return v
+
+        for j in range(0, len(index) - 1, 2):
+            first, count = index[j], index[j + 1]
+            if not isinstance(first, int) or not isinstance(count, int) or count < 0:
+                raise PdfError("bad xref-stream Index")
+            for i in range(count):
+                if pos + rowlen > len(payload):
+                    return sdict.get("Prev")  # truncated tail: keep what we have
+                t = field(w[0], 1)
+                f2 = field(w[1], 0)
+                f3 = field(w[2], 0)
+                if t == 1:
+                    self.offsets.setdefault(first + i, ("at", f2))
+                elif t == 2:
+                    self.offsets.setdefault(first + i, ("in", f2, f3))
+        for k, v in sdict.items():
+            self.trailer.setdefault(k, v)
+        return sdict.get("Prev")
+
+    def _rescue_scan(self) -> None:
+        """Broken/missing xref: scan for `N G obj` headers (last
+        occurrence of each object number wins — incremental updates
+        append) and find the catalog by type."""
+        self.offsets = {
+            int(m.group(1)): ("at", m.start())
+            for m in _OBJ_RE.finditer(self.data)
+        }
+        if not self.offsets:
+            raise PdfError("no objects found")
+        if "Root" not in self.trailer:
+            at = self.data.rfind(b"trailer")
+            if at >= 0:
+                try:
+                    lx = _Lexer(self.data, at + len(b"trailer"))
+                    t = _parse_value(lx)
+                    if isinstance(t, dict):
+                        for k, v in t.items():
+                            self.trailer.setdefault(k, v)
+                except PdfError:
+                    pass
+        if "Root" not in self.trailer:
+            for num in sorted(self.offsets):
+                try:
+                    obj = self.get(num)
+                except PdfError:
+                    continue
+                if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                    self.trailer["Root"] = Ref(num, 0)
+                    break
+        if "Root" not in self.trailer:
+            raise PdfError("no document catalog")
+
+    # -- object access -----------------------------------------------------
+
+    def _parse_indirect_at(self, off: int):
+        """`N G obj <value> [stream...endstream] endobj` at offset →
+        (num, gen, value, stream bytes or None)."""
+        if not 0 <= off < len(self.data):
+            raise PdfError("object offset out of range")
+        lx = _Lexer(self.data, off)
+        num = lx.next_token()
+        gen = lx.next_token()
+        kw = lx.next_token()
+        if not isinstance(num, int) or not isinstance(gen, int) or kw != "obj":
+            raise PdfError("not an indirect object")
+        val = _parse_value(lx)
+        save = lx.pos
+        try:
+            kw2 = lx.next_token()
+        except PdfError:
+            kw2 = None
+        raw = None
+        if kw2 == "stream":
+            if not isinstance(val, dict):
+                raise PdfError("stream without a dict")
+            p = lx.pos
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] in (b"\n", b"\r"):
+                p += 1
+            length = self.resolve(val.get("Length"))
+            if not isinstance(length, int) or length < 0 or p + length > len(self.data):
+                # damaged Length: scan for endstream
+                end = self.data.find(b"endstream", p)
+                if end < 0:
+                    raise PdfError("unterminated stream")
+                raw = self.data[p:end].rstrip(b"\r\n")
+            else:
+                raw = self.data[p : p + length]
+        elif kw2 is not None:
+            lx.pos = save
+        return num, gen, val, raw
+
+    def resolve(self, v, depth: int = 0):
+        if isinstance(v, Ref):
+            if depth > 32:
+                raise PdfError("reference chain too deep")
+            return self.resolve(self.get(v[0]), depth + 1)
+        return v
+
+    def get(self, num: int):
+        if num in self.cache:
+            return self.cache[num]
+        where = self.offsets.get(num)
+        if where is None:
+            return None  # per spec: a missing object is null
+        self.cache[num] = None  # cycle guard during load
+        if where[0] == "at":
+            try:
+                got_num, _, val, raw = self._parse_indirect_at(where[1])
+            except PdfError:
+                val, raw, got_num = None, None, num
+            if got_num != num:
+                val = None
+            if raw is not None and isinstance(val, dict):
+                val = _Stream(val, raw)
+        else:  # inside an object stream
+            val = self._from_objstm(where[1], where[2], num)
+        self.cache[num] = val
+        return val
+
+    def _from_objstm(self, stm_num: int, idx: int, want: int):
+        pairs = self._objstm_cache.get(stm_num)
+        if pairs is None:
+            stm = self.get(stm_num)
+            if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
+                raise PdfError("xref points into a non-ObjStm")
+            payload = _decode_stream(stm.raw, stm.dict, self.resolve, self.max_out)
+            n = self.resolve(stm.dict.get("N", 0))
+            first = self.resolve(stm.dict.get("First", 0))
+            if not isinstance(n, int) or not isinstance(first, int) or n < 0 or n > 1 << 20:
+                raise PdfError("bad ObjStm header")
+            lx = _Lexer(payload)
+            pairs = []
+            for _ in range(n):
+                onum = lx.next_token()
+                ooff = lx.next_token()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise PdfError("bad ObjStm pair table")
+                pairs.append((onum, first + ooff, payload))
+            self._objstm_cache[stm_num] = pairs
+        if not 0 <= idx < len(pairs):
+            raise PdfError("ObjStm index out of range")
+        onum, off, payload = pairs[idx]
+        if onum != want:
+            # tolerate off-by-index damage: find by number
+            for onum2, off2, _ in pairs:
+                if onum2 == want:
+                    off = off2
+                    break
+            else:
+                return None
+        lx = _Lexer(payload, off)
+        return _parse_value(lx)
+
+
+class _Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+
+# ---------------------------------------------------------------------------
+# Font encodings (§9.6.6, Appendix D) and ToUnicode CMaps (§9.10.3)
+# ---------------------------------------------------------------------------
+
+# StandardEncoding where it differs from Latin-1 printables: the two
+# typographic quotes in the ASCII range, and the Appendix D high table
+_STD_HIGH = {
+    0x27: "’", 0x60: "‘",
+    0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
+    0xA5: "¥", 0xA6: "ƒ", 0xA7: "§", 0xA8: "¤",
+    0xA9: "'", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+    0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ",
+    0xB1: "–", 0xB2: "†", 0xB3: "‡", 0xB4: "·",
+    0xB6: "¶", 0xB7: "•", 0xB8: "‚", 0xB9: "„",
+    0xBA: "”", 0xBB: "»", 0xBC: "…", 0xBD: "‰",
+    0xBF: "¿", 0xC1: "`", 0xC2: "´", 0xC3: "ˆ",
+    0xC4: "˜", 0xC5: "¯", 0xC6: "˘", 0xC7: "˙",
+    0xC8: "¨", 0xCA: "˚", 0xCB: "¸", 0xCD: "˝",
+    0xCE: "˛", 0xCF: "ˇ", 0xD0: "—",
+    0xE1: "Æ", 0xE3: "ª", 0xE8: "Ł", 0xE9: "Ø",
+    0xEA: "Œ", 0xEB: "º", 0xF1: "æ", 0xF5: "ı",
+    0xF8: "ł", 0xF9: "ø", 0xFA: "œ", 0xFB: "ß",
+}
+
+# Adobe-glyph-list subset covering the names /Differences arrays use in
+# practice; a-z, A-Z and uniXXXX/uXXXXXX forms are handled in code
+_GLYPHS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "ellipsis": "…", "fi": "ﬁ",
+    "fl": "ﬂ", "germandbls": "ß", "adieresis": "ä",
+    "odieresis": "ö", "udieresis": "ü", "eacute": "é",
+    "egrave": "è", "agrave": "à", "ccedilla": "ç",
+    "ntilde": "ñ", "aring": "å", "oslash": "ø",
+    "ae": "æ", "oe": "œ", "Euro": "€",
+    "nbspace": " ", "degree": "°", "copyright": "©",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    if len(name) == 1:
+        return name
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            cps = [
+                int(name[i : i + 4], 16) for i in range(3, len(name) - 3, 4)
+            ]
+            return "".join(chr(c) for c in cps)
+        except ValueError:
+            pass
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    return "�"
+
+
+def _base_encoding_table(name: str) -> list[str]:
+    table = ["�"] * 256
+    # whitespace controls pass through: fonts don't encode them, but a
+    # text string that carries them means them literally
+    for b in (9, 10, 13):
+        table[b] = chr(b)
+    if name == "WinAnsiEncoding":
+        for b in range(32, 256):
+            ch = bytes((b,)).decode("cp1252", "replace")
+            table[b] = ch if ch != "�" else "�"
+    elif name == "MacRomanEncoding":
+        for b in range(32, 256):
+            table[b] = bytes((b,)).decode("mac_roman", "replace")
+    else:  # StandardEncoding
+        for b in range(32, 127):
+            table[b] = chr(b)
+        for b, ch in _STD_HIGH.items():
+            table[b] = ch
+    return table
+
+
+def _parse_tounicode(payload: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream → {code int: unicode str}.  Handles
+    bfchar, and bfrange in both destination forms."""
+    cmap: dict[int, str] = {}
+    lx = _Lexer(payload)
+    toks: list = []
+    while lx.pos < lx.n:
+        try:
+            t = lx.next_token()
+        except PdfError:
+            break
+        if t == "endbfchar" or t == "endbfrange":
+            # walk back over the collected hex strings/arrays
+            i = len(toks) - 1
+            group: list = []
+            while i >= 0 and toks[i] not in ("beginbfchar", "beginbfrange"):
+                group.append(toks[i])
+                i -= 1
+            group.reverse()
+            toks = toks[:i]
+            if t == "endbfchar":
+                for j in range(0, len(group) - 1, 2):
+                    src, dst = group[j], group[j + 1]
+                    if isinstance(src, bytes) and isinstance(dst, bytes):
+                        cmap[int.from_bytes(src, "big")] = dst.decode(
+                            "utf-16-be", "replace"
+                        )
+            else:
+                for j in range(0, len(group) - 2, 3):
+                    lo, hi, dst = group[j], group[j + 1], group[j + 2]
+                    if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                        continue
+                    lo_i = int.from_bytes(lo, "big")
+                    hi_i = int.from_bytes(hi, "big")
+                    if hi_i - lo_i > 1 << 16:
+                        raise PdfError("bfrange too wide")
+                    if isinstance(dst, list):
+                        for k, d in enumerate(dst):
+                            if isinstance(d, bytes) and lo_i + k <= hi_i:
+                                cmap[lo_i + k] = d.decode("utf-16-be", "replace")
+                    elif isinstance(dst, bytes):
+                        base = int.from_bytes(dst, "big")
+                        width = max(len(dst), 2)
+                        for k in range(hi_i - lo_i + 1):
+                            cmap[lo_i + k] = (base + k).to_bytes(
+                                width, "big"
+                            ).decode("utf-16-be", "replace")
+        elif t == "[":
+            arr: list = []
+            while True:
+                t2 = lx.next_token()
+                if t2 == "]":
+                    break
+                arr.append(t2)
+            toks.append(arr)
+        else:
+            toks.append(t)
+    return cmap
+
+
+def _font_decoder(doc: _Document, fdict):
+    """Font dict → callable(bytes) -> str."""
+    fdict = doc.resolve(fdict)
+    if not isinstance(fdict, dict):
+        return lambda bs: bs.decode("latin-1", "replace")
+    cmap = None
+    tou = doc.resolve(fdict.get("ToUnicode"))
+    if isinstance(tou, _Stream):
+        try:
+            cmap = _parse_tounicode(
+                _decode_stream(tou.raw, tou.dict, doc.resolve, 1 << 22)
+            )
+        except PdfError:
+            cmap = None
+    if fdict.get("Subtype") == "Type0":
+        # composite font: 2-byte codes (Identity-H is the web's reality)
+        m = cmap or {}
+
+        def dec2(bs: bytes) -> str:
+            return "".join(
+                m.get(int.from_bytes(bs[i : i + 2], "big"), "�")
+                for i in range(0, len(bs) - len(bs) % 2, 2)
+            )
+
+        return dec2
+    # simple font: one byte per code
+    enc = doc.resolve(fdict.get("Encoding"))
+    base = "StandardEncoding"
+    diffs = None
+    if isinstance(enc, (Name, str)):
+        base = str(enc)
+    elif isinstance(enc, dict):
+        base = str(doc.resolve(enc.get("BaseEncoding")) or base)
+    if str(fdict.get("Subtype")) == "TrueType" and not isinstance(enc, dict) and enc is None:
+        base = "WinAnsiEncoding"
+    table = _base_encoding_table(base)
+    if isinstance(enc, dict):
+        diffs = doc.resolve(enc.get("Differences"))
+    if isinstance(diffs, list):
+        code = 0
+        for d in diffs:
+            d = doc.resolve(d)
+            if isinstance(d, int):
+                code = d
+            elif isinstance(d, Name) and 0 <= code < 256:
+                table[code] = _glyph_to_unicode(str(d))
+                code += 1
+    if cmap:
+        for c, u in cmap.items():
+            if 0 <= c < 256:
+                table[c] = u
+
+    def dec1(bs: bytes) -> str:
+        return "".join(table[b] for b in bs)
+
+    return dec1
+
+
+# ---------------------------------------------------------------------------
+# Content-stream text extraction (§9.4)
+# ---------------------------------------------------------------------------
+
+_TJ_SPACE = -180  # thousandths of em: larger negative kerns read as spaces
+
+
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """BI ... ID <binary> EI — return position after EI."""
+    at = data.find(b"ID", pos)
+    if at < 0:
+        return len(data)
+    at += 3  # ID + one whitespace byte
+    while True:
+        ei = data.find(b"EI", at)
+        if ei < 0:
+            return len(data)
+        before_ok = ei > 0 and data[ei - 1] in _WS
+        after = data[ei + 2 : ei + 3]
+        after_ok = after == b"" or after[0] in _WS or after[0] in _DELIM
+        if before_ok and after_ok:
+            return ei + 2
+        at = ei + 2
+
+
+def _content_text(doc: _Document, content: bytes, fonts: dict, cap: int) -> str:
+    lx = _Lexer(content)
+    stack: list = []
+    parts: list[str] = []
+    total = 0
+    dec = None
+    decoders: dict[str, object] = {}
+    last_ty = None
+
+    def emit(s: str):
+        nonlocal total
+        if not s:
+            return
+        total += len(s)
+        if total > cap:
+            raise PdfError("extracted text exceeds cap")
+        parts.append(s)
+
+    def show(raw):
+        if isinstance(raw, bytes):
+            d = dec or (lambda bs: bs.decode("latin-1", "replace"))
+            emit(d(raw))
+
+    def newline():
+        if parts and not parts[-1].endswith("\n"):
+            emit("\n")
+
+    while True:
+        save = lx.pos
+        try:
+            lx._skip_ws()
+            if lx.pos >= lx.n:
+                break
+            tok = lx.next_token()
+        except PdfError:
+            break
+        if tok == "<<":
+            try:
+                stack.append(_parse_from_token(lx, tok, 0))
+            except PdfError:
+                break
+            continue
+        if tok == "[":
+            try:
+                stack.append(_parse_from_token(lx, tok, 0))
+            except PdfError:
+                break
+            continue
+        if not isinstance(tok, str) or isinstance(tok, Name) or tok in ("]", ">>"):
+            stack.append(tok)
+            continue
+        op = tok
+        if op == "BI":
+            lx.pos = _skip_inline_image(content, lx.pos)
+        elif op == "Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], Name):
+                fname = str(stack[-2])
+                if fname not in decoders:
+                    decoders[fname] = _font_decoder(doc, fonts.get(fname))
+                dec = decoders[fname]
+        elif op == "Tj":
+            if stack:
+                show(stack[-1])
+        elif op == "'":
+            newline()
+            if stack:
+                show(stack[-1])
+        elif op == '"':
+            newline()
+            if stack:
+                show(stack[-1])
+        elif op == "TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        show(el)
+                    elif isinstance(el, (int, float)) and el < _TJ_SPACE:
+                        emit(" ")
+        elif op in ("Td", "TD"):
+            if len(stack) >= 1 and isinstance(stack[-1], (int, float)) and stack[-1] != 0:
+                newline()
+        elif op == "T*":
+            newline()
+        elif op == "Tm":
+            if len(stack) >= 1 and isinstance(stack[-1], (int, float)):
+                ty = stack[-1]
+                if last_ty is not None and ty != last_ty:
+                    newline()
+                last_ty = ty
+        elif op == "BT":
+            last_ty = None
+        stack.clear()
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Page tree walk + the public extractor
+# ---------------------------------------------------------------------------
+
+
+def extract_pdf_text(data: bytes, max_out: int = 1 << 26) -> str:
+    """PDF bytes → extracted text: lines joined with \\n inside a page,
+    pages joined with \\n.  Raises PdfError on malformed, encrypted, or
+    text-free-by-damage documents; output capped at max_out."""
+    if not data.startswith(b"%PDF-") and b"%PDF-" not in data[:1024]:
+        raise PdfError("missing %PDF header")
+    doc = _Document(data, max_out)
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise PdfError("no document catalog")
+    pages_root = doc.resolve(root.get("Pages"))
+    page_texts: list[str] = []
+
+    def walk(node, resources, depth: int):
+        if depth > 32 or len(page_texts) > 20000:
+            raise PdfError("page tree too deep or too large")
+        node = doc.resolve(node)
+        if not isinstance(node, dict):
+            return
+        res = doc.resolve(node.get("Resources")) or resources
+        if node.get("Type") == "Pages" or "Kids" in node:
+            kids = doc.resolve(node.get("Kids")) or []
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk(kid, res, depth + 1)
+            return
+        # a page: gather its content stream(s)
+        contents = doc.resolve(node.get("Contents"))
+        chunks: list[bytes] = []
+        items = contents if isinstance(contents, list) else [contents]
+        for item in items:
+            item = doc.resolve(item)
+            if isinstance(item, _Stream):
+                chunks.append(
+                    _decode_stream(item.raw, item.dict, doc.resolve, max_out)
+                )
+        if not chunks:
+            page_texts.append("")
+            return
+        fonts = {}
+        if isinstance(res, dict):
+            f = doc.resolve(res.get("Font"))
+            if isinstance(f, dict):
+                fonts = f
+        page_texts.append(
+            _content_text(doc, b"\n".join(chunks), fonts, max_out)
+        )
+
+    walk(pages_root, None, 0)
+    if not page_texts:
+        raise PdfError("no pages")
+    return "\n".join(t.rstrip("\n") for t in page_texts)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic writer — the round-trip partner (tests + the ingest
+# query synthesize real-featured PDFs with it; no producer exists in
+# this sandbox, so this is also the hostile-input fuzz seed)
+# ---------------------------------------------------------------------------
+
+
+def _lit_string(bs: bytes) -> bytes:
+    out = bytearray(b"(")
+    for b in bs:
+        if b in b"()\\":
+            out += b"\\" + bytes((b,))
+        elif 32 <= b < 127 or b in b"\n\t":
+            out.append(b)
+        else:
+            out += ("\\%03o" % b).encode("ascii")
+    out += b")"
+    return bytes(out)
+
+
+def _flate(data: bytes) -> bytes:
+    return zlib.compress(data, 6)
+
+
+def _content_stream(lines: list[str], font: str, codes: dict[str, int]) -> bytes:
+    parts = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            parts.append(b"0 -14 Td")
+        if font == "winansi":
+            parts.append(_lit_string(line.encode("cp1252")) + b" Tj")
+        else:  # 2-byte Identity-H codes as a hex string
+            hx = "".join("%04x" % codes[ch] for ch in line)
+            parts.append(b"<" + hx.encode("ascii") + b"> Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def _tounicode_cmap(codes: dict[str, int]) -> bytes:
+    pairs = sorted((c, ch) for ch, c in codes.items())
+    blocks = []
+    for i in range(0, len(pairs), 100):  # spec caps bfchar groups at 100
+        grp = pairs[i : i + 100]
+        rows = "\n".join(
+            "<%04x> <%s>" % (c, ch.encode("utf-16-be").hex())
+            for c, ch in grp
+        )
+        blocks.append("%d beginbfchar\n%s\nendbfchar" % (len(grp), rows))
+    return (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "/CMapName /F1U def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        + "\n".join(blocks)
+        + "\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+    ).encode("ascii")
+
+
+def write_pdf(
+    pages: list,
+    variant: str = "classic",
+    compress: str = "flate",
+    font: str = "winansi",
+) -> bytes:
+    """Deterministic PDF writer exercising real spec features.
+
+    pages: list of page texts (str, lines separated by \\n) or lists of
+    lines.  variant: "classic" (xref table) | "xrefstream" (xref stream
+    with PNG Up predictor + all non-stream objects in an ObjStm).
+    compress: "none" | "flate" | "lzw" | "a85flate" (chained filters).
+    font: "winansi" (Type1 simple font, cp1252 text) | "tounicode2"
+    (Type0 Identity-H 2-byte codes + ToUnicode CMap; any unicode).
+    extract_pdf_text(write_pdf(pages)) == "\\n".join of all lines.
+    """
+    page_lines = [
+        p.split("\n") if isinstance(p, str) else list(p) for p in pages
+    ]
+    if not page_lines:
+        page_lines = [[""]]
+    codes: dict[str, int] = {}
+    if font == "tounicode2":
+        for lines in page_lines:
+            for line in lines:
+                for ch in line:
+                    codes.setdefault(ch, len(codes) + 1)
+
+    def pack(data: bytes) -> tuple[bytes, bytes]:
+        """→ (stored bytes, filter clause for the stream dict)."""
+        if compress == "none":
+            return data, b""
+        if compress == "flate":
+            return _flate(data), b" /Filter /FlateDecode"
+        if compress == "lzw":
+            return _lzw_encode(data), b" /Filter /LZWDecode"
+        if compress == "a85flate":
+            fl = _flate(data)
+            a85 = bytearray()
+            for i in range(0, len(fl), 4):
+                grp = fl[i : i + 4]
+                v = int.from_bytes(grp + b"\x00" * (4 - len(grp)), "big")
+                digs = []
+                for _ in range(5):
+                    digs.append(v % 85)
+                    v //= 85
+                digs.reverse()
+                a85 += bytes(33 + d for d in digs[: len(grp) + 1])
+            a85 += b"~>"
+            return bytes(a85), b" /Filter [/ASCII85Decode /FlateDecode]"
+        raise ValueError(f"unknown compress {compress!r}")
+
+    # object numbering: 1 catalog, 2 pages, then per-page (page, content),
+    # then font (+descendant +tounicode), (+objstm, +xref stream)
+    objs: dict[int, bytes] = {}  # num -> full body (no obj/endobj wrapper)
+    streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict head, data)
+    n_pages = len(page_lines)
+    font_num = 3 + 2 * n_pages
+    kid_refs = " ".join("%d 0 R" % (3 + 2 * i) for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        "<< /Type /Pages /Kids [%s] /Count %d >>" % (kid_refs, n_pages)
+    ).encode("ascii")
+    for i, lines in enumerate(page_lines):
+        pnum = 3 + 2 * i
+        objs[pnum] = (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (font_num, pnum + 1)
+        ).encode("ascii")
+        data, fclause = pack(_content_stream(lines, font, codes))
+        streams[pnum + 1] = (
+            b"<< /Length %d%s >>" % (len(data), fclause),
+            data,
+        )
+    nxt = font_num
+    if font == "winansi":
+        objs[nxt] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+        nxt += 1
+    else:
+        objs[nxt] = (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
+            " /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+            " /ToUnicode %d 0 R >>" % (nxt + 1, nxt + 2)
+        ).encode("ascii")
+        objs[nxt + 1] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>"
+        )
+        cm, fclause = pack(_tounicode_cmap(codes))
+        streams[nxt + 2] = (b"<< /Length %d%s >>" % (len(cm), fclause), cm)
+        nxt += 3
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    def emit_obj(num: int, body: bytes):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    def emit_stream(num: int, head: bytes, data: bytes):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(head)
+        out.extend(b"\nstream\n")
+        out.extend(data)
+        out.extend(b"\nendstream\nendobj\n")
+
+    if variant == "classic":
+        for num in sorted(set(objs) | set(streams)):
+            if num in objs:
+                emit_obj(num, objs[num])
+            else:
+                emit_stream(num, *streams[num])
+        size = max(offsets) + 1
+        xref_at = len(out)
+        out.extend(b"xref\n0 %d\n" % size)
+        out.extend(b"0000000000 65535 f \n")
+        for num in range(1, size):
+            out.extend(b"%010d 00000 n \n" % offsets.get(num, 0))
+        out.extend(
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (size, xref_at)
+        )
+        return bytes(out)
+    if variant != "xrefstream":
+        raise ValueError(f"unknown variant {variant!r}")
+    # xref stream + ObjStm: the non-stream objects pack into one ObjStm
+    objstm_num = nxt
+    xref_num = nxt + 1
+    packed_nums = sorted(objs)
+    header = []
+    body = bytearray()
+    for num in packed_nums:
+        header.append("%d %d" % (num, len(body)))
+        body.extend(objs[num])
+        body.extend(b" ")
+    hdr = (" ".join(header) + "\n").encode("ascii")
+    stm_payload = hdr + bytes(body)
+    data, fclause = pack(stm_payload)
+    emit_stream(
+        objstm_num,
+        b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>"
+        % (len(packed_nums), len(hdr), len(data), fclause),
+        data,
+    )
+    for num in sorted(streams):
+        emit_stream(num, *streams[num])
+    size = xref_num + 1
+    # rows: [type(1) offset(4) extra(2)], PNG Up predictor, Flate
+    rows = bytearray()
+    prev = bytes(7)
+    xref_at = len(out)
+    offsets[xref_num] = xref_at
+
+    def xrow(t: int, f2: int, f3: int) -> bytes:
+        return bytes((t,)) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    plain: list[bytes] = [xrow(0, 0, 65535)]
+    for num in range(1, size):
+        if num in streams or num in (objstm_num, xref_num):
+            plain.append(xrow(1, offsets[num], 0))
+        else:
+            plain.append(xrow(2, objstm_num, packed_nums.index(num)))
+    for row in plain:
+        rows.append(2)  # PNG Up filter
+        rows.extend((row[i] - prev[i]) & 0xFF for i in range(7))
+        prev = row
+    xdata = _flate(bytes(rows))
+    emit_stream(
+        xref_num,
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+        b" /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
+        % (size, len(xdata)),
+        xdata,
+    )
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+    return bytes(out)

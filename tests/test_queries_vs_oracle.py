@@ -74,3 +74,25 @@ def test_warc_http_ingest_oracle(spark):
     ).fetchdf()
     errs = compare(got, duck)
     assert not errs, errs
+
+
+def test_pdf_document_ingest_oracle(spark):
+    """pdf_document_ingest is registered rows-only (the driver's 50
+    gated slots are full), so its DuckDB gate runs here: writing every
+    document as a PDF (layouts/filters/fonts cycling) and extracting it
+    back must reproduce every md5 and length from the plain table."""
+    from mitie_spark.queries import QUERIES
+    from tests.oracle import compare, duck_connection
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = QUERIES["pdf_document_ingest"](spark, sf_dir)
+    duck = duck_connection(sf_dir).execute(
+        """
+        SELECT doc_id,
+               md5(COALESCE(text, '')) AS text_md5,
+               length(COALESCE(text, '')) AS text_len
+        FROM documents
+        """
+    ).fetchdf()
+    errs = compare(got, duck)
+    assert not errs, errs
