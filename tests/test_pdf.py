@@ -53,6 +53,29 @@ def test_binary_safe_strings():
     assert extract_pdf_text(blob) == tricky
 
 
+def test_incremental_update_prev_chain():
+    """An appended update section (new object 4, xref with /Prev back
+    to the base) must win over the original — newest entry first along
+    the /Prev chain, the way real incrementally-saved PDFs work."""
+    base = write_pdf(["original text line"], "classic", "none", "winansi")
+    new_content = b"BT /F1 12 Tf 72 720 Td (updated text line) Tj ET"
+    prev_xref = int(base[base.rfind(b"startxref") + 9 :].split()[0])
+    out = bytearray(base)
+    off4 = len(out)
+    out += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content
+        + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n4 1\n%010d 00000 n \n" % off4
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (prev_xref, xref_at)
+    )
+    assert extract_pdf_text(bytes(out)) == "updated text line"
+
+
 def test_broken_xref_rescued():
     good = write_pdf([TEXT], "classic", "flate", "winansi")
     broken = good[: good.rfind(b"xref")] + b"GARBAGE NO XREF HERE"
