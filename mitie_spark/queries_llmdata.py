@@ -463,14 +463,19 @@ def warc_http_ingest(spark, sf_dir):
     """
     import pandas as pd
 
+    from mitie_spark.session import by_compute
     from mitie_spark.sources.warc import (
         warc_to_pages,
         write_http_response,
         write_warc,
     )
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
-        "doc_id", "text"
+    # size tasks by cores: the envelope encode/decode is compute-bound
+    # and a single parquet file otherwise becomes a single task
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
     )
 
     def pack(batches):
@@ -529,10 +534,15 @@ def pdf_document_ingest(spark, sf_dir):
 
     import pandas as pd
 
+    from mitie_spark.session import by_compute
     from mitie_spark.sources.pdf import extract_pdf_text, write_pdf
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
-        "doc_id", "text"
+    # one parquet file = one task without this; the per-doc write+parse
+    # is compute-bound (~1.6 ms/doc), so size tasks by cores
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
     )
 
     def roundtrip(batches):
