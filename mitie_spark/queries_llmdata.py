@@ -582,3 +582,48 @@ def pdf_document_ingest(spark, sf_dir):
     return docs.mapInPandas(
         roundtrip, "doc_id bigint, text_md5 string, text_len bigint"
     )
+
+
+@query("docx_document_ingest")
+def docx_document_ingest(spark, sf_dir):
+    """Ingestion-edge round trip for office documents: documents →
+    minimal real .docx containers (sources/docx.py: ZIP + OOXML
+    WordprocessingML) → extract_docx_text recovers every document
+    byte-exactly (md5+length gate in tests/test_queries_vs_oracle.py;
+    rows-only slot here). XML 1.0 cannot represent bare control
+    characters, so a corpus document carrying one would legitimately
+    fail this gate — the sf0.01 gate asserts the corpus is clean.
+
+    Scale shape: one narrow Arrow pass over compute-sized tasks,
+    zero shuffle — the per-record codec shape.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from mitie_spark.session import by_compute
+    from mitie_spark.sources.docx import extract_docx_text, write_docx
+
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, md5s, lens = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                got = extract_docx_text(write_docx(text or ""))
+                ids.append(int(did))
+                md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+                lens.append(len(got))
+            yield pd.DataFrame(
+                {"doc_id": ids, "text_md5": md5s, "text_len": lens}
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, text_md5 string, text_len bigint"
+    )

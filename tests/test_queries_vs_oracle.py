@@ -96,3 +96,23 @@ def test_pdf_document_ingest_oracle(spark):
     ).fetchdf()
     errs = compare(got, duck)
     assert not errs, errs
+
+
+def test_docx_document_ingest_oracle(spark):
+    """docx_document_ingest rows-only gate: the ZIP/OOXML round trip
+    must reproduce every document's md5 and length."""
+    from mitie_spark.queries import QUERIES
+    from tests.oracle import compare, duck_connection
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = QUERIES["docx_document_ingest"](spark, sf_dir)
+    duck = duck_connection(sf_dir).execute(
+        """
+        SELECT doc_id,
+               md5(COALESCE(text, '')) AS text_md5,
+               length(COALESCE(text, '')) AS text_len
+        FROM documents
+        """
+    ).fetchdf()
+    errs = compare(got, duck)
+    assert not errs, errs
