@@ -523,6 +523,9 @@ def _decode_stream(raw: bytes, sdict: dict, resolve, cap: int) -> bytes:
     parms = resolve(sdict.get("DecodeParms") or sdict.get("DP"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # a short DecodeParms array must not truncate the filter chain
+        parms = parms + [None] * (len(filters) - len(parms))
     data = raw
     for f, p in zip(filters, parms):
         p = resolve(p) or {}
@@ -531,16 +534,16 @@ def _decode_stream(raw: bytes, sdict: dict, resolve, cap: int) -> bytes:
         p = {k: resolve(v) for k, v in p.items()}
         f = str(resolve(f))
         if f in ("FlateDecode", "Fl"):
+            # bounded decompress (bomb guard); truncated tails keep
+            # their decodable prefix
+            d = zlib.decompressobj()
             try:
-                data = zlib.decompress(data)
+                out = d.decompress(data, cap + 1)
             except zlib.error as e:
-                # tolerate truncated tails: keep the decodable prefix
-                d = zlib.decompressobj()
-                try:
-                    data = d.decompress(data, cap)
-                except zlib.error:
-                    raise PdfError(f"bad Flate stream: {e}") from None
-            data = _apply_predictor(data, p)
+                raise PdfError(f"bad Flate stream: {e}") from None
+            if len(out) > cap:
+                raise PdfError("decoded stream exceeds cap")
+            data = _apply_predictor(out, p)
         elif f in ("LZWDecode", "LZW"):
             data = _lzw_decode(data, p.get("EarlyChange", 1), cap)
             data = _apply_predictor(data, p)
@@ -638,7 +641,11 @@ class _Document:
                         raise PdfError("bad xref entry")
                     if kind == "n":
                         self.offsets.setdefault(first + i, ("at", o))
-                    elif kind != "f":
+                    elif kind == "f":
+                        # record deletions: a newer section's free entry
+                        # must shadow an older section's object
+                        self.offsets.setdefault(first + i, ("free",))
+                    else:
                         raise PdfError("bad xref entry kind")
             tdict = _parse_value(lx)
             if not isinstance(tdict, dict):
@@ -689,6 +696,8 @@ class _Document:
                     self.offsets.setdefault(first + i, ("at", f2))
                 elif t == 2:
                     self.offsets.setdefault(first + i, ("in", f2, f3))
+                elif t == 0:  # free: shadows older sections' objects
+                    self.offsets.setdefault(first + i, ("free",))
         for k, v in sdict.items():
             self.trailer.setdefault(k, v)
         return sdict.get("Prev")
@@ -778,8 +787,8 @@ class _Document:
         if num in self.cache:
             return self.cache[num]
         where = self.offsets.get(num)
-        if where is None:
-            return None  # per spec: a missing object is null
+        if where is None or where[0] == "free":
+            return None  # per spec: a missing or freed object is null
         self.cache[num] = None  # cycle guard during load
         if where[0] == "at":
             try:
@@ -973,6 +982,8 @@ def _parse_tounicode(payload: bytes) -> dict[int, str]:
                     elif isinstance(dst, bytes):
                         base = int.from_bytes(dst, "big")
                         width = max(len(dst), 2)
+                        if base + (hi_i - lo_i) >= 1 << (8 * width):
+                            raise PdfError("bfrange destination overflow")
                         for k in range(hi_i - lo_i + 1):
                             cmap[lo_i + k] = (base + k).to_bytes(
                                 width, "big"
@@ -1081,6 +1092,7 @@ def _content_text(doc: _Document, content: bytes, fonts: dict, cap: int) -> str:
     dec = None
     decoders: dict[str, object] = {}
     last_ty = None
+    seen_show = False  # an EMPTY Tj still marks a (blank) line
 
     def emit(s: str):
         nonlocal total
@@ -1092,12 +1104,17 @@ def _content_text(doc: _Document, content: bytes, fonts: dict, cap: int) -> str:
         parts.append(s)
 
     def show(raw):
+        nonlocal seen_show
         if isinstance(raw, bytes):
+            seen_show = True
             d = dec or (lambda bs: bs.decode("latin-1", "replace"))
             emit(d(raw))
 
     def newline():
-        if parts and not parts[-1].endswith("\n"):
+        # every line advance after the first shown line is one newline —
+        # consecutive advances are a real blank line, not noise to
+        # collapse (round-trip fidelity for blank lines)
+        if seen_show:
             emit("\n")
 
     while True:
@@ -1224,7 +1241,7 @@ def extract_pdf_text(data: bytes, max_out: int = 1 << 26) -> str:
     walk(pages_root, None, 0)
     if not page_texts:
         raise PdfError("no pages")
-    return "\n".join(t.rstrip("\n") for t in page_texts)
+    return "\n".join(page_texts)
 
 
 # ---------------------------------------------------------------------------

@@ -26,26 +26,41 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from .brotli import BrotliError, decode_brotli
-from .zstd import ZstdError, decode_zstd
+from .brotli import decode_brotli
+from .zstd import decode_zstd
 
 PAGES_SCHEMA = "url:string,warc_ts:timestamp,html:binary"
 
 _CRLF = b"\r\n"
 
 
-def gunzip_members(blob: bytes) -> bytes:
-    """Concatenated-gzip-member archive (.warc.gz stores one member per
-    record) → raw bytes. Stops at trailing garbage; raises ValueError on
-    a corrupt first member so callers can fall back."""
+def gunzip_members(blob: bytes, max_out: int = 1 << 31) -> bytes:
+    """Concatenated-gzip-member stream (.warc.gz stores one member per
+    record; HTTP gzip bodies may also concatenate) → raw bytes.
+    Damage policy: a corrupt or truncated member keeps everything
+    decoded so far (members 1..k-1 plus the broken member's decodable
+    prefix) — a cut connection should not discard the intact records
+    before it.  Raises ValueError only when NOTHING decodes (so callers
+    can fall back to the raw bytes) or when output exceeds max_out
+    (decompression-bomb guard)."""
     out = []
+    total = 0
     pos = 0
     n = len(blob)
     while pos < n and blob[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(blob[pos:]))
+        try:
+            chunk = d.decompress(blob[pos:], max_out - total + 1)
+        except zlib.error:
+            if not out:
+                raise ValueError("corrupt gzip member") from None
+            break  # keep the intact earlier members
+        total += len(chunk)
+        if total > max_out:
+            raise ValueError("gzip output exceeds max_out")
+        out.append(chunk)
         if not d.eof:
-            raise ValueError("truncated gzip member")
+            break  # truncated tail member: keep its decoded prefix
         pos = n - len(d.unused_data)
     if not out:
         raise ValueError("not a gzip archive")
@@ -100,34 +115,27 @@ def _decode_content(body: bytes, encoding: str) -> bytes | None:
         if enc in ("", "identity", "none"):
             return body
         if enc in ("gzip", "x-gzip"):
-            # walk concatenated members (servers do send them); a
-            # truncated tail member keeps its decoded prefix — better
-            # than surfacing compressed bytes for a cut connection
-            out = []
-            pos = 0
-            n = len(body)
-            while pos < n and body[pos : pos + 2] == b"\x1f\x8b":
-                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-                try:
-                    chunk = d.decompress(body[pos:])
-                except zlib.error:
-                    break
-                out.append(chunk + d.flush())
-                if not d.eof:
-                    break
-                pos = n - len(d.unused_data)
-            return b"".join(out) if out else None
+            # member walk with keep-prefix damage policy + bomb cap
+            return gunzip_members(body, max_out=1 << 28)
         if enc == "deflate":
-            # servers send both zlib-wrapped and raw-deflate bodies
-            try:
-                return zlib.decompress(body)
-            except zlib.error:
-                return zlib.decompress(body, -zlib.MAX_WBITS)
+            # servers send both zlib-wrapped and raw-deflate bodies;
+            # bound the output either way (bomb guard, matching br/zstd)
+            for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+                d = zlib.decompressobj(wbits)
+                try:
+                    out = d.decompress(body, (1 << 28) + 1)
+                except zlib.error:
+                    continue
+                if len(out) > 1 << 28:
+                    return None
+                return out
+            return None
         if enc == "br":
             return decode_brotli(body, max_out=1 << 28)
         if enc == "zstd":
             return decode_zstd(body, max_out=1 << 28)
-    except (zlib.error, BrotliError, ZstdError, EOFError):
+    except (zlib.error, ValueError, EOFError):
+        # ValueError covers gunzip_members plus BrotliError/ZstdError
         return None
     return None  # unknown encoding (compress, sdch, etc.)
 

@@ -415,6 +415,8 @@ _MAX_BLOCK = 1 << 17  # 128 KB: maximum block size, compressed or regenerated
 
 
 def _decode_literals(block: bytes, pos: int, huff_state):
+    if pos >= len(block):
+        raise ZstdError("empty compressed block")
     b0 = block[pos]
     ltype = b0 & 3
     sf = (b0 >> 2) & 3

@@ -53,6 +53,71 @@ def test_binary_safe_strings():
     assert extract_pdf_text(blob) == tricky
 
 
+def test_blank_lines_and_trailing_newline_round_trip():
+    """Review finding: blank lines and trailing newlines must survive —
+    consecutive line advances are a real blank line, and page text is
+    not rstripped."""
+    for text in ("a\n\nb", "a\nb\n", "\nleading", "a\n\n\nb\n\n"):
+        blob = write_pdf([text], "classic", "flate", "winansi")
+        assert extract_pdf_text(blob) == text, repr(text)
+    # across a page boundary too
+    blob = write_pdf(["a\n", "\nb"], "xrefstream", "flate", "tounicode2")
+    assert extract_pdf_text(blob) == "a\n\n\nb"
+
+
+def test_bfrange_destination_overflow_rejected():
+    from mitie_spark.sources.pdf import PdfError as E, _parse_tounicode
+
+    with pytest.raises(E):
+        _parse_tounicode(
+            b"1 beginbfrange <0000> <0002> <ffff> endbfrange"
+        )
+
+
+def test_short_decodeparms_does_not_truncate_filters():
+    """Review finding: /DecodeParms shorter than /Filter must not skip
+    the remaining filters."""
+    import zlib as _z
+
+    from mitie_spark.sources.pdf import _decode_stream
+
+    payload = b"the payload"
+    raw = _z.compress(payload).hex().encode("ascii") + b">"
+    sdict = {
+        "Filter": ["ASCIIHexDecode", "FlateDecode"],
+        "DecodeParms": [None],
+    }
+    assert _decode_stream(raw, sdict, lambda v: v, 1 << 20) == payload
+
+
+def test_flate_bomb_capped():
+    """A small flate stream inflating past the cap must raise before
+    materializing the whole output."""
+    import zlib as _z
+
+    from mitie_spark.sources.pdf import PdfError as E, _decode_stream
+
+    bomb = _z.compress(b"\x00" * 50_000_000)  # ~50 KB -> 50 MB
+    with pytest.raises(E):
+        _decode_stream(bomb, {"Filter": "FlateDecode"}, lambda v: v, 1 << 20)
+
+
+def test_freed_object_shadows_older_revision():
+    """Review finding: a newer revision's FREE entry must delete the
+    object — not let the /Prev section resurrect it."""
+    base = write_pdf(["soon deleted"], "classic", "none", "winansi")
+    prev_xref = int(base[base.rfind(b"startxref") + 9 :].split()[0])
+    out = bytearray(base)
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n4 1\n0000000000 00001 f \n"
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (prev_xref, xref_at)
+    )
+    # object 4 (the content stream) is freed: the page extracts empty
+    assert extract_pdf_text(bytes(out)) == ""
+
+
 def test_incremental_update_prev_chain():
     """An appended update section (new object 4, xref with /Prev back
     to the base) must win over the original — newest entry first along

@@ -429,6 +429,21 @@ def test_warc_gz_member_framing(spark, tmp_path):
     assert parse_warc_bytes(gunzip_members(gz)) == [
         (r["url"], r["warc_ts"], docs[i]) for i, r in enumerate(recs)
     ]
+    # a truncated tail member keeps every intact record before it
+    # (review finding: a cut connection must not discard the archive)
+    cut = gz[: len(gz) - len(gz) // 8]
+    kept = parse_warc_bytes(gunzip_members(cut))
+    assert len(kept) >= 4 and kept[0] == (recs[0]["url"], recs[0]["warc_ts"], docs[0])
+    # a gzip-bomb HTTP body degrades to the raw (compressed) bytes
+    import zlib as _z
+
+    co = _z.compressobj(9, _z.DEFLATED, 16 + _z.MAX_WBITS)
+    bomb = co.compress(b"\x00" * (300 << 20)) + co.flush()
+    assert bomb[:2] == b"\x1f\x8b" and len(bomb) < 1 << 20
+    env = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb
+    from mitie_spark.sources.warc import strip_http_envelope
+
+    assert strip_http_envelope(env) == bomb  # 300 MB > the 256 MB cap
     p = tmp_path / "c.warc.gz"
     p.write_bytes(gz)
     # a corrupt sibling blob is skipped without killing the task

@@ -301,6 +301,12 @@ def test_crafted_header_variants():
 def test_structural_rejections():
     with pytest.raises(ZstdError):
         decode_zstd(b"\x00\x01\x02\x03")  # bad magic
+    with pytest.raises(ZstdError):  # zero-size compressed block
+        decode_zstd(
+            (0xFD2FB528).to_bytes(4, "little")
+            + bytes([32, 5])
+            + (1 | (2 << 1) | (0 << 3)).to_bytes(3, "little")
+        )
     with pytest.raises(ZstdError):
         decode_zstd(b"\x28\xb5\x2f\xfd")  # missing header
     with pytest.raises(ZstdError):
