@@ -1,0 +1,57 @@
+"""Document-payload router: crawl bytes → text, by format sniffing.
+
+A WARC response body (after sources/warc.py undoes the HTTP envelope)
+is usually HTML but routinely PDF or DOCX; this is the one-stop edge a
+pipeline calls per record.  Routing is by magic bytes, never by URL or
+Content-Type (both lie in real crawls):
+
+- ``%PDF-`` (possibly after a BOM/garbage preamble ≤1 KB, which real
+  generators emit) → sources/pdf.extract_pdf_text
+- ZIP magic with a ``word/document.xml`` part → sources/docx
+- anything else → functions/html2text (which degrades to plain text
+  for non-markup payloads — tags are simply absent)
+
+Failures inside a format extractor degrade to the HTML path rather
+than dropping the record: a damaged PDF still surfaces whatever
+byte-level text it carries, mirroring the envelope layer's
+keep-the-record policy.
+
+Scale shape: pure per-record function for Arrow ``mapInPandas``
+stages; no Spark state, no shuffle.
+"""
+
+from __future__ import annotations
+
+from mitie_spark.functions.html2text import html_to_text
+from mitie_spark.sources.docx import DocxError, extract_docx_text
+from mitie_spark.sources.pdf import PdfError, extract_pdf_text
+
+__all__ = ["extract_document_text", "sniff_document_kind"]
+
+
+def sniff_document_kind(payload: bytes) -> str:
+    """'pdf' | 'docx' | 'html' (the catch-all text path)."""
+    if payload[:5] == b"%PDF-" or b"%PDF-" in payload[:1024]:
+        return "pdf"
+    if payload[:4] == b"PK\x03\x04" and b"word/document.xml" in payload:
+        # the part name appears in its local header and in the central
+        # directory, wherever the part sits in the container
+        return "docx"
+    return "html"
+
+
+def extract_document_text(payload: bytes, max_out: int = 1 << 26) -> str:
+    """Crawl payload bytes → extracted text (see module docstring)."""
+    payload = bytes(payload or b"")
+    kind = sniff_document_kind(payload)
+    if kind == "pdf":
+        try:
+            return extract_pdf_text(payload, max_out=max_out)
+        except PdfError:
+            return html_to_text(payload)
+    if kind == "docx":
+        try:
+            return extract_docx_text(payload, max_out=max_out)
+        except DocxError:
+            return html_to_text(payload)
+    return html_to_text(payload)

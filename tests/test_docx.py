@@ -99,3 +99,37 @@ def test_corruption_never_hangs_or_leaks():
             assert len(out) <= 1 << 20
         except DocxError:
             pass  # the only exception type the contract allows
+
+
+def test_doc_router():
+    """sources/doc_router.py: magic-based routing with degrade-to-html
+    on extractor failure."""
+    from mitie_spark.sources.doc_router import (
+        extract_document_text,
+        sniff_document_kind,
+    )
+    from mitie_spark.sources.pdf import write_pdf
+
+    assert sniff_document_kind(b"<html><p>x</p></html>") == "html"
+    assert extract_document_text(b"<html><p>hi there</p></html>") == "hi there"
+    pdf = write_pdf(["pdf text\nline two"])
+    assert sniff_document_kind(pdf) == "pdf"
+    assert extract_document_text(pdf) == "pdf text\nline two"
+    # BOM/preamble before %PDF- (real generators emit this)
+    assert sniff_document_kind(b"\xef\xbb\xbfjunk" + pdf) == "pdf"
+    dx = write_docx("docx text\nline two")
+    assert sniff_document_kind(dx) == "docx"
+    assert extract_document_text(dx) == "docx text\nline two"
+    # a broken PDF degrades to the html/text path, record kept
+    broken = pdf[:40]
+    got = extract_document_text(broken)
+    assert isinstance(got, str)
+    # a plain ZIP that is not a docx routes to html, not DocxError
+    import io as _io
+    import zipfile as _zf
+
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr("data.txt", "zipped plain text")
+    assert sniff_document_kind(buf.getvalue()) == "html"
+    assert isinstance(extract_document_text(buf.getvalue()), str)
