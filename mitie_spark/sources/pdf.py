@@ -23,10 +23,11 @@ the text-bearing subset of ISO 32000-1 from scratch:
   /Differences glyph names (AGL subset + uniXXXX).
 
 Honest seams: encrypted documents (/Encrypt) raise PdfError;
-DCT/JPX/JBIG2/CCITT-filtered CONTENT streams raise (image XObjects are
-never traversed, so scanned-image PDFs yield their genuine text layer
-or nothing — this extractor does not OCR); composite fonts without a
-ToUnicode map decode to U+FFFD (documented lossy).
+DCT/JPX/JBIG2/CCITT-filtered CONTENT streams raise (Form XObjects ARE
+traversed via ``Do`` — depth-capped — but image XObjects are not, so
+scanned-image PDFs yield their genuine text layer or nothing: this
+extractor does not OCR); composite fonts without a ToUnicode map
+decode to U+FFFD (documented lossy).
 
 Correctness story (tests/test_pdf.py): no PDF producer or consumer
 exists in this sandbox, so — like the WARC envelope — the gate is a
@@ -486,6 +487,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         v = 0
         for g in group:
             v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise PdfError("ASCII85 group overflow")
         out += v.to_bytes(4, "big")[: k - 1]
     return bytes(out)
 
@@ -520,6 +523,8 @@ def _decode_stream(raw: bytes, sdict: dict, resolve, cap: int) -> bytes:
     filters = resolve(filters)
     if isinstance(filters, (Name, str)):
         filters = [filters]
+    if not isinstance(filters, list):
+        raise PdfError("stream Filter is neither a name nor an array")
     parms = resolve(sdict.get("DecodeParms") or sdict.get("DP"))
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
@@ -609,20 +614,21 @@ class _Document:
                 seen.add(off)
                 if len(seen) > 64:
                     raise PdfError("xref chain too long")
-                off = self._load_xref_section(off)
+                off = self._load_xref_section(off, seen)
         except PdfError:
             self._rescue_scan()
             return
         if "Root" not in self.trailer:
             self._rescue_scan()
 
-    def _load_xref_section(self, off: int):
+    def _load_xref_section(self, off: int, seen: set[int] | None = None):
         """One xref section (classic table or xref stream) → /Prev
         offset or None."""
         lx = _Lexer(self.data, off)
         save = lx.pos
         tok = lx.next_token()
         if tok == "xref":  # classic table
+            entries: list[tuple[int, tuple]] = []
             while True:
                 t = lx.next_token()
                 if t == "trailer":
@@ -640,11 +646,11 @@ class _Document:
                     if not isinstance(o, int) or not isinstance(g, int):
                         raise PdfError("bad xref entry")
                     if kind == "n":
-                        self.offsets.setdefault(first + i, ("at", o))
+                        entries.append((first + i, ("at", o)))
                     elif kind == "f":
                         # record deletions: a newer section's free entry
                         # must shadow an older section's object
-                        self.offsets.setdefault(first + i, ("free",))
+                        entries.append((first + i, ("free",)))
                     else:
                         raise PdfError("bad xref entry kind")
             tdict = _parse_value(lx)
@@ -652,9 +658,20 @@ class _Document:
                 raise PdfError("bad trailer")
             for k, v in tdict.items():
                 self.trailer.setdefault(k, v)
-            # hybrid-reference file: the XRefStm supplements the table
-            if isinstance(tdict.get("XRefStm"), int):
-                self._load_xref_section(tdict["XRefStm"])
+            # hybrid-reference file (§7.5.8.4): the XRefStm's entries
+            # take precedence over this table's own — the table marks
+            # stream-referenced objects free to hide them from PDF-1.4
+            # readers, so it must load BEFORE the table's entries land
+            xs = tdict.get("XRefStm")
+            if isinstance(xs, int) and (seen is None or xs not in seen):
+                if seen is not None:
+                    seen.add(xs)
+                try:
+                    self._load_xref_section(xs, seen)
+                except PdfError:
+                    pass  # a broken hybrid stream: the table still counts
+            for num, where in entries:
+                self.offsets.setdefault(num, where)
             return tdict.get("Prev")
         # cross-reference stream: `N G obj <<...>> stream`
         lx.pos = save
@@ -664,11 +681,16 @@ class _Document:
         if raw is None:
             raise PdfError("xref stream has no stream body")
         payload = _decode_stream(raw, sdict, self.resolve, 1 << 24)
-        w = [self.resolve(x) for x in self.resolve(sdict.get("W", []))]
+        wraw = self.resolve(sdict.get("W", []))
+        if not isinstance(wraw, list):
+            raise PdfError("xref-stream W is not an array")
+        w = [self.resolve(x) for x in wraw]
         if len(w) != 3 or any(not isinstance(x, int) or x < 0 or x > 8 for x in w):
             raise PdfError("bad xref-stream W")
         size = self.resolve(sdict.get("Size", 0))
         index = self.resolve(sdict.get("Index", [0, size]))
+        if not isinstance(index, list):
+            raise PdfError("xref-stream Index is not an array")
         rowlen = sum(w)
         if rowlen == 0:
             raise PdfError("empty xref-stream rows")
@@ -840,9 +862,10 @@ class _Document:
 
 
 class _Stream:
-    __slots__ = ("dict", "raw")
+    __slots__ = ("dict", "raw", "decoded")
 
     def __init__(self, d: dict, raw: bytes):
+        self.decoded = None  # filled by _stream_bytes (decode-once cache)
         self.dict = d
         self.raw = raw
 
@@ -927,7 +950,7 @@ def _base_encoding_table(name: str) -> list[str]:
     if name == "WinAnsiEncoding":
         for b in range(32, 256):
             ch = bytes((b,)).decode("cp1252", "replace")
-            table[b] = ch if ch != "�" else "�"
+            table[b] = ch
     elif name == "MacRomanEncoding":
         for b in range(32, 256):
             table[b] = bytes((b,)).decode("mac_roman", "replace")
@@ -943,6 +966,8 @@ def _parse_tounicode(payload: bytes) -> dict[int, str]:
     """ToUnicode CMap stream → {code int: unicode str}.  Handles
     bfchar, and bfrange in both destination forms."""
     cmap: dict[int, str] = {}
+    work = 0  # total mappings WRITTEN, incl. overwrites — a hostile
+    # stream of repeated maximal bfranges must hit a bound, not spin
     lx = _Lexer(payload)
     toks: list = []
     while lx.pos < lx.n:
@@ -966,6 +991,7 @@ def _parse_tounicode(payload: bytes) -> dict[int, str]:
                         cmap[int.from_bytes(src, "big")] = dst.decode(
                             "utf-16-be", "replace"
                         )
+                work += len(group) >> 1
             else:
                 for j in range(0, len(group) - 2, 3):
                     lo, hi, dst = group[j], group[j + 1], group[j + 2]
@@ -975,6 +1001,7 @@ def _parse_tounicode(payload: bytes) -> dict[int, str]:
                     hi_i = int.from_bytes(hi, "big")
                     if hi_i - lo_i > 1 << 16:
                         raise PdfError("bfrange too wide")
+                    work += hi_i - lo_i + 1
                     if isinstance(dst, list):
                         for k, d in enumerate(dst):
                             if isinstance(d, bytes) and lo_i + k <= hi_i:
@@ -998,6 +1025,8 @@ def _parse_tounicode(payload: bytes) -> dict[int, str]:
             toks.append(arr)
         else:
             toks.append(t)
+        if work > 1 << 20:
+            raise PdfError("ToUnicode CMap defines too many mappings")
     return cmap
 
 
@@ -1084,7 +1113,27 @@ def _skip_inline_image(data: bytes, pos: int) -> int:
         at = ei + 2
 
 
-def _content_text(doc: _Document, content: bytes, fonts: dict, cap: int) -> str:
+def _stream_bytes(doc: _Document, stm: _Stream, cap: int) -> bytes:
+    """Decode-once cache: hostile documents reference one expensive
+    stream from thousands of pages; the decode must not repeat."""
+    if stm.decoded is None:
+        stm.decoded = _decode_stream(stm.raw, stm.dict, doc.resolve, cap)
+    return stm.decoded
+
+
+def _content_text(
+    doc: _Document,
+    content: bytes,
+    resources,
+    cap: int,
+    depth: int = 0,
+    started: bool = False,
+) -> str:
+    fonts: dict = {}
+    if isinstance(resources, dict):
+        f = doc.resolve(resources.get("Font"))
+        if isinstance(f, dict):
+            fonts = f
     lx = _Lexer(content)
     stack: list = []
     parts: list[str] = []
@@ -1092,7 +1141,10 @@ def _content_text(doc: _Document, content: bytes, fonts: dict, cap: int) -> str:
     dec = None
     decoders: dict[str, object] = {}
     last_ty = None
-    seen_show = False  # an EMPTY Tj still marks a (blank) line
+    # an EMPTY Tj still marks a (blank) line; a Form XObject invoked
+    # after shown text inherits started=True so its own leading line
+    # advance produces the block separator
+    seen_show = started
 
     def emit(s: str):
         nonlocal total
@@ -1179,6 +1231,28 @@ def _content_text(doc: _Document, content: bytes, fonts: dict, cap: int) -> str:
                 if last_ty is not None and ty != last_ty:
                     newline()
                 last_ty = ty
+        elif op == "Do":
+            # Form XObjects carry real text (Crystal Reports, Quartz,
+            # tagged-PDF artifacts); image XObjects are skipped
+            if stack and isinstance(stack[-1], Name) and depth < 8:
+                xobjs = None
+                if isinstance(resources, dict):
+                    xobjs = doc.resolve(resources.get("XObject"))
+                xo = None
+                if isinstance(xobjs, dict):
+                    xo = doc.resolve(xobjs.get(str(stack[-1])))
+                if isinstance(xo, _Stream) and xo.dict.get("Subtype") == "Form":
+                    sub_res = doc.resolve(xo.dict.get("Resources")) or resources
+                    sub = _content_text(
+                        doc,
+                        _stream_bytes(doc, xo, cap),
+                        sub_res,
+                        cap - total,
+                        depth + 1,
+                        started=seen_show,
+                    )
+                    emit(sub)
+                    seen_show = seen_show or bool(sub)
         elif op == "BT":
             last_ty = None
         stack.clear()
@@ -1202,8 +1276,10 @@ def extract_pdf_text(data: bytes, max_out: int = 1 << 26) -> str:
         raise PdfError("no document catalog")
     pages_root = doc.resolve(root.get("Pages"))
     page_texts: list[str] = []
+    consumed = 0  # GLOBAL text budget across pages, not per page
 
     def walk(node, resources, depth: int):
+        nonlocal consumed
         if depth > 32 or len(page_texts) > 20000:
             raise PdfError("page tree too deep or too large")
         node = doc.resolve(node)
@@ -1223,20 +1299,17 @@ def extract_pdf_text(data: bytes, max_out: int = 1 << 26) -> str:
         for item in items:
             item = doc.resolve(item)
             if isinstance(item, _Stream):
-                chunks.append(
-                    _decode_stream(item.raw, item.dict, doc.resolve, max_out)
-                )
+                chunks.append(_stream_bytes(doc, item, max_out))
         if not chunks:
             page_texts.append("")
             return
-        fonts = {}
-        if isinstance(res, dict):
-            f = doc.resolve(res.get("Font"))
-            if isinstance(f, dict):
-                fonts = f
-        page_texts.append(
-            _content_text(doc, b"\n".join(chunks), fonts, max_out)
+        text = _content_text(
+            doc, b"\n".join(chunks), res, max_out - consumed
         )
+        consumed += len(text) + 1
+        if consumed > max_out:
+            raise PdfError("extracted text exceeds max_out")
+        page_texts.append(text)
 
     walk(pages_root, None, 0)
     if not page_texts:

@@ -430,6 +430,8 @@ def _decode_literals(block: bytes, pos: int, huff_state):
         else:
             size = int.from_bytes(block[pos : pos + 3], "little") >> 4
             pos += 3
+        if size > _MAX_BLOCK:
+            raise ZstdError("literals regenerate past the 128 KB block cap")
         if ltype == 0:
             lit = bytes(block[pos : pos + size])
             if len(lit) < size:

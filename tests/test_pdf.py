@@ -383,3 +383,131 @@ def test_structural_rejections():
     )
     with pytest.raises(PdfError):
         extract_pdf_text(blob)
+
+
+# ---------------------------------------------------------------------------
+# Second-review regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_tounicode_work_bound():
+    """Repeated maximal bfranges must hit a bound quickly, not spin for
+    minutes inside the per-range check."""
+    import time
+
+    from mitie_spark.sources.pdf import PdfError as E, _parse_tounicode
+
+    payload = b"1 beginbfrange <0000> <ffff> <0000> endbfrange\n" * 2000
+    t0 = time.time()
+    with pytest.raises(E):
+        _parse_tounicode(payload)
+    assert time.time() - t0 < 5
+
+
+def test_max_out_is_global_across_pages():
+    blob = write_pdf(["x" * 60] * 5, "classic", "none", "winansi")
+    with pytest.raises(PdfError):
+        extract_pdf_text(blob, max_out=100)
+
+
+def test_ascii85_partial_group_overflow():
+    with pytest.raises(PdfError):
+        _ascii85_decode(b"uu~>")
+
+
+def test_hostile_xref_types_fail_fast():
+    """Non-array /W, /Index, /Filter must raise PdfError (or rescue),
+    never TypeError."""
+    blob = write_pdf([TEXT], "xrefstream", "flate", "winansi")
+    for needle, repl in (
+        (b"/W [1 4 2]", b"/W 5"),
+        (b"/Filter /FlateDecode", b"/Filter 5"),
+    ):
+        bad = blob.replace(needle, repl)
+        assert bad != blob, needle
+        try:
+            extract_pdf_text(bad)
+        except PdfError:
+            pass  # the only allowed exception
+
+
+def test_xrefstm_self_cycle_terminates():
+    base = write_pdf([TEXT], "classic", "none", "winansi")
+    prev_xref = int(base[base.rfind(b"startxref") + 9 :].split()[0])
+    out = bytearray(base)
+    xref_at = len(out)
+    # a classic section whose /XRefStm points at THIS section's offset
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm %d /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (xref_at, prev_xref, xref_at)
+    )
+    # must terminate with either the text (cycle skipped) or PdfError
+    try:
+        got = extract_pdf_text(bytes(out))
+        assert got == TEXT
+    except PdfError:
+        pass
+
+
+def test_hybrid_xrefstm_precedence():
+    """§7.5.8.4: the classic table marks stream-referenced objects free
+    to hide them from PDF-1.4 readers; the XRefStm must win."""
+    import zlib as _z
+
+    base = write_pdf([TEXT], "classic", "none", "winansi")
+    prev_xref = int(base[base.rfind(b"startxref") + 9 :].split()[0])
+    off4 = base.find(b"4 0 obj")
+    out = bytearray(base)
+    # an XRef stream (object 7) declaring object 4 in-use at its offset
+    rows = bytearray()
+    prev = bytes(7)
+    for row in (bytes((1,)) + off4.to_bytes(4, "big") + b"\x00\x00",):
+        rows.append(2)
+        rows.extend((row[i] - prev[i]) & 0xFF for i in range(7))
+    xdata = _z.compress(bytes(rows))
+    stm_at = len(out)
+    out += (
+        b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Index [4 1] /Root 1 0 R"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
+        b" /Length %d >>\nstream\n" % len(xdata)
+    ) + xdata + b"\nendstream\nendobj\n"
+    # a classic update that marks object 4 FREE but carries /XRefStm
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n4 1\n0000000000 00001 f \n"
+    out += (
+        b"trailer\n<< /Size 8 /Root 1 0 R /XRefStm %d /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n" % (stm_at, prev_xref, xref_at)
+    )
+    assert extract_pdf_text(bytes(out)) == TEXT
+
+
+def test_form_xobject_text_extracted():
+    """Text inside a /Subtype /Form XObject reached via Do."""
+    form = b"BT /F1 12 Tf 72 700 Td (inside form) Tj ET"
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources << /Font"
+        b" << /F1 5 0 R >> /XObject << /Fm0 6 0 R >> >> /Contents 4 0 R >>",
+        5: _T1,
+    }
+    content = b"BT /F1 12 Tf 72 720 Td (before) Tj ET /Fm0 Do"
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for num in (1, 2, 3, 5):
+        offs[num] = len(out)
+        out += b"%d 0 obj\n" % num + bodies[num] + b"\nendobj\n"
+    for num, data, extra in ((4, content, b""), (6, form, b" /Subtype /Form")):
+        offs[num] = len(out)
+        out += (
+            b"%d 0 obj\n<< /Length %d%s >>\nstream\n" % (num, len(data), extra)
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+    xref_at = len(out)
+    out += b"xref\n0 7\n0000000000 65535 f \n"
+    for num in range(1, 7):
+        out += b"%010d 00000 n \n" % offs[num]
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    assert extract_pdf_text(bytes(out)) == "before\ninside form"

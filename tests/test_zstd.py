@@ -307,6 +307,14 @@ def test_structural_rejections():
             + bytes([32, 5])
             + (1 | (2 << 1) | (0 << 3)).to_bytes(3, "little")
         )
+    with pytest.raises(ZstdError):  # RLE literals past the 128 KB block cap
+        block = ((200000 << 4) | 13).to_bytes(3, "little") + b"Q" + b"\x00"
+        decode_zstd(
+            (0xFD2FB528).to_bytes(4, "little")
+            + bytes([0x00, 8 << 3])  # window descriptor: 256 KiB
+            + (1 | (2 << 1) | (len(block) << 3)).to_bytes(3, "little")
+            + block
+        )
     with pytest.raises(ZstdError):
         decode_zstd(b"\x28\xb5\x2f\xfd")  # missing header
     with pytest.raises(ZstdError):
