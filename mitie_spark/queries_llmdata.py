@@ -584,6 +584,64 @@ def pdf_document_ingest(spark, sf_dir):
     )
 
 
+@query("routed_document_ingest")
+def routed_document_ingest(spark, sf_dir):
+    """The doc_router edge under the md5 gate: every document becomes a
+    PDF or a DOCX payload (cycling writers AND pdf layout variants by
+    doc_id) and extract_document_text must sniff the format from magic
+    bytes and recover the text byte-exactly. The html path is excluded
+    from the identity gate by design — html_to_text is deliberately
+    lossy (whitespace normalization) — and is unit-tested in
+    tests/test_docx.py::test_doc_router instead. Rows-only slot; the
+    DuckDB gate runs in tests/test_queries_vs_oracle.py.
+
+    Scale shape: one narrow Arrow pass over compute-sized tasks.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from mitie_spark.session import by_compute
+    from mitie_spark.sources.doc_router import extract_document_text
+    from mitie_spark.sources.docx import write_docx
+    from mitie_spark.sources.pdf import write_pdf
+
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, md5s, lens = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = text or ""
+                if did % 2:
+                    payload = write_docx(text)
+                else:
+                    payload = write_pdf(
+                        [text],
+                        ("classic", "xrefstream")[did % 4 == 0],
+                        "flate",
+                        "tounicode2",
+                    )
+                got = extract_document_text(payload)
+                ids.append(did)
+                md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+                lens.append(len(got))
+            yield pd.DataFrame(
+                {"doc_id": ids, "text_md5": md5s, "text_len": lens}
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, text_md5 string, text_len bigint"
+    )
+
+
 @query("docx_document_ingest")
 def docx_document_ingest(spark, sf_dir):
     """Ingestion-edge round trip for office documents: documents →

@@ -17,7 +17,13 @@ byte-level text it carries, mirroring the envelope layer's
 keep-the-record policy.
 
 Scale shape: pure per-record function for Arrow ``mapInPandas``
-stages; no Spark state, no shuffle.
+stages; no Spark state, no shuffle.  Registered as the
+``routed_document_ingest`` query (md5-gated round trip over PDF and
+DOCX payloads through the router).  The KG pipeline's own html→text
+stage deliberately does NOT route through here: its byte-identical
+text invariant is versioned on ``html_to_text`` (extractor_version 1,
+plans/pipeline.py) and the driver corpora are HTML — this router is
+the edge for building NEW pages tables from raw crawl payloads.
 """
 
 from __future__ import annotations
@@ -30,13 +36,15 @@ __all__ = ["extract_document_text", "sniff_document_kind"]
 
 
 def sniff_document_kind(payload: bytes) -> str:
-    """'pdf' | 'docx' | 'html' (the catch-all text path)."""
-    if payload[:5] == b"%PDF-" or b"%PDF-" in payload[:1024]:
-        return "pdf"
+    """'pdf' | 'docx' | 'html' (the catch-all text path).  The exact
+    ZIP-container test outranks the fuzzy 1 KB %PDF- preamble scan — a
+    deflate stream can contain that 5-byte string by chance."""
     if payload[:4] == b"PK\x03\x04" and b"word/document.xml" in payload:
         # the part name appears in its local header and in the central
         # directory, wherever the part sits in the container
         return "docx"
+    if b"%PDF-" in payload[:1024]:  # real generators emit BOM/preambles
+        return "pdf"
     return "html"
 
 

@@ -95,12 +95,22 @@ def extract_docx_text(data: bytes, max_out: int = 1 << 26) -> str:
     body = root.find(_W + "body")
     if body is None:
         raise DocxError("document has no body")
-    for el in body.iter():
-        if el.tag == _W + "p":  # incl. table-cell paragraphs, in order
-            out.append(para_text(el))
-            total += len(out[-1]) + 1
-            if total > max_out:
-                raise DocxError("extracted text exceeds max_out")
+    def collect(el) -> None:
+        # descend through non-paragraph containers (tables, sdt, ...)
+        # but NOT into a paragraph: a w:p nested inside another (text
+        # boxes, AlternateContent) is already rendered inline by
+        # para_text's iter() — re-emitting it would duplicate its text
+        nonlocal total
+        for child in el:
+            if child.tag == _W + "p":
+                out.append(para_text(child))
+                total += len(out[-1]) + 1
+                if total > max_out:
+                    raise DocxError("extracted text exceeds max_out")
+            else:
+                collect(child)
+
+    collect(body)
     return "\n".join(out)
 
 

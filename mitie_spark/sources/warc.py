@@ -47,10 +47,12 @@ def gunzip_members(blob: bytes, max_out: int = 1 << 31) -> bytes:
     total = 0
     pos = 0
     n = len(blob)
+    mv = memoryview(blob)  # O(1) suffix slices: a 1 GB member-per-record
+    # archive must not memcpy its remaining suffix once per member
     while pos < n and blob[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            chunk = d.decompress(blob[pos:], max_out - total + 1)
+            chunk = d.decompress(mv[pos:], max_out - total + 1)
         except zlib.error:
             if not out:
                 raise ValueError("corrupt gzip member") from None
@@ -79,12 +81,13 @@ def _dechunk(body: bytes) -> bytes | None:
         if eol < 0:
             return None
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        # strict hex only: int(x, 16) would accept '0x5'/'+5'/'1_0'
+        # forms real HTTP parsers reject, silently mis-framing bodies
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
             return None
-        if size < 0:
-            return None
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             return b"".join(out)  # trailers (if any) ignored
@@ -158,14 +161,24 @@ def strip_http_envelope(payload: bytes) -> bytes:
     for line in head.split("\r\n")[1:]:
         k, _, v = line.partition(":")
         k = k.strip().lower()
+        v = v.strip().lower()
+        # RFC 9110 §5.3: repeated header lines combine into a list
         if k == "transfer-encoding":
-            te = v.strip().lower()
+            te = f"{te},{v}" if te else v
         elif k == "content-encoding":
-            ce = v.strip().lower()
-    if "chunked" in te:
+            ce = f"{ce},{v}" if ce else v
+    te_codings = [t.strip() for t in te.split(",") if t.strip()]
+    if "chunked" in te_codings:
         dechunked = _dechunk(body)
         if dechunked is not None:
             body = dechunked
+        te_codings.remove("chunked")
+    if te_codings:
+        # 'Transfer-Encoding: gzip, chunked' leaves a gzip layer after
+        # dechunking; undo it like a Content-Encoding list
+        decoded = _decode_content(body, ",".join(te_codings))
+        if decoded is not None:
+            body = decoded
     if ce:
         decoded = _decode_content(body, ce)
         if decoded is not None:

@@ -58,6 +58,21 @@ def test_hand_written_wordprocessingml():
     assert got == "Hello \ttabbed\nbroken\ncell1\ncell2\nafter"
 
 
+def test_nested_paragraph_not_duplicated():
+    """Review finding: a w:p nested in another (text boxes,
+    AlternateContent) renders inline exactly once — body-level
+    collection must not re-emit it as its own paragraph."""
+    doc = (
+        "<w:document %s><w:body>"
+        "<w:p><w:r><w:t>outer </w:t></w:r>"
+        "<w:pict><w:txbxContent><w:p><w:r><w:t>boxed</w:t></w:r></w:p>"
+        "</w:txbxContent></w:pict></w:p>"
+        "<w:p><w:r><w:t>next</w:t></w:r></w:p>"
+        "</w:body></w:document>" % _NS
+    ).encode()
+    assert extract_docx_text(_docx_with_document(doc)) == "outer boxed\nnext"
+
+
 def test_bomb_and_dtd_guards():
     # declared-size guard: a member whose file_size lies is re-checked
     big = _docx_with_document(b"<w:document %s><w:body/></w:document>" % _NS.encode())

@@ -116,3 +116,23 @@ def test_docx_document_ingest_oracle(spark):
     ).fetchdf()
     errs = compare(got, duck)
     assert not errs, errs
+
+
+def test_routed_document_ingest_oracle(spark):
+    """routed_document_ingest rows-only gate: magic-byte routing + the
+    matching extractor must reproduce every document byte-exactly."""
+    from mitie_spark.queries import QUERIES
+    from tests.oracle import compare, duck_connection
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = QUERIES["routed_document_ingest"](spark, sf_dir)
+    duck = duck_connection(sf_dir).execute(
+        """
+        SELECT doc_id,
+               md5(COALESCE(text, '')) AS text_md5,
+               length(COALESCE(text, '')) AS text_len
+        FROM documents
+        """
+    ).fetchdf()
+    errs = compare(got, duck)
+    assert not errs, errs

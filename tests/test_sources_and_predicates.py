@@ -376,6 +376,24 @@ def test_warc_real_web_envelopes():
         c = _z.compressobj(6, _z.DEFLATED, 16 + _z.MAX_WBITS)
         return c.compress(b) + c.flush()
 
+    # repeated Content-Encoding header LINES combine per RFC 9110 §5.3
+    env = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Encoding: br\r\n\r\n" + layered
+    )
+    assert strip_http_envelope(env) == body
+    # 'Transfer-Encoding: gzip, chunked': dechunk, then undo the gzip
+    # transfer coding even with no Content-Encoding header
+    chunked_gz = b"%x\r\n" % len(gz(body)) + gz(body) + b"\r\n0\r\n\r\n"
+    env = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+        + chunked_gz
+    )
+    assert strip_http_envelope(env) == body
+    # non-RFC chunk-size forms ('1_0', '+5') must fall back to raw
+    env = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n1_0\r\nx"
+    assert strip_http_envelope(env) == b"1_0\r\nx"
+
     multi = gz(body[:100]) + gz(body[100:])
     env = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + multi
     assert strip_http_envelope(env) == body
