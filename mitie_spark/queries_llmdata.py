@@ -488,6 +488,7 @@ def warc_http_ingest(spark, sf_dir):
                 body = (text or "").encode("utf-8")
                 recs.append(
                     {
+                        "lead_id": did,
                         "url": f"https://corpus.example/{did}",
                         "warc_ts": "2024-01-01T00:00:00Z",
                         "html": write_http_response(
@@ -495,13 +496,17 @@ def warc_http_ingest(spark, sf_dir):
                             content_encoding=(None, "gzip", "br", "zstd")[
                                 did % 4
                             ],
-                            chunked=bool(did % 2),
+                            # decorrelated from the encoding cycle so all
+                            # 8 encoding x chunked combinations occur
+                            chunked=bool((did // 4) % 2),
                         ),
                     }
                 )
             for i in range(0, len(recs), 256):
                 part = recs[i : i + 256]
-                lead = int(part[0]["url"].rsplit("/", 1)[1])
+                lead = part[0].pop("lead_id")  # carried, not re-parsed
+                for r in part[1:]:
+                    r.pop("lead_id")
                 yield pd.DataFrame(
                     {"content": [write_warc(part, gzip_members=lead % 2 == 0)]}
                 )
@@ -556,9 +561,9 @@ def pdf_document_ingest(spark, sf_dir):
                 did = int(did)
                 text = text or ""
                 lines = text.split("\n")
-                pages = [
+                pages = [  # ''.split('\n') == [''], so always >= 1 line
                     "\n".join(lines[i : i + 30])
-                    for i in range(0, max(len(lines), 1), 30)
+                    for i in range(0, len(lines), 30)
                 ]
                 try:
                     # winansi needs cp1252-encodable text without bare
@@ -620,16 +625,17 @@ def routed_document_ingest(spark, sf_dir):
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 text = text or ""
-                if did % 2:
-                    payload = write_docx(text)
-                else:
-                    payload = write_pdf(
-                        [text],
-                        ("classic", "xrefstream")[did % 4 == 0],
-                        "flate",
-                        "tounicode2",
-                    )
-                got = extract_document_text(payload)
+                try:
+                    if did % 2:
+                        payload = write_docx(text)
+                    else:
+                        variant = "xrefstream" if did % 4 == 0 else "classic"
+                        payload = write_pdf([text], variant, "flate", "tounicode2")
+                    got = extract_document_text(payload)
+                except ValueError:
+                    # XML-1.0-unrepresentable doc: emit a sentinel so the
+                    # gate fails VISIBLY instead of killing the task
+                    got = "<unrepresentable document>"
                 ids.append(did)
                 md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
                 lens.append(len(got))
@@ -674,7 +680,12 @@ def docx_document_ingest(spark, sf_dir):
                 continue
             ids, md5s, lens = [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                got = extract_docx_text(write_docx(text or ""))
+                try:
+                    got = extract_docx_text(write_docx(text or ""))
+                except ValueError:
+                    # bare control char: XML 1.0 cannot carry it — emit
+                    # a sentinel so the gate fails visibly, not the task
+                    got = "<unrepresentable document>"
                 ids.append(int(did))
                 md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
                 lens.append(len(got))
