@@ -1,0 +1,240 @@
+"""Embedded-structured-data extraction + hyperlink-graph analysis.
+
+KG construction from Common-Crawl-style pages (the north rule's target)
+has TWO triple sources: free text (MITIE's NER + relation detection —
+`operators/extraction.py`) and the machine-readable statements pages
+embed. Real CC-derived KGs (WebDataCommons, schema.org corpora) mine the
+latter: JSON-LD ``<script type="application/ld+json">`` blocks, OpenGraph
+``<meta property="og:*">`` tags, and the hyperlink graph itself, whose
+host-level PageRank is the canonical web-scale authority signal.
+
+Reference analog: MITIE's gigaword XML reader is its only "what the
+page says about itself" reader (`gigaword_reader.h:18-92` pulls headline
+and dateline zones out of markup); these operators are the CC-page
+generalization of that zone extraction, plus the link-graph stage the
+north rule's canonicalization story needs.
+
+Scale shape (100 TB): every extractor here is a PURE Catalyst projection
+— `regexp_extract` / `regexp_extract_all` / `get_json_object`, all
+JVM-side inside whole-stage codegen, no Python in the scan — so each is
+one narrow pass over the pages table with column pruning down to
+``html``. PageRank is the standard iterative join-agg: per iteration one
+shuffle keyed by ``dst`` plus a broadcast-size teleport term; ranks and
+edges co-partition by key, and AQE handles the skewed high-in-degree
+hosts. The integer-quantized variant exists for the cross-engine gate
+(bit-exact under ANY summation order); production ranking at web scale
+uses the float variant (integer mode documents its no-overflow bound:
+``damp * scale * max_edge_weight < 2**63``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# JSON-LD payloads never contain '<' (the synthesizers and real-world
+# emitters escape it as < inside strings per the HTML spec), so
+# [^<]* is both safe and identical across Java-regex (Spark) and RE2
+# (DuckDB) — unlike non-greedy dot, whose newline semantics differ.
+JSONLD_RE = r'<script type="application/ld\+json">([^<]*)</script>'
+# absolute http(s) links only; host chars per RFC 3986 reg-name subset
+HREF_RE = r'<a href="https?://([a-z0-9.-]+)[/"]'
+
+#: default schema.org Article paths: predicate -> get_json_object path.
+#: Paths use bracket form for the @-keys (Spark) — the DuckDB mirrors
+#: live with the gated queries (queries_webkg.py).
+ARTICLE_PATHS = {
+    "rdf:type": "$['@type']",
+    "schema:headline": "$.headline",
+    "schema:author": "$.author.name",
+    "schema:publisher": "$.publisher.name",
+    "schema:wordCount": "$.wordCount",
+}
+
+
+def _html_str(df: DataFrame, html_col: str):
+    """Pages tables carry html as binary (input_hint); accept either."""
+    col = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        col = col.cast("string")
+    return col
+
+
+def extract_jsonld_triples(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    paths: dict[str, str] | None = None,
+) -> DataFrame:
+    """(url, subj, pred, obj) triples from the page's first JSON-LD block.
+
+    subj is the page url (schema.org's implicit node id for an embedded
+    entity); pred/obj come from ``paths``. Pages without a block, or with
+    a block missing a path, contribute no row for it (get_json_object
+    returns NULL on malformed JSON or absent keys — the crawl-hostile
+    default). One narrow projection: regexp_extract + N get_json_object
+    calls + one explode, no shuffle.
+    """
+    paths = ARTICLE_PATHS if paths is None else paths
+    block = F.regexp_extract(_html_str(pages, html_col), JSONLD_RE, 1)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(pred).alias("pred"),
+                F.get_json_object(F.col("_jsonld"), path).alias("obj"),
+            )
+            for pred, path in paths.items()
+        ]
+    )
+    return (
+        pages.withColumn("_jsonld", block)
+        .filter(F.col("_jsonld") != "")
+        .select(F.col(url_col).alias("subj"), F.explode(pairs).alias("po"))
+        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
+        .filter(F.col("obj").isNotNull())
+    )
+
+
+def extract_og_meta(
+    pages: DataFrame,
+    properties: tuple[str, ...] = ("title", "locale", "type"),
+    html_col: str = "html",
+) -> DataFrame:
+    """One column per requested OpenGraph property (og_<name>), absent
+    tags as NULL. Pure regexp projection, no shuffle."""
+    html = _html_str(pages, html_col)
+    cols = list(pages.columns)
+    for p in properties:
+        pat = f'<meta property="og:{p}" content="([^"]*)"'
+        cols.append(
+            F.when(html.rlike(pat), F.regexp_extract(html, pat, 1))
+            .alias(f"og_{p}")
+        )
+    return pages.select(*cols)
+
+
+def extract_links(
+    pages: DataFrame,
+    src_host_col,
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_host, dst_host) one row per absolute outlink on the page.
+
+    ``src_host_col`` is a Column (e.g. parse of the page url). Relative
+    links carry no host and are skipped by construction of HREF_RE.
+    """
+    return pages.select(
+        src_host_col.alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(_html_str(pages, html_col), F.lit(HREF_RE), 1)
+        ).alias("dst_host"),
+    )
+
+
+def host_link_edges(links: DataFrame) -> DataFrame:
+    """Aggregate page-level links to weighted host-graph edges."""
+    return (
+        links.groupBy(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact int64 arithmetic -> (node, rank_int).
+
+    Ranks live in units of 1/scale; every division is integer (DIV), so
+    the result is bit-identical under ANY partitioning or summation order
+    — this is what lets an iterative graph algorithm pass the DuckDB
+    value-hash gate (same convention as the quantized cosine queries,
+    see CLAUDE.md). Overflow bound: damp_pct * scale * max(weight) must
+    stay under 2**63 (weight <= ~1.08e5 at the default scale); the float
+    variant below is the production path where that can't be guaranteed.
+
+    Dangling mass: nodes with no outlinks simply leak their damped mass
+    (the classic "dangling nodes drop" formulation) — chosen because it
+    needs no global redistribution term and both engines state it
+    identically.
+
+    Plan shape per iteration: edges ⋈ ranks on src (co-partitioned hash
+    join), groupBy dst (one shuffle), left join back to the node list
+    for the teleport floor. Node/edge frames are never collected.
+    """
+    nodes = _nodes(edges)
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    # the 1-row count is broadcast onto every node row (explicitly tiny)
+    nodes = nodes.crossJoin(F.broadcast(n_nodes))
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    e = edges.join(outw, "src")
+    ranks = nodes.select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes").alias("r")
+    )
+    teleport = F.expr(f"CAST({100 - damp_pct} AS BIGINT) * {scale} DIV (100 * n_nodes)")
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr(f"CAST({damp_pct} AS BIGINT) * r * weight DIV (100 * out_w)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (teleport + F.coalesce(F.col("in_c"), F.lit(0))).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_int"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Float PageRank (production variant) -> (node, rank: double).
+
+    Same plan shape as pagerank_integer; ranks sum to <= 1.0 (dangling
+    mass leaks, see above). Use this at real web scale where edge
+    weights would overflow the integer gate variant.
+    """
+    nodes = _nodes(edges)
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    nodes = nodes.crossJoin(F.broadcast(n_nodes))
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    e = edges.join(outw, "src")
+    ranks = nodes.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst"),
+                (F.lit(damping) * F.col("r") * F.col("weight") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("n_nodes")
+                + F.coalesce(F.col("in_c"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

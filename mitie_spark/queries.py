@@ -187,6 +187,7 @@ from mitie_spark import queries_simdedup as _queries_simdedup  # noqa: E402,F401
 from mitie_spark import queries_wordrep as _queries_wordrep  # noqa: E402,F401
 from mitie_spark import queries_pipeline as _queries_pipeline  # noqa: E402,F401
 from mitie_spark import queries_llmdata as _queries_llmdata  # noqa: E402,F401
+from mitie_spark import queries_webkg as _queries_webkg  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

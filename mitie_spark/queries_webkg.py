@@ -1,0 +1,292 @@
+"""Web-KG queries — structured data embedded in pages + the link graph.
+
+The north rule's pipeline mines triples from Common-Crawl-style pages.
+Besides the free-text path (NER + relations, queries_kg.py), real CC KG
+pipelines extract the machine-readable statements pages carry — schema.org
+JSON-LD, OpenGraph meta — and rank hosts on the hyperlink graph. These
+queries exercise that whole path end-to-end on the driver's documents
+table: a deterministic page synthesizer (pure concat projection, stated
+IDENTICALLY in Spark and DuckDB) wraps each document in real HTML with a
+JSON-LD block, og: meta tags, and three absolute outlinks; the extractors
+(operators/webgraph.py) then recover structure with pure Catalyst
+expressions, and PageRank runs in exact int64 arithmetic so the iterative
+result passes the value-hash gate bit-for-bit.
+
+Registered rows-only for the driver (the 50 gated slots are full — see
+test_registry_fits_driver_correctness_cap); the FULL DuckDB comparisons
+run locally in tests/test_queries_vs_oracle.py::test_webkg_oracle via
+LOCAL_ORACLES below, the same discipline as the ingest round trips.
+
+Scale shape: synthesis + extraction are one narrow codegen'd pass over
+documents (no Python, no shuffle); the link queries add exactly one
+groupBy shuffle on (src,dst); PageRank adds one dst-keyed shuffle per
+iteration. Nothing here collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mitie_spark.operators.webgraph import (
+    extract_jsonld_triples,
+    extract_links,
+    extract_og_meta,
+    host_link_edges,
+    pagerank_integer,
+)
+from mitie_spark.queries import query
+from mitie_spark.session import load_tables
+
+#: number of synthetic link-target hosts (srcK.example.com, K in 0..19) —
+#: a constant of the synthesizer matching the generator's 20 sources.
+N_HOSTS = 20
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+_PR_ITERS = 3
+
+# ---------------------------------------------------------------------------
+# Deterministic page synthesizer. The Spark projection and the SQL CTE
+# below MUST stay in lockstep — test_webkg_oracle compares every byte of
+# their downstream extractions. documents.text is [a-z0-9 ]-only (driver
+# generator), so it needs no JSON/attribute escaping.
+# ---------------------------------------------------------------------------
+
+
+def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+
+    def s(col):
+        return col.cast("string")
+
+    title = F.substring("text", 1, 32)
+
+    def link_id(k: int):
+        return F.col("doc_id") * 7 + 13 * k + 1
+
+    def host(k: int):
+        return F.concat(
+            F.lit("src"), s(link_id(k) % N_HOSTS), F.lit(".example.com")
+        )
+
+    anchors = ("more", "related", "next")
+    link_parts = []
+    for k, word in enumerate(anchors):
+        link_parts += [
+            F.lit('<a href="https://'),
+            host(k),
+            F.lit("/doc/"),
+            s(link_id(k)),
+            F.lit(f'">{word}</a>'),
+        ]
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit('</title><meta property="og:title" content="'),
+        title,
+        F.lit('"/><meta property="og:locale" content="'),
+        F.col("lang"),
+        F.lit('"/><meta property="og:type" content="article"/>'),
+        F.lit(
+            '<script type="application/ld+json">'
+            '{"@context":"https://schema.org","@type":"Article","headline":"'
+        ),
+        title,
+        F.lit('","author":{"@type":"Person","name":"author-'),
+        s(F.col("doc_id") % 97),
+        F.lit('"},"publisher":{"@type":"Organization","name":"'),
+        F.col("source"),
+        F.lit('"},"wordCount":'),
+        s(F.col("n_chars")),
+        F.lit("}</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        *link_parts,
+        F.lit("</body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        s(F.col("doc_id")),
+    )
+    return d.select(
+        "doc_id", "source", "lang", url.alias("url"), html.alias("html")
+    )
+
+
+def _links_sql(k: int, word: str) -> str:
+    lid = f"(doc_id*7 + {13 * k} + 1)"
+    return (
+        f"|| '<a href=\"https://src' || CAST({lid} % {N_HOSTS} AS VARCHAR) "
+        f"|| '.example.com/doc/' || CAST({lid} AS VARCHAR) "
+        f"|| '\">{word}</a>'"
+    )
+
+
+_PAGES_CTE = f"""
+pages AS (
+  SELECT doc_id, source, lang,
+    'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    '<html><head><title>' || substr(text, 1, 32)
+    || '</title><meta property="og:title" content="' || substr(text, 1, 32)
+    || '"/><meta property="og:locale" content="' || lang
+    || '"/><meta property="og:type" content="article"/>'
+    || '<script type="application/ld+json">{{"@context":"https://schema.org","@type":"Article","headline":"'
+    || substr(text, 1, 32)
+    || '","author":{{"@type":"Person","name":"author-' || CAST(doc_id % 97 AS VARCHAR)
+    || '"}},"publisher":{{"@type":"Organization","name":"' || source
+    || '"}},"wordCount":' || CAST(n_chars AS VARCHAR)
+    || '}}</script></head><body><p>' || text || '</p>'
+    {_links_sql(0, "more")}
+    {_links_sql(1, "related")}
+    {_links_sql(2, "next")}
+    || '</body></html>' AS html
+  FROM documents
+)"""
+
+_EDGES_CTES = f"""{_PAGES_CTE},
+links AS (
+  SELECT source || '.example.com' AS src_host,
+         unnest(regexp_extract_all(html, '<a href="https?://([a-z0-9.-]+)[/"]', 1)) AS dst_host
+  FROM pages
+),
+edges AS (
+  SELECT src_host AS src, dst_host AS dst,
+         COUNT(*) AS w
+  FROM links GROUP BY src_host, dst_host
+)"""
+
+
+def _pagerank_ctes(iters: int = _PR_ITERS) -> str:
+    """r0..r{iters} CTEs of the exact-int64 PageRank (mirrors
+    operators/webgraph.pagerank_integer term for term)."""
+    tele = f"({100 - _PR_DAMP} * {_PR_SCALE}) // (100 * n_nodes)"
+    parts = [
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n_nodes FROM nodes)",
+        "outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {_PR_SCALE} // n_nodes AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst, CAST(SUM(({_PR_DAMP} * r{i - 1}.r * e.w) // (100 * o.out_w)) AS BIGINT) AS in_c
+  FROM edges e
+  JOIN r{i - 1} ON e.src = r{i - 1}.node
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT node, {tele} + COALESCE(c{i}.in_c, 0) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = nodes.node)"""
+        )
+    return ",\n".join(parts)
+
+
+#: full DuckDB mirrors, run by tests/test_queries_vs_oracle.py (rows-only
+#: for the driver — its 50 gated slots are full).
+LOCAL_ORACLES: dict[str, str] = {
+    "web_jsonld_triples": f"""
+    WITH {_PAGES_CTE},
+    blocks AS (
+      SELECT url,
+             regexp_extract(html, '<script type="application/ld\\+json">([^<]*)</script>', 1) AS j
+      FROM pages
+      WHERE regexp_extract(html, '<script type="application/ld\\+json">([^<]*)</script>', 1) <> ''
+    ),
+    triples AS (
+      SELECT url AS subj, 'rdf:type' AS pred, json_extract_string(j, '$."@type"') AS obj FROM blocks
+      UNION ALL SELECT url, 'schema:headline', json_extract_string(j, '$.headline') FROM blocks
+      UNION ALL SELECT url, 'schema:author', json_extract_string(j, '$.author.name') FROM blocks
+      UNION ALL SELECT url, 'schema:publisher', json_extract_string(j, '$.publisher.name') FROM blocks
+      UNION ALL SELECT url, 'schema:wordCount', json_extract_string(j, '$.wordCount') FROM blocks
+    )
+    SELECT subj, pred, obj FROM triples WHERE obj IS NOT NULL
+    """,
+    "web_opengraph_meta": f"""
+    WITH {_PAGES_CTE}
+    SELECT doc_id,
+           regexp_extract(html, '<meta property="og:title" content="([^"]*)"', 1) AS og_title,
+           regexp_extract(html, '<meta property="og:locale" content="([^"]*)"', 1) AS og_locale,
+           regexp_extract(html, '<meta property="og:type" content="([^"]*)"', 1) AS og_type
+    FROM pages
+    """,
+    "web_host_links": f"""
+    WITH {_EDGES_CTES}
+    SELECT src AS src_host, dst AS dst_host, w AS n_links FROM edges
+    """,
+    "web_host_pagerank": f"""
+    WITH {_EDGES_CTES},
+    {_pagerank_ctes()}
+    SELECT node AS host, r AS rank_int FROM r{_PR_ITERS}
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Queries (SURVEY.md §2.8 web-KG family).
+# ---------------------------------------------------------------------------
+
+
+@query("web_jsonld_triples")
+def web_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD blocks → (subj, pred, obj) triples.
+
+    The second triple source of a CC KG pipeline (WebDataCommons-style),
+    next to the NER/relation path. Pure Catalyst: regexp_extract of the
+    script block + get_json_object per predicate + one explode — no
+    Python, no shuffle; at 100 TB this is a single narrow pass with the
+    scan pruned to (url, html).
+    """
+    return extract_jsonld_triples(synth_pages(spark, sf_dir))
+
+
+@query("web_opengraph_meta")
+def web_opengraph_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph <meta> tags → typed page-metadata columns (og_title /
+    og_locale / og_type). Pure regexp projection, no shuffle."""
+    pages = synth_pages(spark, sf_dir)
+    return extract_og_meta(pages.select("doc_id", "html")).drop("html")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir)
+    links = extract_links(
+        pages, F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    return host_link_edges(links)
+
+
+@query("web_host_links")
+def web_host_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<a href> extraction → weighted host-level link-graph edges.
+
+    regexp_extract_all + explode (narrow), then ONE groupBy shuffle on
+    (src, dst) — the canonical first stage of any web-graph build.
+    """
+    return _edges(spark, sf_dir).select(
+        F.col("src").alias("src_host"),
+        F.col("dst").alias("dst_host"),
+        F.col("weight").alias("n_links"),
+    )
+
+
+@query("web_host_pagerank")
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the host graph, exact int64 ranks.
+
+    An ITERATIVE distributed graph algorithm under the full value-hash
+    gate: integer quantization (ranks in units of 1e-12, all divisions
+    integer) makes every summation order produce identical bits, so the
+    3-iteration Spark loop and the DuckDB recursive-CTE chain agree
+    exactly (same convention as the quantized-cosine queries). One
+    dst-keyed shuffle per iteration; nothing collects.
+    """
+    return pagerank_integer(
+        _edges(spark, sf_dir),
+        iters=_PR_ITERS,
+        scale=_PR_SCALE,
+        damp_pct=_PR_DAMP,
+    ).select(F.col("node").alias("host"), "rank_int")

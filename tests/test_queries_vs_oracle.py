@@ -96,3 +96,30 @@ def test_ingest_round_trip_oracle(spark, name):
         con.close()
     errs = compare(got, duck)
     assert not errs, errs
+
+
+def _webkg_names():
+    from mitie_spark.queries_webkg import LOCAL_ORACLES
+
+    return sorted(LOCAL_ORACLES)
+
+
+@pytest.mark.parametrize("name", _webkg_names())
+def test_webkg_oracle(spark, name):
+    """The web-KG family (JSON-LD / OpenGraph / link graph / integer
+    PageRank) is registered rows-only (the driver's 50 gated slots are
+    full), so its full DuckDB value-hash gate runs here — including the
+    ITERATIVE PageRank, bit-exact via int64 quantization."""
+    from mitie_spark.queries import QUERIES
+    from mitie_spark.queries_webkg import LOCAL_ORACLES
+    from tests.oracle import compare, duck_connection, value_hash
+
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    con = duck_connection(SF_DIR)
+    try:
+        duck = con.execute(LOCAL_ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    errs = compare(got, duck)
+    assert not errs, errs
+    assert value_hash(got) == value_hash(duck)

@@ -1,0 +1,245 @@
+"""Web-KG extraction + link-graph unit tests (operators/webgraph.py,
+queries_webkg.py): JSON-LD / OpenGraph / href extraction edge cases,
+hand-computed integer PageRank, the float PageRank invariants, and the
+physical-plan shapes the 100 TB story depends on."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame({"url": [r[0] for r in rows], "html": [r[1] for r in rows]})
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD
+# ---------------------------------------------------------------------------
+
+
+def test_jsonld_extracts_article_paths(spark):
+    from mitie_spark.operators.webgraph import extract_jsonld_triples
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@type":"Article","headline":"h1","author":{"@type":"Person",'
+        '"name":"a1"},"publisher":{"@type":"Organization","name":"p1"},'
+        '"wordCount":7}</script></head><body></body></html>'
+    )
+    got = extract_jsonld_triples(_pages(spark, [("u1", html)])).toPandas()
+    triples = {(r.pred, r.obj) for r in got.itertuples()}
+    assert triples == {
+        ("rdf:type", "Article"),
+        ("schema:headline", "h1"),
+        ("schema:author", "a1"),
+        ("schema:publisher", "p1"),
+        ("schema:wordCount", "7"),
+    }
+    assert set(got["subj"]) == {"u1"}
+
+
+def test_jsonld_hostile_inputs_yield_no_rows(spark):
+    """Pages without a block, with malformed JSON, or with keys missing
+    contribute nothing (crawl-hostile default, never an error)."""
+    from mitie_spark.operators.webgraph import extract_jsonld_triples
+
+    rows = [
+        ("no_block", "<html><body><p>plain</p></body></html>"),
+        (
+            "bad_json",
+            '<script type="application/ld+json">{not json}</script>',
+        ),
+        (
+            "partial",
+            '<script type="application/ld+json">{"headline":"only"}</script>',
+        ),
+    ]
+    got = extract_jsonld_triples(_pages(spark, rows)).toPandas()
+    assert set(got["subj"]) == {"partial"}
+    assert set(zip(got["pred"], got["obj"])) == {("schema:headline", "only")}
+
+
+def test_jsonld_first_block_wins(spark):
+    from mitie_spark.operators.webgraph import extract_jsonld_triples
+
+    html = (
+        '<script type="application/ld+json">{"headline":"first"}</script>'
+        '<script type="application/ld+json">{"headline":"second"}</script>'
+    )
+    got = extract_jsonld_triples(_pages(spark, [("u", html)])).toPandas()
+    assert list(got[got["pred"] == "schema:headline"]["obj"]) == ["first"]
+
+
+# ---------------------------------------------------------------------------
+# OpenGraph meta
+# ---------------------------------------------------------------------------
+
+
+def test_og_meta_missing_property_is_null(spark):
+    from mitie_spark.operators.webgraph import extract_og_meta
+
+    rows = [
+        ("u1", '<meta property="og:title" content="t1"/>'),
+        ("u2", '<meta property="og:locale" content="en"/>'),
+    ]
+    got = (
+        extract_og_meta(_pages(spark, rows), properties=("title", "locale"))
+        .toPandas()
+        .set_index("url")
+    )
+    assert got.loc["u1", "og_title"] == "t1"
+    assert pd.isna(got.loc["u1", "og_locale"])
+    assert pd.isna(got.loc["u2", "og_title"])
+    assert got.loc["u2", "og_locale"] == "en"
+
+
+# ---------------------------------------------------------------------------
+# Link extraction
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_absolute_only(spark):
+    from mitie_spark.operators.webgraph import extract_links
+
+    html = (
+        '<a href="https://a.com/x">1</a>'
+        '<a href="/relative/path">2</a>'
+        '<a href="http://b.org">3</a>'
+        '<a href="mailto:x@c.com">4</a>'
+        '<a href="https://a.com/y">5</a>'
+    )
+    got = extract_links(
+        _pages(spark, [("u", html)]), F.lit("me.example")
+    ).toPandas()
+    assert list(got["src_host"].unique()) == ["me.example"]
+    assert sorted(got["dst_host"]) == ["a.com", "a.com", "b.org"]
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pr_int_expected(edges, iters=3, scale=10**12, damp=85):
+    """Pure-Python int reference of pagerank_integer's exact semantics."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    tele = (100 - damp) * scale // (100 * n)
+    for _ in range(iters):
+        nxt = {v: tele for v in nodes}
+        for s, d, w in edges:
+            nxt[d] += damp * r[s] * w // (100 * outw[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_integer_matches_hand_reference(spark):
+    from mitie_spark.operators.webgraph import pagerank_integer
+
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 3)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "weight"])
+    )
+    got = {
+        r.node: r.rank_int for r in pagerank_integer(df, iters=3).collect()
+    }
+    assert got == _pr_int_expected(edges)
+
+
+def test_pagerank_integer_dangling_node_gets_teleport_only(spark):
+    from mitie_spark.operators.webgraph import pagerank_integer
+
+    # b has no outlinks (dangling) and nothing links to a mid-iteration
+    edges = [("a", "b", 1)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "weight"])
+    )
+    got = {
+        r.node: r.rank_int for r in pagerank_integer(df, iters=2).collect()
+    }
+    assert got == _pr_int_expected(edges, iters=2)
+    # dangling b leaks its damped mass: a ends at the teleport floor
+    assert got["a"] == 15 * 10**12 // 200
+
+
+def test_pagerank_float_conserves_mass_on_closed_graph(spark):
+    from mitie_spark.operators.webgraph import pagerank
+
+    # every node has outlinks -> no dangling leak -> ranks sum to 1
+    edges = [("a", "b", 1), ("b", "c", 2), ("c", "a", 1), ("b", "a", 1)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "weight"])
+    )
+    ranks = {r.node: r.rank for r in pagerank(df, iters=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in ranks.values())
+    # a receives from both b (1/4 of b) and c (all of c): top rank
+    assert max(ranks, key=ranks.get) == "a"
+
+
+# ---------------------------------------------------------------------------
+# Synthesizer invariants + plan audits (the 100 TB shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_synth_pages_covers_all_hosts(spark):
+    from mitie_spark.queries_webkg import N_HOSTS, synth_pages
+    from mitie_spark.operators.webgraph import extract_links, host_link_edges
+
+    pages = synth_pages(spark, SF)
+    edges = host_link_edges(
+        extract_links(pages, F.concat("source", F.lit(".example.com")))
+    ).toPandas()
+    # every synthetic host appears as a link target (doc_id*7+13k+1 mod 20
+    # covers all residues) and every source emits links
+    assert len(set(edges["dst"])) == N_HOSTS
+    assert set(edges["src"]) == {
+        f"src{i}.example.com" for i in range(N_HOSTS)
+    }
+    assert int(edges["weight"].sum()) == 3 * pages.count()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_jsonld_query_is_narrow_codegen(spark):
+    """Synthesis + JSON-LD extraction is one shuffle-free codegen'd pass
+    with the scan pruned to the columns the template needs."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["web_jsonld_triples"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # formatted explain stars codegen'd nodes ("* Project"); the whole
+    # extraction must stay inside codegen
+    assert "* Project" in plan and "* Filter" in plan
+
+
+def test_host_links_single_shuffle(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["web_host_links"](spark, SF))
+    assert plan.count("Exchange") <= 2  # partial agg + final (AQE may fuse)
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_no_cartesian_no_python(spark):
+    """The only product in the plan is the broadcast of the 1-row node
+    count; edges x ranks stays a keyed join every iteration."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["web_host_pagerank"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
