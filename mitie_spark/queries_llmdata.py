@@ -592,12 +592,12 @@ def pdf_document_ingest(spark, sf_dir):
 @query("routed_document_ingest")
 def routed_document_ingest(spark, sf_dir):
     """The doc_router edge under the md5 gate: every document becomes a
-    PDF or a DOCX payload (cycling writers AND pdf layout variants by
-    doc_id) and extract_document_text must sniff the format from magic
-    bytes and recover the text byte-exactly. The html path is excluded
-    from the identity gate by design — html_to_text is deliberately
-    lossy (whitespace normalization) — and is unit-tested in
-    tests/test_docx.py::test_doc_router instead. Rows-only slot; the
+    PDF, DOCX, XLSX, or PPTX payload (cycling all four writers AND pdf
+    layout variants by doc_id) and extract_document_text must sniff the
+    format from magic bytes and recover the text byte-exactly. The html
+    path is excluded from the identity gate by design — html_to_text is
+    deliberately lossy (whitespace normalization) — and is unit-tested
+    in tests/test_docx.py::test_doc_router instead. Rows-only slot; the
     DuckDB gate runs in tests/test_queries_vs_oracle.py.
 
     Scale shape: one narrow Arrow pass over compute-sized tasks.
@@ -610,6 +610,8 @@ def routed_document_ingest(spark, sf_dir):
     from mitie_spark.sources.doc_router import extract_document_text
     from mitie_spark.sources.docx import write_docx
     from mitie_spark.sources.pdf import write_pdf
+    from mitie_spark.sources.pptx import write_pptx
+    from mitie_spark.sources.xlsx import write_xlsx
 
     docs = by_compute(
         load_tables(spark, sf_dir, ["documents"])["documents"].select(
@@ -626,11 +628,16 @@ def routed_document_ingest(spark, sf_dir):
                 did = int(did)
                 text = text or ""
                 try:
-                    if did % 2:
-                        payload = write_docx(text)
-                    else:
-                        variant = "xrefstream" if did % 4 == 0 else "classic"
+                    form = did % 4
+                    if form == 0:
+                        variant = "xrefstream" if did % 8 == 0 else "classic"
                         payload = write_pdf([text], variant, "flate", "tounicode2")
+                    elif form == 1:
+                        payload = write_docx(text)
+                    elif form == 2:
+                        payload = write_xlsx(text)
+                    else:
+                        payload = write_pptx(text)
                     got = extract_document_text(payload)
                 except ValueError:
                     # XML-1.0-unrepresentable doc: emit a sentinel so the

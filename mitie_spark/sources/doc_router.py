@@ -1,13 +1,14 @@
 """Document-payload router: crawl bytes → text, by format sniffing.
 
 A WARC response body (after sources/warc.py undoes the HTTP envelope)
-is usually HTML but routinely PDF or DOCX; this is the one-stop edge a
-pipeline calls per record.  Routing is by magic bytes, never by URL or
-Content-Type (both lie in real crawls):
+is usually HTML but routinely PDF, DOCX, XLSX, or PPTX; this is the
+one-stop edge a pipeline calls per record.  Routing is by magic bytes,
+never by URL or Content-Type (both lie in real crawls):
 
 - ``%PDF-`` (possibly after a BOM/garbage preamble ≤1 KB, which real
   generators emit) → sources/pdf.extract_pdf_text
-- ZIP magic with a ``word/document.xml`` part → sources/docx
+- ZIP magic with a ``word/document.xml`` / ``xl/workbook.xml`` /
+  ``ppt/presentation.xml`` part → sources/docx / xlsx / pptx
 - anything else → functions/html2text (which degrades to plain text
   for non-markup payloads — tags are simply absent)
 
@@ -31,35 +32,47 @@ from __future__ import annotations
 from mitie_spark.functions.html2text import html_to_text
 from mitie_spark.sources.docx import DocxError, extract_docx_text
 from mitie_spark.sources.pdf import PdfError, extract_pdf_text
+from mitie_spark.sources.pptx import PptxError, extract_pptx_text
+from mitie_spark.sources.xlsx import XlsxError, extract_xlsx_text
 
 __all__ = ["extract_document_text", "sniff_document_kind"]
 
 
 def sniff_document_kind(payload: bytes) -> str:
-    """'pdf' | 'docx' | 'html' (the catch-all text path).  The exact
-    ZIP-container test outranks the fuzzy 1 KB %PDF- preamble scan — a
-    deflate stream can contain that 5-byte string by chance."""
-    if payload[:4] == b"PK\x03\x04" and b"word/document.xml" in payload:
-        # the part name appears in its local header and in the central
-        # directory, wherever the part sits in the container
-        return "docx"
+    """'pdf' | 'docx' | 'xlsx' | 'pptx' | 'html' (the catch-all text
+    path).  The exact ZIP-container tests outrank the fuzzy 1 KB %PDF-
+    preamble scan — a deflate stream can contain that 5-byte string by
+    chance.  OOXML kind is decided by the main part's name, which
+    appears in its local header and the central directory wherever the
+    part sits in the container."""
+    if payload[:4] == b"PK\x03\x04":
+        if b"word/document.xml" in payload:
+            return "docx"
+        if b"xl/workbook.xml" in payload:
+            return "xlsx"
+        if b"ppt/presentation.xml" in payload:
+            return "pptx"
     if b"%PDF-" in payload[:1024]:  # real generators emit BOM/preambles
         return "pdf"
     return "html"
+
+
+_EXTRACTORS = {
+    "pdf": (extract_pdf_text, PdfError),
+    "docx": (extract_docx_text, DocxError),
+    "xlsx": (extract_xlsx_text, XlsxError),
+    "pptx": (extract_pptx_text, PptxError),
+}
 
 
 def extract_document_text(payload: bytes, max_out: int = 1 << 26) -> str:
     """Crawl payload bytes → extracted text (see module docstring)."""
     payload = bytes(payload or b"")
     kind = sniff_document_kind(payload)
-    if kind == "pdf":
-        try:
-            return extract_pdf_text(payload, max_out=max_out)
-        except PdfError:
-            return html_to_text(payload)
-    if kind == "docx":
-        try:
-            return extract_docx_text(payload, max_out=max_out)
-        except DocxError:
-            return html_to_text(payload)
-    return html_to_text(payload)
+    if kind == "html":
+        return html_to_text(payload)
+    extractor, err = _EXTRACTORS[kind]
+    try:
+        return extractor(payload, max_out=max_out)
+    except err:
+        return html_to_text(payload)

@@ -47,7 +47,12 @@ def extract_docx_text(data: bytes, max_out: int = 1 << 26) -> str:
     malformed; output bounded by max_out."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-    except (zipfile.BadZipFile, ValueError) as e:
+    except (
+        zipfile.BadZipFile,
+        ValueError,
+        NotImplementedError,  # hostile extract_version field
+        OSError,
+    ) as e:
         raise DocxError(f"not a zip container: {e}") from None
     try:
         info = zf.getinfo("word/document.xml")
