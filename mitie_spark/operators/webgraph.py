@@ -94,6 +94,82 @@ def extract_jsonld_triples(
     )
 
 
+def extract_microdata_triples(
+    pages: DataFrame,
+    props: tuple[str, ...],
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(subj, pred, obj) triples from HTML5 microdata (itemscope blocks).
+
+    Covers the two shapes real markup uses per WHATWG microdata: visible
+    ``<span itemprop=X>text</span>`` and invisible
+    ``<meta itemprop=X content=Y>``. ``itemtype`` becomes an rdf:type
+    triple. Pure regexp projection + one explode — same 100 TB shape as
+    the JSON-LD extractor. Pages without an itemscope yield no rows.
+    """
+    html = _html_str(pages, html_col)
+    itemtype = F.regexp_extract(html, r'itemscope itemtype="([^"]*)"', 1)
+
+    def prop(p: str):
+        # span form first, meta form as fallback (both engines state the
+        # same precedence in the gated mirror)
+        span = F.regexp_extract(html, f'<span itemprop="{p}">([^<]*)<', 1)
+        meta = F.regexp_extract(html, f'<meta itemprop="{p}" content="([^"]*)"', 1)
+        return F.when(span != "", span).when(meta != "", meta)
+
+    pairs = F.array(
+        F.struct(
+            F.lit("rdf:type").alias("pred"),
+            F.when(itemtype != "", itemtype).alias("obj"),
+        ),
+        *[
+            F.struct(F.lit(f"schema:{p}").alias("pred"), prop(p).alias("obj"))
+            for p in props
+        ],
+    )
+    return (
+        pages.filter(html.rlike("itemscope"))
+        .select(F.col(url_col).alias("subj"), F.explode(pairs).alias("po"))
+        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
+        .filter(F.col("obj").isNotNull())
+    )
+
+
+def extract_rdfa_triples(
+    pages: DataFrame,
+    props: tuple[str, ...],
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(subj, pred, obj) triples from RDFa Lite (typeof/property
+    attributes). Same extraction discipline as microdata; ``typeof``
+    becomes rdf:type."""
+    html = _html_str(pages, html_col)
+    typeof = F.regexp_extract(html, r'typeof="([^"]*)"', 1)
+
+    def prop(p: str):
+        v = F.regexp_extract(html, f'property="{p}">([^<]*)<', 1)
+        return F.when(v != "", v)
+
+    pairs = F.array(
+        F.struct(
+            F.lit("rdf:type").alias("pred"),
+            F.when(typeof != "", typeof).alias("obj"),
+        ),
+        *[
+            F.struct(F.lit(f"schema:{p}").alias("pred"), prop(p).alias("obj"))
+            for p in props
+        ],
+    )
+    return (
+        pages.filter(html.rlike("typeof="))
+        .select(F.col(url_col).alias("subj"), F.explode(pairs).alias("po"))
+        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
+        .filter(F.col("obj").isNotNull())
+    )
+
+
 def extract_og_meta(
     pages: DataFrame,
     properties: tuple[str, ...] = ("title", "locale", "type"),

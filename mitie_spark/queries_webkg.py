@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from mitie_spark.operators.webgraph import (
     extract_jsonld_triples,
     extract_links,
+    extract_microdata_triples,
     extract_og_meta,
+    extract_rdfa_triples,
     host_link_edges,
     pagerank_integer,
 )
@@ -101,6 +103,22 @@ def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("}</script></head><body><p>"),
         F.col("text"),
         F.lit("</p>"),
+        # HTML5 microdata (Product) + RDFa Lite (Person) blocks — the
+        # other two structured-data channels WebDataCommons-style
+        # pipelines mine besides JSON-LD
+        F.lit(
+            '<div itemscope itemtype="https://schema.org/Product">'
+            '<span itemprop="name">'
+        ),
+        title,
+        F.lit('</span><meta itemprop="sku" content="sku-'),
+        s(F.col("doc_id")),
+        F.lit(
+            '"/></div><div vocab="https://schema.org/" typeof="Person">'
+            '<span property="name">author-'
+        ),
+        s(F.col("doc_id") % 97),
+        F.lit("</span></div>"),
         *link_parts,
         F.lit("</body></html>"),
     )
@@ -138,6 +156,12 @@ pages AS (
     || '"}},"publisher":{{"@type":"Organization","name":"' || source
     || '"}},"wordCount":' || CAST(n_chars AS VARCHAR)
     || '}}</script></head><body><p>' || text || '</p>'
+    || '<div itemscope itemtype="https://schema.org/Product"><span itemprop="name">'
+    || substr(text, 1, 32)
+    || '</span><meta itemprop="sku" content="sku-' || CAST(doc_id AS VARCHAR)
+    || '"/></div><div vocab="https://schema.org/" typeof="Person"><span property="name">author-'
+    || CAST(doc_id % 97 AS VARCHAR)
+    || '</span></div>'
     {_links_sql(0, "more")}
     {_links_sql(1, "related")}
     {_links_sql(2, "next")}
@@ -205,6 +229,32 @@ LOCAL_ORACLES: dict[str, str] = {
     )
     SELECT subj, pred, obj FROM triples WHERE obj IS NOT NULL
     """,
+    "web_microdata_rdfa_triples": f"""
+    WITH {_PAGES_CTE},
+    md AS (
+      SELECT url,
+             regexp_extract(html, 'itemscope itemtype="([^"]*)"', 1) AS itype,
+             regexp_extract(html, '<span itemprop="name">([^<]*)<', 1) AS name_span,
+             regexp_extract(html, '<meta itemprop="name" content="([^"]*)"', 1) AS name_meta,
+             regexp_extract(html, '<span itemprop="sku">([^<]*)<', 1) AS sku_span,
+             regexp_extract(html, '<meta itemprop="sku" content="([^"]*)"', 1) AS sku_meta
+      FROM pages WHERE regexp_matches(html, 'itemscope')
+    ),
+    rd AS (
+      SELECT url,
+             regexp_extract(html, 'typeof="([^"]*)"', 1) AS rtype,
+             regexp_extract(html, 'property="name">([^<]*)<', 1) AS r_name
+      FROM pages WHERE regexp_matches(html, 'typeof=')
+    ),
+    triples AS (
+      SELECT url AS subj, 'rdf:type' AS pred, NULLIF(itype, '') AS obj FROM md
+      UNION ALL SELECT url, 'schema:name', COALESCE(NULLIF(name_span, ''), NULLIF(name_meta, '')) FROM md
+      UNION ALL SELECT url, 'schema:sku', COALESCE(NULLIF(sku_span, ''), NULLIF(sku_meta, '')) FROM md
+      UNION ALL SELECT url, 'rdf:type', NULLIF(rtype, '') FROM rd
+      UNION ALL SELECT url, 'schema:name', NULLIF(r_name, '') FROM rd
+    )
+    SELECT subj, pred, obj FROM triples WHERE obj IS NOT NULL
+    """,
     "web_opengraph_meta": f"""
     WITH {_PAGES_CTE}
     SELECT doc_id,
@@ -241,6 +291,21 @@ def web_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan pruned to (url, html).
     """
     return extract_jsonld_triples(synth_pages(spark, sf_dir))
+
+
+@query("web_microdata_rdfa_triples")
+def web_microdata_rdfa_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML5 microdata + RDFa Lite → (subj, pred, obj) triples.
+
+    Completes the structured-data trio (with web_jsonld_triples) that
+    CC KG pipelines mine: itemscope/itemprop blocks in both the visible
+    span and invisible meta shapes, and typeof/property RDFa attributes.
+    Pure regexp projections unioned — still no Python, no shuffle.
+    """
+    pages = synth_pages(spark, sf_dir)
+    md = extract_microdata_triples(pages, props=("name", "sku"))
+    rd = extract_rdfa_triples(pages, props=("name",))
+    return md.union(rd)
 
 
 @query("web_opengraph_meta")

@@ -243,3 +243,67 @@ def test_pagerank_no_cartesian_no_python(spark):
     plan = _plan(e.queries()["web_host_pagerank"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Microdata / RDFa
+# ---------------------------------------------------------------------------
+
+
+def test_microdata_span_and_meta_shapes(spark):
+    from mitie_spark.operators.webgraph import extract_microdata_triples
+
+    rows = [
+        (
+            "u1",
+            '<div itemscope itemtype="https://schema.org/Product">'
+            '<span itemprop="name">Widget</span>'
+            '<meta itemprop="sku" content="sku-1"/></div>',
+        ),
+        # meta-only name; no itemtype attribute -> no rdf:type row
+        (
+            "u2",
+            '<div itemscope><meta itemprop="name" content="MetaName"/></div>',
+        ),
+        ("u3", "<p>no microdata at all</p>"),
+    ]
+    got = extract_microdata_triples(
+        _pages(spark, rows), props=("name", "sku")
+    ).toPandas()
+    triples = set(zip(got["subj"], got["pred"], got["obj"]))
+    assert triples == {
+        ("u1", "rdf:type", "https://schema.org/Product"),
+        ("u1", "schema:name", "Widget"),
+        ("u1", "schema:sku", "sku-1"),
+        ("u2", "schema:name", "MetaName"),
+    }
+
+
+def test_microdata_span_outranks_meta(spark):
+    from mitie_spark.operators.webgraph import extract_microdata_triples
+
+    html = (
+        '<div itemscope><span itemprop="name">SpanWins</span>'
+        '<meta itemprop="name" content="MetaLoses"/></div>'
+    )
+    got = extract_microdata_triples(
+        _pages(spark, [("u", html)]), props=("name",)
+    ).toPandas()
+    assert list(got["obj"]) == ["SpanWins"]
+
+
+def test_rdfa_triples(spark):
+    from mitie_spark.operators.webgraph import extract_rdfa_triples
+
+    rows = [
+        (
+            "u1",
+            '<div vocab="https://schema.org/" typeof="Person">'
+            '<span property="name">Ada</span></div>',
+        ),
+        # microdata itemprop must NOT satisfy the RDFa property pattern
+        ("u2", '<div itemscope><span itemprop="name">NotRdfa</span></div>'),
+    ]
+    got = extract_rdfa_triples(_pages(spark, rows), props=("name",)).toPandas()
+    triples = set(zip(got["subj"], got["pred"], got["obj"]))
+    assert triples == {("u1", "rdf:type", "Person"), ("u1", "schema:name", "Ada")}
