@@ -35,8 +35,8 @@ class UnsupportedMediaError(ValueError):
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """Magic-byte detection: 'bmp' | 'pnm' | 'wav' | 'png' | 'jpeg' |
-    'gif' | 'tiff' | 'webp' | 'mp4' | None."""
+    """Magic-byte detection: 'bmp' | 'pnm' | 'wav' | 'flac' | 'png' |
+    'jpeg' | 'gif' | 'tiff' | 'webp' | 'mp4' | None."""
     if not payload or len(payload) < 12:
         return None
     if payload[:2] == b"BM":
@@ -53,6 +53,8 @@ def sniff_kind(payload: bytes) -> str | None:
         return "pnm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
@@ -737,7 +739,7 @@ def audio_feature(samples: np.ndarray) -> np.ndarray:
 
 def builtin_decoder(payload: bytes) -> np.ndarray:
     """Format-dispatching real decoder: BMP/PNM/PNG/JPEG/GIF → image
-    feature, WAV → audio feature. Raises UnsupportedMediaError for formats that need
+    feature, WAV/FLAC → audio feature. Raises UnsupportedMediaError for formats that need
     a codec library (MP4/unknown) — callers fall back to an injected
     decoder or the documented stub path."""
     kind = sniff_kind(payload or b"")
@@ -774,6 +776,10 @@ def builtin_decoder(payload: bytes) -> np.ndarray:
             return image_feature(arr, maxval=maxval)
         if kind == "wav":
             return audio_feature(decode_wav(payload)[0])
+        if kind == "flac":
+            from .flac import decode_flac  # local import: flac.py imports us
+
+            return audio_feature(decode_flac(payload)[0])
     except UnsupportedMediaError:
         raise
     except (ValueError, IndexError, struct.error, OverflowError) as e:
