@@ -592,8 +592,8 @@ def pdf_document_ingest(spark, sf_dir):
 @query("routed_document_ingest")
 def routed_document_ingest(spark, sf_dir):
     """The doc_router edge under the md5 gate: every document becomes a
-    PDF, DOCX, XLSX, or PPTX payload (cycling all four writers AND pdf
-    layout variants by doc_id) and extract_document_text must sniff the
+    PDF, DOCX, XLSX, PPTX, or RTF payload (cycling all five writers AND
+    pdf layout variants by doc_id) and extract_document_text must sniff the
     format from magic bytes and recover the text byte-exactly. The html
     path is excluded from the identity gate by design — html_to_text is
     deliberately lossy (whitespace normalization) — and is unit-tested
@@ -611,6 +611,7 @@ def routed_document_ingest(spark, sf_dir):
     from mitie_spark.sources.docx import write_docx
     from mitie_spark.sources.pdf import write_pdf
     from mitie_spark.sources.pptx import write_pptx
+    from mitie_spark.sources.rtf import write_rtf
     from mitie_spark.sources.xlsx import write_xlsx
 
     docs = by_compute(
@@ -628,16 +629,18 @@ def routed_document_ingest(spark, sf_dir):
                 did = int(did)
                 text = text or ""
                 try:
-                    form = did % 4
+                    form = did % 5
                     if form == 0:
-                        variant = "xrefstream" if did % 8 == 0 else "classic"
+                        variant = "xrefstream" if did % 10 == 0 else "classic"
                         payload = write_pdf([text], variant, "flate", "tounicode2")
                     elif form == 1:
                         payload = write_docx(text)
                     elif form == 2:
                         payload = write_xlsx(text)
-                    else:
+                    elif form == 3:
                         payload = write_pptx(text)
+                    else:
+                        payload = write_rtf(text)
                     got = extract_document_text(payload)
                 except ValueError:
                     # XML-1.0-unrepresentable doc: emit a sentinel so the

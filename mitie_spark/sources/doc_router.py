@@ -33,6 +33,7 @@ from mitie_spark.functions.html2text import html_to_text
 from mitie_spark.sources.docx import DocxError, extract_docx_text
 from mitie_spark.sources.pdf import PdfError, extract_pdf_text
 from mitie_spark.sources.pptx import PptxError, extract_pptx_text
+from mitie_spark.sources.rtf import RtfError, extract_rtf_text
 from mitie_spark.sources.xlsx import XlsxError, extract_xlsx_text
 
 __all__ = ["extract_document_text", "sniff_document_kind"]
@@ -52,6 +53,8 @@ def sniff_document_kind(payload: bytes) -> str:
             return "xlsx"
         if b"ppt/presentation.xml" in payload:
             return "pptx"
+    if payload[:5] == b"{\\rtf":
+        return "rtf"
     if b"%PDF-" in payload[:1024]:  # real generators emit BOM/preambles
         return "pdf"
     return "html"
@@ -62,6 +65,7 @@ _EXTRACTORS = {
     "docx": (extract_docx_text, DocxError),
     "xlsx": (extract_xlsx_text, XlsxError),
     "pptx": (extract_pptx_text, PptxError),
+    "rtf": (extract_rtf_text, RtfError),
 }
 
 
