@@ -18,10 +18,11 @@ frame/sample number; CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32)
 subframes with wasted bits; rice residual methods 0 and 1 including the
 escape-to-raw partitions; all four channel assignments (independent,
 left/side, right/side, mid/side); CRC-8 (header), CRC-16 (frame), MD5
-(stream) all verified. Anything else (e.g. a changing blocksize mid
-stream beyond the last frame, reserved codes) raises
+(stream) all verified. Reserved/invalid codes raise
 UnsupportedMediaError — the crawl-hostile fail-fast contract shared by
-every decoder in operators/.
+every decoder in operators/. Per-frame block sizes are taken from each
+frame header as the spec directs (variable-blocksize streams decode;
+no cross-frame consistency check is imposed beyond the checksums).
 
 Numeric shape: residual entropy decode is bit-serial (like the JPEG
 Huffman walk — bounded by the declared block size); everything after it

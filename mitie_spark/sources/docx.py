@@ -29,8 +29,8 @@ from __future__ import annotations
 
 import io
 import zipfile
-import zlib
-from xml.etree import ElementTree
+
+from mitie_spark.sources.ooxml import esc_xml, open_container, parse_xml, read_part
 
 __all__ = ["DocxError", "extract_docx_text", "write_docx"]
 
@@ -45,42 +45,9 @@ def extract_docx_text(data: bytes, max_out: int = 1 << 26) -> str:
     """.docx bytes → text: one line per paragraph, in document order —
     table-cell paragraphs included.  Raises DocxError on anything
     malformed; output bounded by max_out."""
-    try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except (
-        zipfile.BadZipFile,
-        ValueError,
-        NotImplementedError,  # hostile extract_version field
-        OSError,
-    ) as e:
-        raise DocxError(f"not a zip container: {e}") from None
-    try:
-        info = zf.getinfo("word/document.xml")
-    except KeyError:
-        raise DocxError("no word/document.xml part") from None
-    if info.file_size > max_out:
-        raise DocxError("document part exceeds max_out")
-    try:
-        with zf.open(info) as fh:
-            xml = fh.read(max_out + 1)
-    except (
-        zipfile.BadZipFile,
-        zlib.error,
-        OSError,
-        EOFError,
-        ValueError,  # corrupted offsets (negative seek etc.)
-        NotImplementedError,  # corrupted/unknown compression method
-        RuntimeError,  # encrypted member
-    ) as e:
-        raise DocxError(f"bad zip member: {e}") from None
-    if len(xml) > max_out:
-        raise DocxError("document part exceeds max_out")  # lied about size
-    if b"<!DOCTYPE" in xml or b"<!ENTITY" in xml:
-        raise DocxError("DTD in document part")  # entity-bomb guard
-    try:
-        root = ElementTree.fromstring(xml)
-    except ElementTree.ParseError as e:
-        raise DocxError(f"bad document XML: {e}") from None
+    zf = open_container(data, DocxError)
+    xml = read_part(zf, "word/document.xml", max_out, DocxError)
+    root = parse_xml(xml, "word/document.xml", DocxError)
 
     out: list[str] = []
     total = 0
@@ -128,11 +95,8 @@ def write_docx(text: str) -> bytes:
         if ch < " " and ch not in "\t\n":
             raise ValueError(f"character {ch!r} is not XML-1.0-encodable")
 
-    def esc(s: str) -> str:
-        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
     paras = "".join(
-        '<w:p><w:r><w:t xml:space="preserve">%s</w:t></w:r></w:p>' % esc(line)
+        '<w:p><w:r><w:t xml:space="preserve">%s</w:t></w:r></w:p>' % esc_xml(line)
         for line in text.split("\n")
     )
     document = (

@@ -26,8 +26,8 @@ from __future__ import annotations
 import io
 import posixpath
 import zipfile
-import zlib
-from xml.etree import ElementTree
+
+from mitie_spark.sources.ooxml import esc_xml, open_container, parse_xml, read_part
 
 __all__ = ["PptxError", "extract_pptx_text", "write_pptx"]
 
@@ -38,55 +38,24 @@ _RID = (
     "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
 )
 
-_ZIP_ERRORS = (
-    zipfile.BadZipFile,
-    zlib.error,
-    OSError,
-    EOFError,
-    ValueError,
-    NotImplementedError,
-    RuntimeError,
-)
-
 
 class PptxError(ValueError):
     """Malformed, bombed, or text-free-by-damage .pptx."""
 
 
 def _read_part(zf: zipfile.ZipFile, name: str, max_out: int) -> bytes:
-    try:
-        info = zf.getinfo(name)
-    except KeyError:
-        raise PptxError(f"no {name} part") from None
-    if info.file_size > max_out:
-        raise PptxError(f"{name} exceeds max_out")
-    try:
-        with zf.open(info) as fh:
-            xml = fh.read(max_out + 1)
-    except _ZIP_ERRORS as e:
-        raise PptxError(f"bad zip member {name}: {e}") from None
-    if len(xml) > max_out:
-        raise PptxError(f"{name} exceeds max_out")
-    if b"<!DOCTYPE" in xml or b"<!ENTITY" in xml:
-        raise PptxError(f"DTD in {name}")
-    return xml
+    return read_part(zf, name, max_out, PptxError)
 
 
 def _parse(xml: bytes, name: str):
-    try:
-        return ElementTree.fromstring(xml)
-    except ElementTree.ParseError as e:
-        raise PptxError(f"bad XML in {name}: {e}") from None
+    return parse_xml(xml, name, PptxError)
 
 
 def extract_pptx_text(data: bytes, max_out: int = 1 << 26) -> str:
     """.pptx bytes → text: one line per a:p paragraph, slides in
     presentation order (sldIdLst → rels).  Raises PptxError on anything
     malformed; output bounded by max_out."""
-    try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except _ZIP_ERRORS as e:  # incl. NotImplementedError: version field
-        raise PptxError(f"not a zip container: {e}") from None
+    zf = open_container(data, PptxError)
 
     pres = _parse(
         _read_part(zf, "ppt/presentation.xml", max_out), "presentation"
@@ -129,8 +98,7 @@ def extract_pptx_text(data: bytes, max_out: int = 1 << 26) -> str:
     return "\n".join(out)
 
 
-def _esc(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+_esc = esc_xml
 
 
 def write_pptx(text: str) -> bytes:

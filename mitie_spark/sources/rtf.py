@@ -145,12 +145,18 @@ def extract_rtf_text(data: bytes, max_out: int = 1 << 26) -> str:
                     uc_skip -= 1
                 elif not skipping:
                     pend_bytes.append(b)
+                    total += 1
+                    if total > max_out:
+                        raise RtfError("extracted text exceeds max_out")
                 i += 4
                 group_open = False
                 continue
             if not (65 <= nxt <= 90 or 97 <= nxt <= 122):
-                # control symbol
-                if nxt == 0x2A and group_open:  # {\* ...}: skip wholesale
+                # control symbol — counts as ONE \uN fallback unit (RTF
+                # 1.9 skipping rule), its text suppressed while skipping
+                if uc_skip:
+                    uc_skip -= 1
+                elif nxt == 0x2A and group_open:  # {\* ...}: skip wholesale
                     skipping = True
                 elif nxt in (0x5C, 0x7B, 0x7D):
                     emit(chr(nxt))
@@ -187,6 +193,14 @@ def extract_rtf_text(data: bytes, max_out: int = 1 << 26) -> str:
                 if i + count > n:
                     raise RtfError("truncated RTF \\bin run")
                 i += count
+                if uc_skip:
+                    uc_skip -= 1  # \binN counts as one fallback unit
+                group_open = False
+                continue
+            if uc_skip:
+                # a control word counts as ONE \uN fallback unit (RTF 1.9
+                # skipping rule): consume it without executing its effect
+                uc_skip -= 1
                 group_open = False
                 continue
             if word == "u":

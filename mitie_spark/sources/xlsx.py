@@ -31,8 +31,8 @@ from __future__ import annotations
 import io
 import posixpath
 import zipfile
-import zlib
-from xml.etree import ElementTree
+
+from mitie_spark.sources.ooxml import esc_xml, open_container, parse_xml, read_part
 
 __all__ = ["XlsxError", "extract_xlsx_text", "write_xlsx"]
 
@@ -42,45 +42,17 @@ _RID = (
     "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
 )
 
-_ZIP_ERRORS = (
-    zipfile.BadZipFile,
-    zlib.error,
-    OSError,
-    EOFError,
-    ValueError,
-    NotImplementedError,  # unknown compression method
-    RuntimeError,  # encrypted member
-)
-
 
 class XlsxError(ValueError):
     """Malformed, bombed, or text-free-by-damage .xlsx."""
 
 
 def _read_part(zf: zipfile.ZipFile, name: str, max_out: int) -> bytes:
-    try:
-        info = zf.getinfo(name)
-    except KeyError:
-        raise XlsxError(f"no {name} part") from None
-    if info.file_size > max_out:
-        raise XlsxError(f"{name} exceeds max_out")
-    try:
-        with zf.open(info) as fh:
-            xml = fh.read(max_out + 1)
-    except _ZIP_ERRORS as e:
-        raise XlsxError(f"bad zip member {name}: {e}") from None
-    if len(xml) > max_out:
-        raise XlsxError(f"{name} exceeds max_out")  # header lied
-    if b"<!DOCTYPE" in xml or b"<!ENTITY" in xml:
-        raise XlsxError(f"DTD in {name}")  # entity-bomb guard
-    return xml
+    return read_part(zf, name, max_out, XlsxError)
 
 
 def _parse(xml: bytes, name: str):
-    try:
-        return ElementTree.fromstring(xml)
-    except ElementTree.ParseError as e:
-        raise XlsxError(f"bad XML in {name}: {e}") from None
+    return parse_xml(xml, name, XlsxError)
 
 
 def _si_text(si) -> str:
@@ -113,7 +85,10 @@ def _cell_text(c, shared: list[str]) -> str:
     raw = (v.text or "") if v is not None else ""
     if ctype == "s":
         try:
-            return shared[int(raw)]
+            idx = int(raw)
+            if idx < 0:  # Python negative indexing must not "work" here
+                raise IndexError
+            return shared[idx]
         except (ValueError, IndexError):
             raise XlsxError(f"bad shared-string index {raw!r}") from None
     # n(umber), str (formula string), b(ool 0/1), e(rror literal) — the
@@ -125,10 +100,7 @@ def extract_xlsx_text(data: bytes, max_out: int = 1 << 26) -> str:
     """.xlsx bytes → text: one line per row (cells tab-joined), sheets
     concatenated in workbook order.  Raises XlsxError on anything
     malformed; output bounded by max_out."""
-    try:
-        zf = zipfile.ZipFile(io.BytesIO(data))
-    except _ZIP_ERRORS as e:  # incl. NotImplementedError: version field
-        raise XlsxError(f"not a zip container: {e}") from None
+    zf = open_container(data, XlsxError)
 
     wb = _parse(_read_part(zf, "xl/workbook.xml", max_out), "workbook")
     rels_root = _parse(
@@ -173,8 +145,7 @@ def extract_xlsx_text(data: bytes, max_out: int = 1 << 26) -> str:
     return "\n".join(out)
 
 
-def _esc(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+_esc = esc_xml
 
 
 def write_xlsx(text: str) -> bytes:

@@ -283,3 +283,20 @@ def test_doc_router_office_formats():
     # a damaged xlsx degrades to the html/text path, record kept
     got = extract_document_text(xl[:60])
     assert isinstance(got, str)
+
+
+def test_xlsx_negative_shared_index_rejected():
+    """Review-finding repro: a hostile <v>-1</v> shared-string index
+    must raise, not resolve through Python negative indexing."""
+    sst = (
+        f'<sst xmlns="{_SSML}"><si><t>only</t></si></sst>'
+    ).encode()
+    ws = (
+        f'<worksheet xmlns="{_SSML}"><sheetData>'
+        '<row r="1"><c t="s"><v>-1</v></c></row></sheetData></worksheet>'
+    ).encode()
+    parts = _wb_parts([("rId1", "worksheets/sheet1.xml")])
+    parts["xl/sharedStrings.xml"] = sst
+    parts["xl/worksheets/sheet1.xml"] = ws
+    with pytest.raises(XlsxError):
+        extract_xlsx_text(_xlsx(parts))

@@ -111,3 +111,27 @@ def test_doc_router_rtf():
     assert extract_document_text(blob) == "rtf text\nline two"
     # damaged rtf degrades to the html/text path, record kept
     assert isinstance(extract_document_text(blob[:10]), str)
+
+
+def test_control_word_fallback_counts_as_one_unit():
+    """Review-finding repro: with \\uc1, a control-word fallback
+    (\\emdash) must be swallowed as ONE unit — not emitted as duplicate
+    text with the following real char eaten by the stale skip count."""
+    em = "—"
+    assert extract_rtf_text(b"{\\rtf1\\ansi\\uc1 a\\u8212\\emdash b}") == f"a{em}b"
+    # control symbols count too
+    assert extract_rtf_text(b"{\\rtf1\\ansi\\uc1 a\\u8212\\~b}") == f"a{em}b"
+    # \bin as fallback: counted once AND its data skipped
+    assert (
+        extract_rtf_text(b"{\\rtf1\\ansi\\uc1 a\\u8212\\bin2 \x01\x02b}")
+        == f"a{em}b"
+    )
+
+
+def test_hex_escape_bytes_count_toward_max_out():
+    """Review-finding repro: an all-\\'hh payload must hit the output
+    bound like plain text does."""
+    blob = b"{\\rtf1\\ansi " + b"\\'41" * 100 + b"}"
+    assert extract_rtf_text(blob) == "A" * 100
+    with pytest.raises(RtfError):
+        extract_rtf_text(blob, max_out=10)
