@@ -38,6 +38,9 @@ from pyspark.sql import DataFrame, functions as F
 JSONLD_RE = r'<script type="application/ld\+json">([^<]*)</script>'
 # absolute http(s) links only; host chars per RFC 3986 reg-name subset
 HREF_RE = r'<a href="https?://([a-z0-9.-]+)[/"]'
+# host AND the visible anchor text of the same <a> element — one pattern
+# so the two capture groups stay paired per match
+ANCHOR_RE = r'<a href="https?://([a-z0-9.-]+)[^"]*">([^<]*)</a>'
 
 #: default schema.org Article paths: predicate -> get_json_object path.
 #: Paths use bracket form for the @-keys (Spark) — the DuckDB mirrors
@@ -203,6 +206,38 @@ def extract_links(
         F.explode(
             F.regexp_extract_all(_html_str(pages, html_col), F.lit(HREF_RE), 1)
         ).alias("dst_host"),
+    )
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    src_host_col,
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_host, dst_host, anchor) one row per absolute outlink — the
+    classic web-KG surface-form signal: anchor texts pointing at a page
+    are alias evidence for the entity it describes (the same role the
+    reference's alias dictionary plays for mention linking, J4).
+
+    Pairing discipline: host and text come from the SAME regexp match
+    (two capture groups of one pattern extracted twice), so a page whose
+    Nth link has an empty anchor cannot shift later pairs. Pure
+    projection + one explode of the zipped arrays — no Python, no
+    shuffle.
+    """
+    html = _html_str(pages, html_col)
+    hosts = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2)
+    return (
+        pages.select(
+            src_host_col.alias("src_host"),
+            F.explode(F.arrays_zip(hosts.alias("h"), texts.alias("t"))).alias("a"),
+        )
+        .select(
+            "src_host",
+            F.col("a.h").alias("dst_host"),
+            F.col("a.t").alias("anchor"),
+        )
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mitie_spark.operators.webgraph import (
+    extract_anchor_texts,
     extract_jsonld_triples,
     extract_links,
     extract_microdata_triples,
@@ -267,6 +268,19 @@ LOCAL_ORACLES: dict[str, str] = {
     WITH {_EDGES_CTES}
     SELECT src AS src_host, dst AS dst_host, w AS n_links FROM edges
     """,
+    "web_anchor_texts": f"""
+    WITH {_PAGES_CTE},
+    anchors AS (
+      SELECT u[1] AS dst_host, u[2] AS anchor FROM (
+        SELECT unnest(list_zip(
+          regexp_extract_all(html, '<a href="https?://([a-z0-9.-]+)[^"]*">([^<]*)</a>', 1),
+          regexp_extract_all(html, '<a href="https?://([a-z0-9.-]+)[^"]*">([^<]*)</a>', 2)
+        )) AS u
+        FROM pages)
+    )
+    SELECT dst_host, anchor, COUNT(*) AS n_links
+    FROM anchors GROUP BY dst_host, anchor
+    """,
     "web_host_pagerank": f"""
     WITH {_EDGES_CTES},
     {_pagerank_ctes()}
@@ -335,6 +349,23 @@ def web_host_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("src_host"),
         F.col("dst").alias("dst_host"),
         F.col("weight").alias("n_links"),
+    )
+
+
+@query("web_anchor_texts")
+def web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text mining: which surface forms does the web use to link
+    to each host — the classic alias-evidence signal for entity linking
+    (reference analog J4's alias dictionary). Paired regexp extraction
+    (host + visible text from the same match) then ONE groupBy shuffle.
+    """
+    pages = synth_pages(spark, sf_dir)
+    anchors = extract_anchor_texts(
+        pages, F.concat(F.col("source"), F.lit(".example.com"))
+    )
+    return (
+        anchors.groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("n_links"))
     )
 
 

@@ -307,3 +307,27 @@ def test_rdfa_triples(spark):
     got = extract_rdfa_triples(_pages(spark, rows), props=("name",)).toPandas()
     triples = set(zip(got["subj"], got["pred"], got["obj"]))
     assert triples == {("u1", "rdf:type", "Person"), ("u1", "schema:name", "Ada")}
+
+
+def test_extract_anchor_texts_pairing(spark):
+    """Host and anchor must come from the SAME match — an empty anchor
+    or an extra attribute must not shift later pairs."""
+    from mitie_spark.operators.webgraph import extract_anchor_texts
+
+    html = (
+        '<a href="https://a.com/x">first</a>'
+        '<a href="https://b.org/path?q=1">second text</a>'
+        '<a href="https://c.net/">   </a>'
+        '<a href="/relative">skipped</a>'
+        '<a href="https://d.io/z">last</a>'
+    )
+    got = extract_anchor_texts(
+        _pages(spark, [("u", html)]), F.lit("me.example")
+    ).toPandas()
+    pairs = list(zip(got["dst_host"], got["anchor"]))
+    assert pairs == [
+        ("a.com", "first"),
+        ("b.org", "second text"),
+        ("c.net", "   "),
+        ("d.io", "last"),
+    ]
