@@ -369,6 +369,68 @@ def web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the synthetic robots.txt every host serves in crawl_frontier_allowed —
+#: exercises group selection (the smith group must NOT apply), the
+#: longest-match allow-over-disallow rule, and '*'/'$' pattern matching.
+_ROBOTS_TXT = (
+    "User-agent: smith\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok\n"
+    "Disallow: /files/*.exe$\n"
+)
+
+
+@query("crawl_frontier_allowed")
+def crawl_frontier_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 politeness filtering through the REAL robots matcher
+    (sources/robots.py): five path shapes per doc_id cycle through
+    no-rule, plain disallow, longer-allow-wins, wildcard+$ disallow,
+    and the $-anchor miss. The oracle states the expected decision
+    independently (doc_id % 5), so the gate checks the matcher's
+    group-selection and longest-match semantics, not a mirror of them.
+
+    Scale shape: robots bodies are a per-host dimension (broadcast);
+    decisions are one narrow mapInPandas with per-batch compiled-rule
+    caching — no shuffle over the urls table.
+    """
+    from mitie_spark.sources.robots import filter_allowed_urls
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/private/ok"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/files/"), F.col("doc_id").cast("string"), F.lit(".exe")))
+        .otherwise(F.concat(F.lit("/files/"), F.col("doc_id").cast("string"), F.lit(".exe.txt")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    robots = (
+        d.select(F.col("source")).distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.lit(_ROBOTS_TXT).alias("robots_txt"),
+        )
+    )
+    return filter_allowed_urls(urls, robots, agent="mitiebot").select(
+        "doc_id", "allowed"
+    )
+
+
+LOCAL_ORACLES["crawl_frontier_allowed"] = """
+    SELECT doc_id,
+           (doc_id % 5) IN (0, 2, 4) AS allowed
+    FROM documents
+    """
+
+
 @query("web_host_pagerank")
 def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the host graph, exact int64 ranks.
