@@ -431,6 +431,65 @@ LOCAL_ORACLES["crawl_frontier_allowed"] = """
     """
 
 
+@query("url_canonical_forms")
+def url_canonical_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 canonicalization through the REAL normalizer
+    (functions/urlnorm.py): six messy-URL shapes per doc_id cycle —
+    uppercase scheme/host + default port, dot segments, unreserved
+    percent-escapes, hex-case + fragment, empty path, and the
+    userinfo/non-default-port passthrough. The oracle constructs each
+    expected canonical string independently (doc_id % 6), gating the
+    normalizer's semantics rather than mirroring its code.
+
+    Scale shape: one Arrow-batched pandas-UDF projection, no shuffle —
+    the canonical form feeds link-graph and frontier dedup keys.
+    """
+    from mitie_spark.functions.urlnorm import normalize_urls_udf
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    messy = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80/doc/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(F.lit("https://"), host, F.lit(":443/a/./"), sid, F.lit("/../page")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(F.lit("https://"), host, F.lit("/%64%6f%63/"), sid),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("https://"), host, F.lit("/doc/"), sid, F.lit("?x=%3a&y=2#frag")),
+        )
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("https://"), host))
+        .otherwise(
+            F.concat(F.lit("https://user:pw@"), host, F.lit(":8080/doc/"), sid)
+        )
+    )
+    return d.select(
+        "doc_id", normalize_urls_udf()(messy).alias("canon_url")
+    )
+
+
+LOCAL_ORACLES["url_canonical_forms"] = """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://' || source || '.example.com/a/page'
+             WHEN 2 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '?x=%3A&y=2'
+             WHEN 4 THEN 'https://' || source || '.example.com/'
+             ELSE 'https://user:pw@' || source || '.example.com:8080/doc/' || CAST(doc_id AS VARCHAR)
+           END AS canon_url
+    FROM documents
+    """
+
+
 @query("web_host_pagerank")
 def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the host graph, exact int64 ranks.
