@@ -490,6 +490,107 @@ LOCAL_ORACLES["url_canonical_forms"] = """
     """
 
 
+@query("wet_document_ingest")
+def wet_document_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl WET round trip under the md5 gate: documents →
+    conversion-record archives (sources/wet_wat.py, half the archives
+    gzip-member framed like a real .wet.gz) → parse_wet_bytes recovers
+    every document byte-exactly. Rows-only slot; the md5+length DuckDB
+    gate runs with the other ingest round trips in
+    tests/test_queries_vs_oracle.py. Two narrow Arrow passes, no shuffle.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from mitie_spark.session import by_compute
+    from mitie_spark.sources.wet_wat import parse_wet_bytes, write_wet
+
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = [
+                {
+                    "doc_id": int(did),
+                    "url": f"https://corpus.example/{int(did)}",
+                    "warc_ts": "2024-01-01T00:00:00Z",
+                    "text": text or "",
+                }
+                for did, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            ids, md5s, lens = [], [], []
+            for i in range(0, len(recs), 256):
+                part = recs[i : i + 256]
+                blob = write_wet(part, gzip_members=part[0]["doc_id"] % 2 == 0)
+                for url, _date, text in parse_wet_bytes(blob):
+                    ids.append(int(url.rsplit("/", 1)[1]))
+                    md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+                    lens.append(len(text))
+            yield pd.DataFrame(
+                {"doc_id": ids, "text_md5": md5s, "text_len": lens}
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, text_md5 string, text_len bigint"
+    )
+
+
+@query("wat_link_graph")
+def wat_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link graph THROUGH the WAT sidecar round trip: synth pages →
+    WAT metadata records (JSON envelopes with Head/Links) → archives →
+    wat_link_edges reads them back (record walk + JVM get_json_object)
+    → host edge counts. Gated against the SAME oracle as
+    web_host_links, so the WAT write/parse cycle must preserve the link
+    graph exactly.
+    """
+    import pandas as pd
+
+    from mitie_spark.sources.wet_wat import wat_link_edges, write_wat
+
+    pages = synth_pages(spark, sf_dir)
+    from mitie_spark.sources.wet_wat import pages_to_wat_records
+
+    recs = pages_to_wat_records(pages)
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [
+                {
+                    "url": r.url,
+                    "warc_ts": r.warc_ts,
+                    "title": r.title,
+                    "links": [
+                        {"url": l["url"], "text": l["text"]} for l in r.links
+                    ],
+                }
+                for r in pdf.itertuples()
+            ]
+            for i in range(0, len(rows), 256):
+                yield pd.DataFrame(
+                    {"content": [write_wat(rows[i : i + 256], gzip_members=i % 512 == 0)]}
+                )
+
+    archives = recs.mapInPandas(pack, "content binary")
+    return (
+        wat_link_edges(archives)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+LOCAL_ORACLES["wat_link_graph"] = LOCAL_ORACLES["web_host_links"]
+
+
 @query("web_host_pagerank")
 def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the host graph, exact int64 ranks.

@@ -23,6 +23,7 @@ def _names():
         "pdf_document_ingest",
         "docx_document_ingest",
         "routed_document_ingest",
+        "wet_document_ingest",
     }
     return sorted(n for n in e.queries() if n not in skip)
 
@@ -69,6 +70,7 @@ _INGEST_GATES = [
     "pdf_document_ingest",
     "docx_document_ingest",
     "routed_document_ingest",
+    "wet_document_ingest",
 ]
 
 
