@@ -39,8 +39,14 @@ JSONLD_RE = r'<script type="application/ld\+json">([^<]*)</script>'
 # absolute http(s) links only; host chars per RFC 3986 reg-name subset
 HREF_RE = r'<a href="https?://([a-z0-9.-]+)[/"]'
 # host AND the visible anchor text of the same <a> element — one pattern
-# so the two capture groups stay paired per match
-ANCHOR_RE = r'<a href="https?://([a-z0-9.-]+)[^"]*">([^<]*)</a>'
+# so the two capture groups stay paired per match. WAT_LINK_RE is the
+# full-URL variant (sources/wet_wat.pages_to_wat_records); the two MUST
+# stay shape-identical apart from the capture span — wat_link_graph is
+# gated against the same oracle as the HREF_RE-shaped link queries, so a
+# drift between these patterns turns that gate red far from the cause.
+_HOST_CHARS = r"[a-z0-9.-]+"
+ANCHOR_RE = rf'<a href="https?://({_HOST_CHARS})[^"]*">([^<]*)</a>'
+WAT_LINK_RE = rf'<a href="(https?://{_HOST_CHARS}[^"]*)">([^<]*)</a>'
 
 #: default schema.org Article paths: predicate -> get_json_object path.
 #: Paths use bracket form for the @-keys (Spark) — the DuckDB mirrors

@@ -591,6 +591,144 @@ def wat_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOCAL_ORACLES["wat_link_graph"] = LOCAL_ORACLES["web_host_links"]
 
 
+@query("feed_frontier_ingest")
+def feed_frontier_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-discovery round trip under the md5 gate: documents become
+    RSS 2.0 items (even doc_id batches) or Atom 1.0 entries (odd), the
+    text riding in description/summary, then parse_feed
+    (sources/feeds.py) recovers every document byte-exactly. Rows-only
+    slot; the md5+length DuckDB gate runs with the ingest round trips
+    in tests/test_queries_vs_oracle.py. One narrow Arrow pass.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from mitie_spark.session import by_compute
+    from mitie_spark.sources.feeds import parse_feed
+    from mitie_spark.sources.ooxml import esc_xml
+
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = sorted(
+                (int(d), t or "") for d, t in zip(pdf["doc_id"], pdf["text"])
+            )
+            ids, md5s, lens = [], [], []
+            for i in range(0, len(rows), 256):
+                part = rows[i : i + 256]
+                if part[0][0] % 2 == 0:  # RSS 2.0
+                    items = "".join(
+                        f"<item><link>https://corpus.example/{d}</link>"
+                        f"<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>"
+                        f"<description>{esc_xml(t)}</description></item>"
+                        for d, t in part
+                    )
+                    blob = (
+                        f"<rss version=\"2.0\"><channel><title>c</title>"
+                        f"{items}</channel></rss>"
+                    ).encode("utf-8")
+                else:  # Atom 1.0
+                    entries = "".join(
+                        f"<entry><link rel=\"alternate\" "
+                        f"href=\"https://corpus.example/{d}\"/>"
+                        f"<updated>2024-01-01T00:00:00Z</updated>"
+                        f"<summary>{esc_xml(t)}</summary></entry>"
+                        for d, t in part
+                    )
+                    blob = (
+                        '<feed xmlns="http://www.w3.org/2005/Atom">'
+                        f"<title>c</title>{entries}</feed>"
+                    ).encode("utf-8")
+                for e in parse_feed(blob)[1]:
+                    text = e["summary"] or ""
+                    ids.append(int(e["url"].rsplit("/", 1)[1]))
+                    md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+                    lens.append(len(text))
+            yield pd.DataFrame(
+                {"doc_id": ids, "text_md5": md5s, "text_len": lens}
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, text_md5 string, text_len bigint"
+    )
+
+
+@query("sitemap_frontier_ingest")
+def sitemap_frontier_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-discovery round trip: each 256-doc batch becomes gzip'd
+    child urlsets referenced by a sitemapindex; parse_sitemap walks the
+    index, then each child, recovering (doc_id, lastmod). The oracle
+    constructs the expected lastmod independently (doc_id % 28), so the
+    gate checks the parser, not a mirror of it.
+    """
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from mitie_spark.session import by_compute
+    from mitie_spark.sources.robots import parse_sitemap
+
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dids = sorted(int(d) for d in pdf["doc_id"])
+            children = []
+            for i in range(0, len(dids), 256):
+                urls = "".join(
+                    f"<url><loc>https://corpus.example/{d}</loc>"
+                    f"<lastmod>2024-01-{1 + d % 28:02d}</lastmod></url>"
+                    for d in dids[i : i + 256]
+                )
+                child = (
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                    f'sitemap/0.9">{urls}</urlset>'
+                ).encode("utf-8")
+                children.append(_gzip.compress(child))
+            index = (
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+                "sitemap/0.9\">"
+                + "".join(
+                    f"<sitemap><loc>https://corpus.example/s{i}.xml.gz"
+                    "</loc></sitemap>"
+                    for i in range(len(children))
+                )
+                + "</sitemapindex>"
+            ).encode("utf-8")
+            kind, refs = parse_sitemap(index)
+            assert kind == "sitemapindex" and len(refs) == len(children)
+            ids, lastmods = [], []
+            for loc, _ in refs:
+                child_no = int(loc.rsplit("/s", 1)[1].split(".")[0])
+                ckind, entries = parse_sitemap(children[child_no])
+                assert ckind == "urlset"
+                for url, lastmod in entries:
+                    ids.append(int(url.rsplit("/", 1)[1]))
+                    lastmods.append(lastmod)
+            yield pd.DataFrame({"doc_id": ids, "lastmod": lastmods})
+
+    return docs.mapInPandas(roundtrip, "doc_id bigint, lastmod string")
+
+
+LOCAL_ORACLES["sitemap_frontier_ingest"] = """
+    SELECT doc_id,
+           '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod
+    FROM documents
+    """
+
+
 @query("web_host_pagerank")
 def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the host graph, exact int64 ranks.

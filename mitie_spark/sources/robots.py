@@ -27,7 +27,6 @@ broadcast join.
 
 from __future__ import annotations
 
-import gzip
 import re
 from xml.etree import ElementTree
 
@@ -149,8 +148,13 @@ def parse_robots(content: str | bytes, agent: str = "*") -> RobotsRules:
             if best is None or score > best[0]:
                 best = (score, rules, delay)
             elif score == best[0]:
-                # RFC: multiple groups matching the same UA merge rules
-                best = (score, best[1] + rules, best[2] or delay)
+                # RFC: multiple groups matching the same UA merge rules;
+                # an explicit Crawl-delay: 0 must survive the merge
+                best = (
+                    score,
+                    best[1] + rules,
+                    best[2] if best[2] is not None else delay,
+                )
     if best is None:
         return RobotsRules([], None, sitemaps)
     return RobotsRules(best[1], best[2], sitemaps)
@@ -176,9 +180,13 @@ def parse_sitemap(
     (sitemap.xml.gz) are transparently decompressed, bounded by
     max_out; DTDs are rejected (entity-bomb guard)."""
     if data[:2] == b"\x1f\x8b":
+        # bounded decompression: gzip.decompress would materialize a
+        # decompression bomb BEFORE any size check (review finding)
+        from mitie_spark.sources.warc import gunzip_members
+
         try:
-            data = gzip.decompress(data)
-        except (OSError, EOFError) as e:
+            data = gunzip_members(data, max_out=max_out)
+        except (OSError, EOFError, ValueError) as e:
             raise SitemapError(f"bad gzip member: {e}") from None
     if len(data) > max_out:
         raise SitemapError("sitemap exceeds max_out")
@@ -257,7 +265,9 @@ def filter_allowed_urls(
                 rules = cache.get(txt)
                 if rules is None:
                     rules = cache[txt] = parse_robots(txt, agent)
-                m = re.match(r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", u or "")
+                m = re.match(
+                    r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", u or "", re.IGNORECASE
+                )
                 path = (m.group(1) or "/") if m else (u or "/")
                 allowed.append(rules.is_allowed(path))
             res = pdf[keep].copy()

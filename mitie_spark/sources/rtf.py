@@ -119,11 +119,13 @@ def extract_rtf_text(data: bytes, max_out: int = 1 << 26) -> str:
                 raise RtfError("RTF group nesting too deep")
             i += 1
             group_open = True
+            uc_skip = 0  # \uN fallback skipping ends at group boundaries
             continue
         if c == 0x7D:  # }
             flush()
             if not stack:
                 raise RtfError("unbalanced RTF group close")
+            uc_skip = 0
             uc, skipping = stack.pop()
             i += 1
             group_open = False

@@ -231,21 +231,16 @@ def write_http_response(
     return _CRLF.join(headers) + _CRLF + _CRLF + body
 
 
-def write_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
-    """records: [{url, warc_ts (ISO str), html (bytes)}] → WARC/1.0 bytes.
-    Response records only; headers cover what the parser reads. With
-    gzip_members=True each record becomes its own gzip member — the
-    Common-Crawl .warc.gz framing gunzip_members undoes."""
+def frame_warc_records(
+    records: list[tuple[list[bytes], bytes]], *, gzip_members: bool = False
+) -> bytes:
+    """[(header_lines, payload)] → framed WARC bytes (ISO 28500: header
+    block, blank line, payload, two CRLFs). With gzip_members=True each
+    record becomes its own gzip member — the Common-Crawl .warc.gz
+    framing gunzip_members undoes. Shared by write_warc and the WET/WAT
+    writers (sources/wet_wat.py)."""
     out = []
-    for r in records:
-        payload = r["html"]
-        headers = [
-            b"WARC/1.0",
-            b"WARC-Type: response",
-            b"WARC-Target-URI: " + r["url"].encode("utf-8"),
-            b"WARC-Date: " + r["warc_ts"].encode("ascii"),
-            b"Content-Length: " + str(len(payload)).encode("ascii"),
-        ]
+    for headers, payload in records:
         rec = _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
         if gzip_members:
             co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
@@ -254,26 +249,42 @@ def write_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
     return b"".join(out)
 
 
+def write_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
+    """records: [{url, warc_ts (ISO str), html (bytes)}] → WARC/1.0 bytes.
+    Response records only; headers cover what the parser reads."""
+    framed = []
+    for r in records:
+        payload = r["html"]
+        framed.append(
+            (
+                [
+                    b"WARC/1.0",
+                    b"WARC-Type: response",
+                    b"WARC-Target-URI: " + r["url"].encode("utf-8"),
+                    b"WARC-Date: " + r["warc_ts"].encode("ascii"),
+                    b"Content-Length: " + str(len(payload)).encode("ascii"),
+                ],
+                payload,
+            )
+        )
+    return frame_warc_records(framed, gzip_members=gzip_members)
+
+
 def _resync(blob: bytes, i: int) -> int:
     """Index of the next record marker after ``i``, or -1."""
     return blob.find(b"WARC/1.", i + 1)
 
 
-def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
-    """WARC/1.0 bytes → [(url, warc_date, html_payload)] for responses.
+def iter_warc_records(blob: bytes):
+    """Yield (fields, payload) per WARC/1.0 record — the shared record
+    walk under parse_warc_bytes and the WET/WAT readers.
 
     Record grammar (ISO 28500): header block terminated by a blank line,
-    payload of exactly Content-Length bytes, then two CRLFs. Non-response
-    records (warcinfo, request, metadata) are skipped by type; records with
-    corrupt headers (unparseable Content-Length, missing markers) are
-    skipped by resyncing to the next ``WARC/1.`` marker.
-
-    Real Common-Crawl response records carry a FULL HTTP response as the
-    payload (Content-Type: application/http;msgtype=response — status line
-    + headers + body); the HTTP header block is stripped so the returned
-    payload is the document itself. Bare payloads (no HTTP/ status line)
-    pass through unchanged."""
-    recs = []
+    payload of exactly Content-Length bytes, then two CRLFs. Records with
+    corrupt headers (unparseable or NEGATIVE Content-Length — a negative
+    value would walk the cursor backward, and a crafted record can pin it
+    at a fixed point, hanging the task) are skipped by resyncing to the
+    next ``WARC/1.`` marker."""
     i = 0
     n = len(blob)
     while i < n:
@@ -297,29 +308,37 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
         except ValueError:
             length = -1
         if length < 0:
-            # damaged header (unparseable or negative Content-Length —
-            # a negative value would walk `i` BACKWARD below, and a
-            # crafted record can pin it at a fixed point, hanging the
-            # task): skip this record, keep the task alive
             nxt = _resync(blob, i)
             if nxt < 0:
                 break
             i = nxt
             continue
-        payload = blob[head_end + 4 : head_end + 4 + length]
+        yield fields, blob[head_end + 4 : head_end + 4 + length]
+        i = head_end + 4 + length + 4  # payload + two record-ending CRLFs
+
+
+def parse_warc_bytes(blob: bytes) -> list[tuple[str, str, bytes]]:
+    """WARC/1.0 bytes → [(url, warc_date, html_payload)] for responses.
+
+    Non-response records (warcinfo, request, metadata) are skipped by
+    type. Real Common-Crawl response records carry a FULL HTTP response
+    as the payload (Content-Type: application/http;msgtype=response —
+    status line + headers + body); the HTTP header block is stripped so
+    the returned payload is the document itself. Bare payloads (no HTTP/
+    status line) pass through unchanged."""
+    recs = []
+    for fields, payload in iter_warc_records(blob):
         if fields.get("warc-type") == "response":
             # application/http payload: strip the status line + headers
             # and undo Transfer-Encoding / Content-Encoding (chunked,
             # gzip, deflate, brotli) — the envelope real crawls store.
-            payload = strip_http_envelope(payload)
             recs.append(
                 (
                     fields.get("warc-target-uri", ""),
                     fields.get("warc-date", ""),
-                    payload,
+                    strip_http_envelope(payload),
                 )
             )
-        i = head_end + 4 + length + 4  # payload + two record-ending CRLFs
     return recs
 
 

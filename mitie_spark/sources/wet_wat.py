@@ -26,11 +26,14 @@ record-parse (Python, bounded by record framing) + get_json_object
 from __future__ import annotations
 
 import json
-import zlib
 
 from pyspark.sql import DataFrame, functions as F
 
-from mitie_spark.sources.warc import gunzip_members
+from mitie_spark.sources.warc import (
+    frame_warc_records,
+    gunzip_members,
+    iter_warc_records,
+)
 
 __all__ = [
     "parse_wat_bytes",
@@ -41,18 +44,9 @@ __all__ = [
     "write_wet",
 ]
 
-_CRLF = b"\r\n"
-
 
 def _write_records(records: list[tuple[list[bytes], bytes]], gzip_members: bool) -> bytes:
-    out = []
-    for headers, payload in records:
-        rec = _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
-        if gzip_members:
-            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
-            rec = co.compress(rec) + co.flush()
-        out.append(rec)
-    return b"".join(out)
+    return frame_warc_records(records, gzip_members=gzip_members)
 
 
 def write_wet(records: list[dict], *, gzip_members: bool = False) -> bytes:
@@ -119,49 +113,20 @@ def write_wat(records: list[dict], *, gzip_members: bool = False) -> bytes:
 
 
 def _parse_records(blob: bytes, want_type: str) -> list[tuple[str, str, bytes]]:
-    """Shared WARC record walk (the parse_warc_bytes grammar) selecting
-    one record type; damaged records resync to the next marker."""
+    """warc.iter_warc_records walk selecting one record type (the
+    review-deduplicated shared grammar); gzip members sniffed here
+    because WET/WAT blobs arrive whole, not pre-gunzipped."""
     if blob[:2] == b"\x1f\x8b":
         blob = gunzip_members(blob)
-    recs = []
-    i, n = 0, len(blob)
-    while i < n:
-        head_end = blob.find(_CRLF + _CRLF, i)
-        if head_end < 0:
-            break
-        head = blob[i:head_end].decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines or not lines[0].startswith("WARC/"):
-            nxt = blob.find(b"WARC/1.", i + 1)
-            if nxt < 0:
-                break
-            i = nxt
-            continue
-        fields = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            fields[k.strip().lower()] = v.strip()
-        try:
-            length = int(fields.get("content-length", "0"))
-        except ValueError:
-            length = -1
-        if length < 0:  # see parse_warc_bytes: never walk i backward
-            nxt = blob.find(b"WARC/1.", i + 1)
-            if nxt < 0:
-                break
-            i = nxt
-            continue
-        payload = blob[head_end + 4 : head_end + 4 + length]
-        if fields.get("warc-type") == want_type:
-            recs.append(
-                (
-                    fields.get("warc-target-uri", ""),
-                    fields.get("warc-date", ""),
-                    payload,
-                )
-            )
-        i = head_end + 4 + length + 4
-    return recs
+    return [
+        (
+            fields.get("warc-target-uri", ""),
+            fields.get("warc-date", ""),
+            payload,
+        )
+        for fields, payload in iter_warc_records(blob)
+        if fields.get("warc-type") == want_type
+    ]
 
 
 def parse_wet_bytes(blob: bytes) -> list[tuple[str, str, str]]:
@@ -191,10 +156,9 @@ def pages_to_wat_records(pages: DataFrame) -> DataFrame:
     (url, warc_ts, title, links array) with all extraction JVM-side —
     title regexp + the paired ANCHOR_RE host/text extraction the
     link-graph queries gate. One narrow projection."""
+    from mitie_spark.operators.webgraph import WAT_LINK_RE as link_re
+
     html = F.col("html").cast("string")
-    # ONE pattern capturing both url and text: pairing two different
-    # regexes can desync when a link matches one but not the other
-    link_re = r'<a href="(https?://[a-z0-9.-]+[^"]*)">([^<]*)</a>'
     cols = [
         F.col("url"),
         (

@@ -24,6 +24,7 @@ def _names():
         "docx_document_ingest",
         "routed_document_ingest",
         "wet_document_ingest",
+        "feed_frontier_ingest",
     }
     return sorted(n for n in e.queries() if n not in skip)
 
@@ -71,6 +72,7 @@ _INGEST_GATES = [
     "docx_document_ingest",
     "routed_document_ingest",
     "wet_document_ingest",
+    "feed_frontier_ingest",
 ]
 
 

@@ -198,3 +198,38 @@ def test_filter_allowed_urls(spark):
         "https://b.com/private/x": True,
         "https://a.com/": True,
     }
+
+
+def test_sitemap_gzip_bomb_is_bounded():
+    """Review-finding repro: a small .gz inflating past max_out must
+    raise instead of materializing the bomb."""
+    bomb = gzip.compress(b"\x00" * (1 << 22))
+    assert len(bomb) < 1 << 14
+    with pytest.raises(SitemapError):
+        parse_sitemap(bomb, max_out=1 << 16)
+
+
+def test_uppercase_scheme_still_filtered(spark):
+    """Review-finding repro: 'HTTPS://...' must not bypass Disallow."""
+    import pandas as pd
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": ["HTTPS://a.com/private/x"]})
+    )
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {"host": ["a.com"], "robots_txt": ["User-agent: *\nDisallow: /private/\n"]}
+        )
+    )
+    [row] = filter_allowed_urls(urls, robots).collect()
+    assert row.allowed is False
+
+
+def test_crawl_delay_zero_survives_group_merge():
+    body = (
+        "User-agent: *\nCrawl-delay: 0\nDisallow: /a\n\n"
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /b\n"
+    )
+    r = parse_robots(body)
+    assert r.crawl_delay == 0.0
+    assert not r.is_allowed("/a") and not r.is_allowed("/b")

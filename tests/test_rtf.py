@@ -135,3 +135,13 @@ def test_hex_escape_bytes_count_toward_max_out():
     assert extract_rtf_text(blob) == "A" * 100
     with pytest.raises(RtfError):
         extract_rtf_text(blob, max_out=10)
+
+
+def test_uc_skip_ends_at_group_boundary():
+    """Review-finding repro: a group opening right after \\uN must not
+    have its '\\*' (or destination word) consumed as the fallback unit —
+    that would leak destination junk into the text."""
+    doc = b"{\\rtf1\\ansi\\uc1 a\\u8212{\\*\\themedata 554433}b}"
+    assert extract_rtf_text(doc) == "a—b"
+    doc2 = b"{\\rtf1\\ansi\\uc1 a\\u8212{\\pict 89abcd}b}"
+    assert extract_rtf_text(doc2) == "a—b"
