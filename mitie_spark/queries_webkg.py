@@ -729,6 +729,82 @@ LOCAL_ORACLES["sitemap_frontier_ingest"] = """
     """
 
 
+@query("wikidump_ingest")
+def wikidump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki-dump round trip under the md5 gate: each document
+    becomes a dump <page> whose wikitext wraps the text in the noise a
+    real article carries — an infobox template, a comment, a wiki link
+    and bold markup on the first two tokens, a <ref>, a category link —
+    alternating plain / bz2 / multistream-bz2 archives; the stripper
+    (sources/mediawiki.py) must recover every document byte-exactly.
+    Rows-only slot; the md5+length gate runs with the other ingest round
+    trips. One narrow Arrow pass, no shuffle.
+    """
+    import bz2 as _bz2
+    import hashlib
+
+    import pandas as pd
+
+    from mitie_spark.session import by_compute
+    from mitie_spark.sources.mediawiki import iter_dump_pages, wikitext_to_text
+
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = sorted(
+                (int(d), t or "") for d, t in zip(pdf["doc_id"], pdf["text"])
+            )
+            ids, md5s, lens = [], [], []
+            for i in range(0, len(rows), 256):
+                part = rows[i : i + 256]
+                pages = []
+                for did, text in part:
+                    toks = text.split(" ")
+                    if len(toks) >= 2 and toks[0] and toks[1]:
+                        toks[0] = f"[[{toks[0]}]]"
+                        toks[1] = f"'''{toks[1]}'''"
+                    wt = (
+                        f"{{{{Infobox doc|id={did}}}}}<!--{did}-->"
+                        + " ".join(toks)
+                        + f"<ref>src {did}</ref>[[Category:C{did % 7}]]"
+                    )
+                    pages.append(
+                        f"<page><title>Doc {did}</title><ns>0</ns>"
+                        f"<revision><text>{wt}</text></revision></page>"
+                    )
+                xml = (
+                    '<mediawiki xmlns="http://www.mediawiki.org/xml/'
+                    f'export-0.10/">{"".join(pages)}</mediawiki>'
+                ).encode("utf-8")
+                form = part[0][0] % 3
+                if form == 1:
+                    blob = _bz2.compress(xml)
+                elif form == 2:  # multistream: two concatenated members
+                    half = len(xml) // 2
+                    blob = _bz2.compress(xml[:half]) + _bz2.compress(xml[half:])
+                else:
+                    blob = xml
+                for p in iter_dump_pages(blob):
+                    got = wikitext_to_text(p["text"])
+                    ids.append(int(p["title"].split(" ", 1)[1]))
+                    md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+                    lens.append(len(got))
+            yield pd.DataFrame(
+                {"doc_id": ids, "text_md5": md5s, "text_len": lens}
+            )
+
+    return docs.mapInPandas(
+        roundtrip, "doc_id bigint, text_md5 string, text_len bigint"
+    )
+
+
 @query("web_host_pagerank")
 def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the host graph, exact int64 ranks.

@@ -25,6 +25,7 @@ def _names():
         "routed_document_ingest",
         "wet_document_ingest",
         "feed_frontier_ingest",
+        "wikidump_ingest",
     }
     return sorted(n for n in e.queries() if n not in skip)
 
@@ -73,15 +74,17 @@ _INGEST_GATES = [
     "routed_document_ingest",
     "wet_document_ingest",
     "feed_frontier_ingest",
+    "wikidump_ingest",
 ]
 
 
 @pytest.mark.parametrize("name", _INGEST_GATES)
 def test_ingest_round_trip_oracle(spark, name):
-    """The four ingestion round trips are registered rows-only (the
-    driver's 50 gated slots are full), so their DuckDB md5+length gate
-    runs here: writing every document through the format/envelope stack
-    and extracting it back must reproduce the plain table exactly."""
+    """The ingestion round trips (WARC envelope, PDF, DOCX, router,
+    WET, feeds, wiki dumps) are registered rows-only (the driver's 50
+    gated slots are full), so their DuckDB md5+length gate runs here:
+    writing every document through the format/envelope stack and
+    extracting it back must reproduce the plain table exactly."""
     from mitie_spark.queries import QUERIES
     from tests.oracle import compare, duck_connection
 
