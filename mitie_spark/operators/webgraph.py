@@ -290,21 +290,31 @@ def pagerank_integer(
     join), groupBy dst (one shuffle), left join back to the node list
     for the teleport floor. Node/edge frames are never collected.
     """
-    # persist the loop-invariant frames: every iteration re-reads edges
-    # and nodes, and without a cache each pass recomputes the FULL
-    # upstream lineage (at web scale: the whole link-extraction job) —
-    # measured 4.5x on the gated query before this landed
-    nodes = _nodes(edges).persist()
-    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    # The loop replays its inputs every iteration, so the loop-invariant
+    # frames are persisted and the edges lineage is materialized exactly
+    # ONCE up front (at web scale that lineage is the whole
+    # link-extraction job — unpersisted, the gated query measured 4.5x
+    # slower; persisted lazily, the first action still replayed it up to
+    # 4x through the nodes-union + out-weight branches).  The operator is
+    # deliberately EAGER: the final ranks are local-checkpointed (cutting
+    # the iters-deep lineage) so the invariants can be unpersisted before
+    # returning — a lazy persist with no unpersist would leak executor
+    # storage for the session lifetime, one pair per call.  On a
+    # multi-node cluster swap localCheckpoint for a reliable checkpoint
+    # dir if executor loss mid-query matters.
+    edges = edges.persist()
+    edges.count()
+    nodes_p = _nodes(edges).persist()
+    n_nodes = nodes_p.agg(F.count("*").alias("n_nodes"))
     # the 1-row count is broadcast onto every node row (explicitly tiny)
-    nodes = nodes.crossJoin(F.broadcast(n_nodes))
+    nodes = nodes_p.crossJoin(F.broadcast(n_nodes))
     outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     e = edges.join(outw, "src").persist()
     ranks = nodes.select(
         "node", F.expr(f"CAST({scale} AS BIGINT) DIV n_nodes").alias("r")
     )
     teleport = F.expr(f"CAST({100 - damp_pct} AS BIGINT) * {scale} DIV (100 * n_nodes)")
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .select(
@@ -321,7 +331,15 @@ def pagerank_integer(
                 (teleport + F.coalesce(F.col("in_c"), F.lit(0))).alias("r"),
             )
         )
-    return ranks.select("node", F.col("r").alias("rank_int"))
+        if (i + 1) % 5 == 0 and i + 1 < iters:
+            # bound lineage depth on long runs (analysis cost grows per pass)
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", F.col("r").alias("rank_int")).localCheckpoint(
+        eager=True
+    )
+    for h in (e, nodes_p, edges):
+        h.unpersist()
+    return out
 
 
 def pagerank(
@@ -335,13 +353,17 @@ def pagerank(
     mass leaks, see above). Use this at real web scale where edge
     weights would overflow the integer gate variant.
     """
-    nodes = _nodes(edges).persist()  # loop-invariant (see pagerank_integer)
-    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
-    nodes = nodes.crossJoin(F.broadcast(n_nodes))
+    # eager persist -> checkpoint -> unpersist, same shape and reasons as
+    # pagerank_integer above
+    edges = edges.persist()
+    edges.count()
+    nodes_p = _nodes(edges).persist()
+    n_nodes = nodes_p.agg(F.count("*").alias("n_nodes"))
+    nodes = nodes_p.crossJoin(F.broadcast(n_nodes))
     outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     e = edges.join(outw, "src").persist()
     ranks = nodes.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .select(
@@ -358,4 +380,11 @@ def pagerank(
                 + F.coalesce(F.col("in_c"), F.lit(0.0))
             ).alias("r"),
         )
-    return ranks.select("node", F.col("r").alias("rank"))
+        if (i + 1) % 5 == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", F.col("r").alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for h in (e, nodes_p, edges):
+        h.unpersist()
+    return out

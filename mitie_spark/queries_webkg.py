@@ -747,6 +747,7 @@ def wikidump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mitie_spark.session import by_compute
     from mitie_spark.sources.mediawiki import iter_dump_pages, wikitext_to_text
+    from mitie_spark.sources.ooxml import esc_xml
 
     docs = by_compute(
         load_tables(spark, sf_dir, ["documents"])["documents"].select(
@@ -767,7 +768,11 @@ def wikidump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pages = []
                 for did, text in part:
                     toks = text.split(" ")
-                    if len(toks) >= 2 and toks[0] and toks[1]:
+                    # only decorate markup-safe tokens: a ':' would make
+                    # [[tok]] a dropped namespace link, a quote run would
+                    # merge with the inserted ''' — either corrupts the
+                    # byte-exact round trip on a richer corpus
+                    if len(toks) >= 2 and toks[0].isalnum() and toks[1].isalnum():
                         toks[0] = f"[[{toks[0]}]]"
                         toks[1] = f"'''{toks[1]}'''"
                     wt = (
@@ -775,9 +780,15 @@ def wikidump_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + " ".join(toks)
                         + f"<ref>src {did}</ref>[[Category:C{did % 7}]]"
                     )
+                    # esc_xml so the wikitext survives the XML layer AS
+                    # TEXT — unescaped, the parser itself consumed the
+                    # <ref>/comment (rel.text stopped at the first child
+                    # element) and the stripper never saw the noise this
+                    # gate exists to exercise; any '&'/'<' in a document
+                    # would have been a parse crash
                     pages.append(
                         f"<page><title>Doc {did}</title><ns>0</ns>"
-                        f"<revision><text>{wt}</text></revision></page>"
+                        f"<revision><text>{esc_xml(wt)}</text></revision></page>"
                     )
                 xml = (
                     '<mediawiki xmlns="http://www.mediawiki.org/xml/'

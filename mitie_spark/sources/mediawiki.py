@@ -115,7 +115,10 @@ def iter_dump_pages(data: bytes, max_out: int = 1 << 28):
 # ---------------------------------------------------------------------------
 
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_REF_RE = re.compile(r"<ref[^>/]*>.*?</ref>|<ref[^>]*/>", re.S | re.I)
+# open-tag branch: attributes may contain '/' (urls in name= values); only
+# the char immediately before '>' must not be '/' (that's the self-closing
+# branch, which must NOT start a body match or it would eat to the next ref)
+_REF_RE = re.compile(r"<ref(?:[^>]*[^>/])?>.*?</ref>|<ref[^>]*/>", re.S | re.I)
 _DROP_TAG_BODY_RE = re.compile(
     r"<(math|nowiki|gallery|timeline|score)[^>]*>.*?</\1>", re.S | re.I
 )
@@ -150,13 +153,18 @@ def _strip_nested(text: str, open_s: str, close_s: str) -> str:
 def _strip_links(text: str) -> str:
     """[[target|label]] → label, [[target]] → target, namespace links
     ([[File:...]], [[Category:...]]) dropped whole — nesting-aware
-    (file captions contain links)."""
+    (file captions contain links).  The label is everything after the
+    FIRST pipe at bracket depth 0, exactly as MediaWiki renders it
+    ([[a|b|c]] displays "b|c"), and is recursively stripped so nested
+    piped links inside captions/labels resolve instead of leaking
+    bracket halves into the text."""
     out = []
     i, n = 0, len(text)
     while i < n:
         if text.startswith("[[", i):
             depth = 1
             j = i + 2
+            pipe = -1
             while j < n and depth:
                 if text.startswith("[[", j):
                     depth += 1
@@ -165,16 +173,22 @@ def _strip_links(text: str) -> str:
                     depth -= 1
                     j += 2
                 else:
+                    if pipe < 0 and depth == 1 and text[j] == "|":
+                        pipe = j
                     j += 1
-            inner = text[i + 2 : j - 2] if depth == 0 else text[i + 2 :]
-            target = inner.split("|", 1)[0]
+            inner_end = j - 2 if depth == 0 else n
+            if pipe >= 0:
+                target = text[i + 2 : pipe]
+                label = text[pipe + 1 : inner_end]
+            else:
+                target = text[i + 2 : inner_end]
+                label = None
             if ":" in target:
                 pass  # namespace link (File/Image/Category/lang): drop
-            elif "|" in inner:
-                label = inner.rsplit("|", 1)[1]
+            elif label is not None:
                 out.append(_strip_links(label) if "[[" in label else label)
             else:
-                out.append(inner)
+                out.append(target)
             i = j
         else:
             out.append(text[i])

@@ -106,3 +106,17 @@ def test_dump_to_pages_spark(spark):
     assert got["Alpha"].text == "Alpha is a letter."
     assert got["Beta"].redirect == "Alpha"
     assert got["Talk:Alpha"].ns == 1
+
+
+def test_wikitext_review_regressions():
+    # '/' inside a ref attribute value must not stop the body strip
+    assert wikitext_to_text('<ref name="a/b">leak</ref>ok') == "ok"
+    # ...while self-closing refs still must not eat to the next close tag
+    assert (
+        wikitext_to_text('keep<ref name=x/>mid<ref>drop</ref>end')
+        == "keepmidend"
+    )
+    # multi-pipe link: MediaWiki renders everything after the FIRST pipe
+    assert wikitext_to_text("[[a|b|c]]") == "b|c"
+    # nested piped link inside a label: recursive strip, no ']]' leak
+    assert wikitext_to_text("[[a|text [[b|c]] more]]") == "text c more"
