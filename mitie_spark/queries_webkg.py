@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mitie_spark.operators.recrawl import snapshot_diff
 from mitie_spark.operators.webgraph import (
     extract_anchor_texts,
     extract_jsonld_triples,
@@ -833,3 +834,141 @@ def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
         damp_pct=_PR_DAMP,
     ).select(F.col("node").alias("host"), "rank_int")
+
+
+@query("recrawl_snapshot_diff")
+def recrawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style change detection across two crawl snapshots.
+
+    Snapshot 1 is the documents table as crawled; snapshot 2 is a
+    deterministic perturbation stated IDENTICALLY in Spark and SQL:
+    every 7th URL disappears (dropped page), every remaining 5th
+    changes content, every 11th doc contributes a brand-new URL.  The
+    diff (operators/recrawl.snapshot_diff) classifies each URL as
+    added / deleted / changed / unchanged by digest equality, then
+    aggregates per status.  Rows-only slot; full value-hash gate in
+    tests/test_queries_vs_oracle.py via LOCAL_ORACLES.
+
+    Scale shape: two narrow digest projections of the same scan + ONE
+    full-outer hash join on url (digests travel, bodies never) + one
+    4-group aggregate.  At 100 TB the join is the whole cost and it is
+    already minimal: fixed-width rows, co-partitioned exchange.
+    """
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select(
+        "doc_id", "text", "source"
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    snap1 = docs.select(url.alias("url"), F.md5(F.col("text")).alias("content_md5"))
+    snap2 = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            url.alias("url"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+            )
+            .otherwise(F.md5(F.col("text")))
+            .alias("content_md5"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                F.concat(url, F.lit("-b")).alias("url"),
+                F.md5(F.concat(F.col("text"), F.lit(" b"))).alias("content_md5"),
+            )
+        )
+    )
+    d = snapshot_diff(snap1, snap2)
+    return (
+        d.groupBy("status")
+        .agg(F.count("*").alias("n_urls"), F.min("url").alias("first_url"))
+        .orderBy("status")
+    )
+
+
+LOCAL_ORACLES["recrawl_snapshot_diff"] = """
+    WITH snap1 AS (
+      SELECT 'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             md5(text) AS content_md5
+      FROM documents
+    ), snap2 AS (
+      SELECT 'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                  ELSE md5(text) END AS content_md5
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) || '-b',
+             md5(text || ' b')
+      FROM documents WHERE doc_id % 11 = 0
+    ), diff AS (
+      SELECT CASE WHEN s1.url IS NULL THEN 'added'
+                  WHEN s2.url IS NULL THEN 'deleted'
+                  WHEN s1.content_md5 = s2.content_md5 THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             COALESCE(s1.url, s2.url) AS url
+      FROM snap1 s1 FULL OUTER JOIN snap2 s2 ON s1.url = s2.url
+    )
+    SELECT status, COUNT(*) AS n_urls, MIN(url) AS first_url
+    FROM diff GROUP BY status ORDER BY status
+    """
+
+
+@query("main_content_extraction")
+def main_content_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal under the md5 gate: each document is wrapped
+    in the chrome a real crawled page carries — a <head>/<title>, a nav
+    bar, a <header> masthead, a link-dense "related" row, a copyright
+    footer — and the block-density extractor
+    (functions/boilerplate.main_content) must recover the article text
+    byte-exactly: containers kill nav/header/footer/head, link density
+    kills the related-links row, and the lone <p> block survives.
+    Rows-only slot; full value-hash gate in LOCAL_ORACLES.
+
+    Scale shape: one narrow codegen'd synthesis projection + one Arrow
+    mapInPandas pass sized by cores (by_compute) — per-doc pure-Python
+    parsing is the honest cost for messy HTML; no shuffle, no collect.
+    """
+    from mitie_spark.functions.boilerplate import extract_main_content
+    from mitie_spark.session import by_compute
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    title = F.substring("text", 1, 16)
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit(
+            '</title></head><body><nav><a href="/">home</a>'
+            '<a href="/about">about</a><a href="/contact">contact</a></nav>'
+            "<header><h1>"
+        ),
+        title,
+        F.lit(
+            '</h1></header><div><a href="/r/1">related one</a> '
+            '<a href="/r/2">related two</a> '
+            '<a href="/r/3">related three</a></div><p>'
+        ),
+        F.col("text"),
+        F.lit("</p><footer>copyright 2024 "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    pages = by_compute(docs.select("doc_id", html.alias("html")))
+    out = extract_main_content(pages)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("main_text")).alias("text_md5"),
+        F.length("main_text").alias("text_len"),
+    )
+
+
+LOCAL_ORACLES["main_content_extraction"] = """
+    SELECT doc_id, md5(text) AS text_md5, length(text) AS text_len
+    FROM documents
+    """

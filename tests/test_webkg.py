@@ -331,3 +331,67 @@ def test_extract_anchor_texts_pairing(spark):
         ("c.net", "   "),
         ("d.io", "last"),
     ]
+
+
+def test_snapshot_diff_statuses(spark):
+    import pandas as pd
+
+    from mitie_spark.operators.recrawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"url": ["a", "b", "c"], "content_md5": ["1", "2", "3"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"url": ["b", "c", "d"], "content_md5": ["2", "9", "5"]})
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {"a": "deleted", "b": "unchanged", "c": "changed", "d": "added"}
+
+
+def test_recrawl_snapshot_diff_counts_consistent(spark):
+    """added = docs%11; deleted = docs%7; changed = %5 survivors."""
+    from mitie_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.status: r.n_urls for r in
+            QUERIES["recrawl_snapshot_diff"](spark, sf).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    n, n7, n11, nch = con.execute(
+        f"""SELECT COUNT(*),
+                   SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+                       THEN 1 ELSE 0 END)
+            FROM read_parquet('{sf}/documents.parquet')"""
+    ).fetchone()
+    assert rows.get("deleted", 0) == n7
+    assert rows.get("added", 0) == n11
+    assert rows.get("changed", 0) == nch
+    assert rows.get("unchanged", 0) == n - n7 - nch
+
+
+def test_main_content_heuristics():
+    from mitie_spark.functions.boilerplate import main_content
+
+    page = (
+        "<html><head><title>t</title><style>p{color:red}</style></head>"
+        "<body><nav><a href='/'>home</a><a href='/a'>about</a></nav>"
+        "<header><h1>masthead</h1></header>"
+        "<div><a href='/1'>rel one</a> <a href='/2'>rel two</a></div>"
+        "<p>the actual article body</p>"
+        "<p>second paragraph &amp; more</p>"
+        "<aside>ads here</aside>"
+        "<footer>copyright</footer></body></html>"
+    )
+    got = main_content(page)
+    assert got == "the actual article body\nsecond paragraph & more"
+    # unclosed <head> must not swallow the page: <body> resets the drop
+    assert main_content("<html><head><title>t</title><body><p>x</p>") == "x"
+    # a text-dominant block with one link survives the density rule
+    long = "<p>long paragraph with <a href='/x'>one link</a> inside a lot of prose around it</p>"
+    assert "one link" in main_content(long)
+    # empty / no-html inputs
+    assert main_content("") == ""
+    assert main_content("bare text") == "bare text"
