@@ -388,3 +388,133 @@ def pagerank(
     for h in (e, nodes_p, edges):
         h.unpersist()
     return out
+
+
+def hits_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) in exact int64 arithmetic
+    -> (node, auth_int, hub_int).
+
+    Scores live in units of 1/scale and each half-step L1-normalizes by
+    integer division against the exact global sum (one broadcast 1-row
+    aggregate), so — like pagerank_integer above — every summation order
+    produces identical bits and the iterative result passes a DuckDB
+    value-hash gate term-for-term.  L1 replaces the classical L2 norm
+    because an integer square root has no SQL mirror; the RANKING, which
+    is what HITS is consumed for, is unaffected by the choice of norm.
+
+    Overflow bound: raw·scale ≤ W_tot·scale² must stay under 2**63,
+    i.e. total edge weight W_tot < 2**63/scale² (~9.2e6 at the default
+    scale).  Beyond that, use the float ``hits`` variant below.
+
+    Plan shape per iteration: two (edges ⋈ scores → groupBy) rounds —
+    auth from hubs on src, then hubs from the NEW auth on dst — each one
+    co-partitioned join plus one keyed shuffle; the normalizing sums are
+    1-row broadcasts.  Eager persist→checkpoint→unpersist lifecycle,
+    same reasons as pagerank_integer.  Precondition: edges non-empty
+    (an empty graph has no meaningful normalization).
+    """
+    edges = edges.persist()
+    edges.count()
+    nodes_p = _nodes(edges).persist()
+    hub = nodes_p.select("node", F.lit(int(scale)).cast("long").alias("s"))
+    auth = None
+    norm = F.expr(f"COALESCE(raw, 0) * CAST({scale} AS BIGINT) DIV tot")
+    for _ in range(iters):
+        ar = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("weight") * F.col("s")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("raw"))
+        )
+        tot_a = ar.agg(F.sum("raw").alias("tot"))
+        auth = (
+            nodes_p.join(ar, nodes_p.node == ar.dst, "left")
+            .crossJoin(F.broadcast(tot_a))
+            .select("node", norm.alias("s"))
+        )
+        hr = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .select("src", (F.col("weight") * F.col("s")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("raw"))
+        )
+        tot_h = hr.agg(F.sum("raw").alias("tot"))
+        hub = (
+            nodes_p.join(hr, nodes_p.node == hr.src, "left")
+            .crossJoin(F.broadcast(tot_h))
+            .select("node", norm.alias("s"))
+        )
+        # cut lineage EVERY iteration: each half-step nests a
+        # join+agg+broadcast under the previous pair, and Catalyst's
+        # analysis on that self-referencing chain blows up superlinearly
+        # (the 6-iteration float variant hung outright before this) —
+        # per-iteration materialization is the standard shape for
+        # iterative graph algorithms anyway.  Only hub needs the cut:
+        # the cross-iteration chain flows auth_i -> hub_i -> auth_{i+1},
+        # so checkpointing hub bounds every plan at two half-steps
+        # (auth_i is re-derived from the checkpointed hub_{i-1} by the
+        # final join — one cheap recompute instead of one job per
+        # half-step, which doubled the wall on small graphs)
+        hub = hub.localCheckpoint(eager=True)
+    out = (
+        auth.withColumnRenamed("s", "auth_int")
+        .join(hub.withColumnRenamed("s", "hub_int"), "node")
+        .localCheckpoint(eager=True)
+    )
+    for h in (nodes_p, edges):
+        h.unpersist()
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 10,
+) -> DataFrame:
+    """Float HITS (production variant) -> (node, auth, hub), L1-normalized
+    per half-step (see hits_integer for why L1).  Use at real web scale
+    where total edge weight would overflow the integer gate variant."""
+    edges = edges.persist()
+    edges.count()
+    nodes_p = _nodes(edges).persist()
+    hub = nodes_p.select("node", F.lit(1.0).alias("s"))
+    auth = None
+    norm = F.expr("COALESCE(raw, CAST(0.0 AS DOUBLE)) / tot")
+    for i in range(iters):
+        ar = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("weight") * F.col("s")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("raw"))
+        )
+        tot_a = ar.agg(F.sum("raw").cast("double").alias("tot"))
+        auth = (
+            nodes_p.join(ar, nodes_p.node == ar.dst, "left")
+            .crossJoin(F.broadcast(tot_a))
+            .select("node", norm.alias("s"))
+        )
+        hr = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .select("src", (F.col("weight") * F.col("s")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("raw"))
+        )
+        tot_h = hr.agg(F.sum("raw").cast("double").alias("tot"))
+        hub = (
+            nodes_p.join(hr, nodes_p.node == hr.src, "left")
+            .crossJoin(F.broadcast(tot_h))
+            .select("node", norm.alias("s"))
+        )
+        # per-iteration lineage cut, hub only (see hits_integer)
+        hub = hub.localCheckpoint(eager=True)
+    out = (
+        auth.withColumnRenamed("s", "auth")
+        .join(hub.withColumnRenamed("s", "hub"), "node")
+        .localCheckpoint(eager=True)
+    )
+    for h in (nodes_p, edges):
+        h.unpersist()
+    return out

@@ -972,3 +972,69 @@ LOCAL_ORACLES["main_content_extraction"] = """
     SELECT doc_id, md5(text) AS text_md5, length(text) AS text_len
     FROM documents
     """
+
+
+_HITS_SCALE = 10**6
+_HITS_ITERS = 3
+
+
+def _hits_ctes(iters: int = _HITS_ITERS, scale: int = _HITS_SCALE) -> str:
+    """a1..a{iters}/h1..h{iters} CTEs of the exact-int64 HITS (mirrors
+    operators/webgraph.hits_integer term for term: L1 normalization by
+    integer division per half-step)."""
+    parts = [
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS s FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"ar{i} AS (SELECT e.dst AS node, SUM(e.w * h.s) AS raw"
+            f" FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst)",
+            f"at{i} AS (SELECT SUM(raw) AS tot FROM ar{i})",
+            f"a{i} AS (SELECT n.node,"
+            f" CAST(COALESCE(ar{i}.raw, 0) * {scale} // tot AS BIGINT) AS s"
+            f" FROM nodes n LEFT JOIN ar{i} ON ar{i}.node = n.node"
+            f" CROSS JOIN at{i})",
+            f"hr{i} AS (SELECT e.src AS node, SUM(e.w * a.s) AS raw"
+            f" FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)",
+            f"ht{i} AS (SELECT SUM(raw) AS tot FROM hr{i})",
+            f"h{i} AS (SELECT n.node,"
+            f" CAST(COALESCE(hr{i}.raw, 0) * {scale} // tot AS BIGINT) AS s"
+            f" FROM nodes n LEFT JOIN hr{i} ON hr{i}.node = n.node"
+            f" CROSS JOIN ht{i})",
+        ]
+        prev_h = f"h{i}"
+    return ",\n".join(parts)
+
+
+@query("web_host_hits")
+def web_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS over the host graph, exact int64 scores.
+
+    The second canonical link-graph authority signal next to PageRank
+    (hubs point at good authorities; authorities are pointed at by good
+    hubs).  Integer L1 normalization per half-step makes the 3-iteration
+    Spark loop and the DuckDB CTE chain agree bit-for-bit (same
+    convention as web_host_pagerank).  Rows-only slot; full value-hash
+    gate via LOCAL_ORACLES.
+    """
+    from mitie_spark.operators.webgraph import hits_integer
+
+    return (
+        hits_integer(_edges(spark, sf_dir), iters=_HITS_ITERS, scale=_HITS_SCALE)
+        .select(F.col("node").alias("host"), "auth_int", "hub_int")
+        .orderBy("host")
+    )
+
+
+LOCAL_ORACLES["web_host_hits"] = f"""
+    WITH {_EDGES_CTES.lstrip()},
+    {_hits_ctes()}
+    SELECT a{_HITS_ITERS}.node AS host,
+           a{_HITS_ITERS}.s AS auth_int,
+           h{_HITS_ITERS}.s AS hub_int
+    FROM a{_HITS_ITERS} JOIN h{_HITS_ITERS}
+      ON a{_HITS_ITERS}.node = h{_HITS_ITERS}.node
+    ORDER BY host
+    """

@@ -395,3 +395,58 @@ def test_main_content_heuristics():
     # empty / no-html inputs
     assert main_content("") == ""
     assert main_content("bare text") == "bare text"
+
+
+def _hits_int_ref(edges, iters=3, scale=10**6):
+    """Pure-Python int reference of hits_integer's exact semantics."""
+    nodes = sorted({s for s, d, w in edges} | {d for s, d, w in edges})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            raw[d] += w * hub[s]
+        tot = sum(raw.values())
+        auth = {n: raw[n] * scale // tot for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            raw[s] += w * auth[d]
+        tot = sum(raw.values())
+        hub = {n: raw[n] * scale // tot for n in nodes}
+    return auth, hub
+
+
+def test_hits_integer_matches_hand_reference(spark):
+    import pandas as pd
+
+    from mitie_spark.operators.webgraph import hits_integer
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("d", "c", 5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst", "weight"])
+    )
+    got = {r.node: (r.auth_int, r.hub_int) for r in hits_integer(df, iters=3).collect()}
+    auth, hub = _hits_int_ref(edges, iters=3)
+    assert got == {n: (auth[n], hub[n]) for n in auth}
+    # 'c' is the sink every hub points at: top authority, zero hub
+    assert got["c"][0] == max(a for a, _ in got.values())
+    assert got["c"][1] == 0
+
+
+def test_hits_float_l1_normalized(spark):
+    import pandas as pd
+
+    from mitie_spark.operators.webgraph import hits
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+            columns=["src", "dst", "weight"],
+        )
+    )
+    rows = hits(df, iters=6).collect()
+    assert abs(sum(r.auth for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-9
+    # symmetric cycle: uniform scores
+    for r in rows:
+        assert abs(r.auth - 1 / 3) < 1e-9 and abs(r.hub - 1 / 3) < 1e-9
