@@ -34,12 +34,22 @@ from pyspark.sql import DataFrame
 __all__ = ["main_content", "extract_main_content"]
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>")
-_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# unterminated comments run to EOF per the HTML parsing spec
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.S)
+# non-element markup real pages open with: doctype, processing
+# instructions, CDATA — none of it is content and none of it matches
+# _TAG_RE, so strip it up front or it leaks into the first text block
+_DECL_RE = re.compile(r"<!DOCTYPE[^>]*>|<\?[^>]*\?>|<!\[CDATA\[.*?(?:\]\]>|$)", re.S | re.I)
 
 #: subtrees that are chrome or invisible by construction
 _DROP_CONTAINERS = frozenset(
-    {"nav", "header", "footer", "aside", "script", "style", "template", "noscript", "svg", "head"}
+    {"nav", "header", "footer", "aside", "template", "noscript", "svg", "head"}
 )
+#: raw-text elements (HTML spec): their content is NOT markup — tag-like
+#: strings inside ('var s="<body>"') must not be tag-parsed, so the scan
+#: jumps straight to the real close tag
+_RAW_TEXT = frozenset({"script", "style"})
+_RAW_CLOSE = {name: re.compile(rf"</{name}\s*>", re.I) for name in _RAW_TEXT}
 #: tags whose open OR close ends the current text block
 _BLOCK_TAGS = frozenset(
     {
@@ -61,6 +71,7 @@ def main_content(html: str, max_link_density: float = 0.34, min_chars: int = 0) 
     Whitespace-only blocks never survive regardless of thresholds.
     """
     html = _COMMENT_RE.sub("", html or "")
+    html = _DECL_RE.sub("", html)
     blocks: list[tuple[str, int]] = []  # (raw_text, n_link_chars)
     cur: list[str] = []
     cur_link = 0
@@ -69,13 +80,20 @@ def main_content(html: str, max_link_density: float = 0.34, min_chars: int = 0) 
     pos = 0
 
     def flush() -> None:
-        nonlocal cur, cur_link
+        # anchors are inline elements: they cannot span a block boundary
+        # in a real HTML parse, so an unclosed <a> must not poison every
+        # following block's link density — reset with the block
+        nonlocal cur, cur_link, link_depth
         if cur:
             blocks.append(("".join(cur), cur_link))
             cur = []
             cur_link = 0
+        link_depth = 0
 
-    for m in _TAG_RE.finditer(html):
+    while True:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            break
         text = html[pos : m.start()]
         pos = m.end()
         if text and not drop_depth:
@@ -84,6 +102,15 @@ def main_content(html: str, max_link_density: float = 0.34, min_chars: int = 0) 
                 cur_link += len(text)
         closing, name, _attrs, self_close = m.groups()
         name = name.lower()
+        if name in _RAW_TEXT:
+            # skip raw-text content wholesale — never tag-parse it (a
+            # '<body>' literal inside JS must not reset drop_depth, and
+            # code must never reach the corpus); unterminated → EOF
+            if not closing and not self_close:
+                close = _RAW_CLOSE[name].search(html, pos)
+                pos = close.end() if close else len(html)
+            flush()
+            continue
         if name in _DROP_CONTAINERS:
             if self_close:
                 pass

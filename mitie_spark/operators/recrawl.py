@@ -40,12 +40,22 @@ def snapshot_diff(
     text, simhash hex, ...) are the caller's choice — any equality-
     comparable fixed-width column works.
     """
-    o = old.select(F.col(key), F.col(digest).alias("old_digest"))
-    n = new.select(F.col(key), F.col(digest).alias("new_digest"))
+    # presence is tracked with explicit flags, NOT digest nullness: a row
+    # that exists with a NULL digest (md5 of a NULL body) must classify
+    # by presence — digest-null tests would misreport it added/deleted,
+    # and would diverge from the url-nullness SQL mirror in the gate
+    o = old.select(
+        F.col(key), F.col(digest).alias("old_digest"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        F.col(key), F.col(digest).alias("new_digest"), F.lit(True).alias("_in_new")
+    )
     j = o.join(n, key, "full_outer")
     status = (
-        F.when(F.col("old_digest").isNull(), F.lit("added"))
-        .when(F.col("new_digest").isNull(), F.lit("deleted"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        # plain (non-null-safe) equality on purpose: present-in-both with
+        # NULL digests reads 'changed', matching SQL CASE semantics
         .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )

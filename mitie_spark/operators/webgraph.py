@@ -420,9 +420,17 @@ def hits_integer(
     edges = edges.persist()
     edges.count()
     nodes_p = _nodes(edges).persist()
-    hub = nodes_p.select("node", F.lit(int(scale)).cast("long").alias("s"))
-    auth = None
-    norm = F.expr(f"COALESCE(raw, 0) * CAST({scale} AS BIGINT) DIV tot")
+    init = F.lit(int(scale)).cast("long").alias("s")
+    hub = nodes_p.select("node", init)
+    auth = nodes_p.select("node", init)  # iters=0 → uniform scores
+    # tot=0 guard: on diffuse graphs (n_nodes approaching scale) integer
+    # mass can floor to zero everywhere — all-zero scores are the honest
+    # collapsed answer, NOT a division-by-zero NULL cascade; pick scale
+    # comfortably above the node count to stay out of that regime
+    norm = F.expr(
+        f"CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE COALESCE(raw, 0) * CAST({scale} AS BIGINT) DIV tot END"
+    )
     for _ in range(iters):
         ar = (
             edges.join(hub.withColumnRenamed("node", "src"), "src")
@@ -481,8 +489,11 @@ def hits(
     edges.count()
     nodes_p = _nodes(edges).persist()
     hub = nodes_p.select("node", F.lit(1.0).alias("s"))
-    auth = None
-    norm = F.expr("COALESCE(raw, CAST(0.0 AS DOUBLE)) / tot")
+    auth = nodes_p.select("node", F.lit(1.0).alias("s"))  # iters=0 case
+    norm = F.expr(
+        "CASE WHEN tot = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)"
+        " ELSE COALESCE(raw, CAST(0.0 AS DOUBLE)) / tot END"
+    )
     for i in range(iters):
         ar = (
             edges.join(hub.withColumnRenamed("node", "src"), "src")

@@ -938,7 +938,14 @@ def main_content_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mitie_spark.functions.boilerplate import extract_main_content
     from mitie_spark.session import by_compute
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # the byte-exact round trip only holds for documents whose text can
+    # embed in HTML verbatim — '<' would tag-parse, '&' would entity-
+    # decode. The driver corpora are [a-z0-9 ]-only so nothing drops
+    # today, but a richer corpus must shrink the gate on BOTH sides
+    # identically rather than go red far from the cause.
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].where(
+        ~F.col("text").contains("<") & ~F.col("text").contains("&")
+    )
     title = F.substring("text", 1, 16)
     html = F.concat(
         F.lit("<html><head><title>"),
@@ -971,6 +978,7 @@ def main_content_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOCAL_ORACLES["main_content_extraction"] = """
     SELECT doc_id, md5(text) AS text_md5, length(text) AS text_len
     FROM documents
+    WHERE text NOT LIKE '%<%' AND text NOT LIKE '%&%'
     """
 
 
@@ -993,14 +1001,16 @@ def _hits_ctes(iters: int = _HITS_ITERS, scale: int = _HITS_SCALE) -> str:
             f" FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst)",
             f"at{i} AS (SELECT SUM(raw) AS tot FROM ar{i})",
             f"a{i} AS (SELECT n.node,"
-            f" CAST(COALESCE(ar{i}.raw, 0) * {scale} // tot AS BIGINT) AS s"
+            f" CAST(CASE WHEN tot = 0 THEN 0"
+            f" ELSE COALESCE(ar{i}.raw, 0) * {scale} // tot END AS BIGINT) AS s"
             f" FROM nodes n LEFT JOIN ar{i} ON ar{i}.node = n.node"
             f" CROSS JOIN at{i})",
             f"hr{i} AS (SELECT e.src AS node, SUM(e.w * a.s) AS raw"
             f" FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)",
             f"ht{i} AS (SELECT SUM(raw) AS tot FROM hr{i})",
             f"h{i} AS (SELECT n.node,"
-            f" CAST(COALESCE(hr{i}.raw, 0) * {scale} // tot AS BIGINT) AS s"
+            f" CAST(CASE WHEN tot = 0 THEN 0"
+            f" ELSE COALESCE(hr{i}.raw, 0) * {scale} // tot END AS BIGINT) AS s"
             f" FROM nodes n LEFT JOIN hr{i} ON hr{i}.node = n.node"
             f" CROSS JOIN ht{i})",
         ]

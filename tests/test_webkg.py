@@ -450,3 +450,68 @@ def test_hits_float_l1_normalized(spark):
     # symmetric cycle: uniform scores
     for r in rows:
         assert abs(r.auth - 1 / 3) < 1e-9 and abs(r.hub - 1 / 3) < 1e-9
+
+
+def test_main_content_review_regressions():
+    from mitie_spark.functions.boilerplate import main_content
+
+    # doctype / processing instructions are not content
+    assert (
+        main_content('<!DOCTYPE html><html><body><p>x</p></body></html>') == "x"
+    )
+    assert main_content('<?xml version="1.0"?><p>x</p>') == "x"
+    # unterminated comment runs to EOF (HTML spec), not into the corpus
+    assert main_content("<p>ok</p><!-- open comment <p>junk") == "ok"
+    # an unclosed <a> must not poison the link density of later blocks
+    got = main_content(
+        '<body><p><a href="/x">broken<p>real article paragraph with '
+        "plenty of prose text here</p></body>"
+    )
+    assert "real article paragraph" in got
+    # raw-text scripts are skipped wholesale: a '<body>' literal inside
+    # JS must neither reset the drop state nor leak code
+    got = main_content(
+        '<html><body><script>var s="<body>";if(a<b){}</script>'
+        "<p>article</p></body></html>"
+    )
+    assert got == "article"
+    # style content likewise
+    assert main_content("<style>p{color:red}</style><p>x</p>") == "x"
+    # unterminated script swallows to EOF rather than tag-parsing code
+    assert main_content("<p>keep</p><script>var a=1;") == "keep"
+
+
+def test_snapshot_diff_null_digest_presence(spark):
+    import pandas as pd
+
+    from mitie_spark.operators.recrawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"url": ["u", "v"], "content_md5": [None, None]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"url": ["u", "v"], "content_md5": ["x", None]})
+    )
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    # presence wins: both urls exist in both snapshots; NULL digests read
+    # 'changed' (SQL CASE semantics), never 'added'/'deleted'
+    assert got == {"u": "changed", "v": "changed"}
+
+
+def test_hits_integer_zero_iters_and_mass_collapse(spark):
+    import pandas as pd
+
+    from mitie_spark.operators.webgraph import hits_integer
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "b", 1), ("c", "d", 1)], columns=["src", "dst", "weight"]
+        )
+    )
+    # iters=0: uniform initial scores, no crash
+    got = {r.node: (r.auth_int, r.hub_int) for r in hits_integer(df, iters=0).collect()}
+    assert got == {n: (10**6, 10**6) for n in "abcd"}
+    # scale=1 floors all mass to zero by the second half-step: the guard
+    # returns all-zero scores instead of a division-by-zero NULL cascade
+    got = {r.node: (r.auth_int, r.hub_int) for r in hits_integer(df, iters=2, scale=1).collect()}
+    assert all(a == 0 and h == 0 for a, h in got.values())
