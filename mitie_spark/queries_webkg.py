@@ -1048,3 +1048,102 @@ LOCAL_ORACLES["web_host_hits"] = f"""
       ON a{_HITS_ITERS}.node = h{_HITS_ITERS}.node
     ORDER BY host
     """
+
+
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 4
+_BLOOM_SEED = "bloom"
+
+
+def _bloom_sql_pos(i: int, url_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{_BLOOM_SEED}:{i}:' || {url_expr}), 1, 8))"
+        f"::BIGINT % {_BLOOM_BITS})"
+    )
+
+
+def _bloom_ctes() -> str:
+    build_pos = "\n      UNION ALL\n".join(
+        f"      SELECT {_bloom_sql_pos(i, 'url')} AS p FROM seen"
+        for i in range(_BLOOM_K)
+    )
+    probe_cols = ",\n".join(
+        f"      {_bloom_sql_pos(i, 'url')} AS p{i}" for i in range(_BLOOM_K)
+    )
+    return f"""
+    seen AS (
+      SELECT 'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    probes AS (
+      SELECT url, TRUE AS truly_seen FROM seen
+      UNION ALL
+      SELECT url || '-new', FALSE FROM seen
+    ),
+    build_pos AS (
+{build_pos}
+    ),
+    bloom AS (
+      SELECT (p - p % 63) // 63 AS word,
+             BIT_OR(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+      FROM build_pos GROUP BY 1
+    ),
+    probe_pos AS (
+      SELECT url, truly_seen,
+{probe_cols}
+      FROM probes
+    )"""
+
+
+def _bloom_sql_hit(i: int) -> str:
+    mask = f"(1::BIGINT << CAST(p{i} % 63 AS INT))"
+    return f"(COALESCE(b{i}.bits, 0) & {mask}) = {mask}"
+
+
+@query("url_seen_bloom")
+def url_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl frontier's seen-URL Bloom filter, exact to the bit.
+
+    Builds a 2^16-bit / k=4 Bloom filter over every crawled URL as a
+    (word, bits) DataFrame (one explode + BIT_OR shuffle of int pairs),
+    then probes every seen URL plus an equal number of unseen ones
+    through k BROADCAST left joins — the frontier side never shuffles.
+    Both build and probe are pure integer arithmetic on md5 prefixes, so
+    Spark and DuckDB agree bit-for-bit: the gate structurally verifies
+    the no-false-negative property (every truly_seen URL must read
+    maybe_seen=true in BOTH engines).  Rows-only slot; full value-hash
+    gate via LOCAL_ORACLES.
+    """
+    from mitie_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    seen = docs.select(url.alias("url"))
+    probes = seen.select("url", F.lit(True).alias("truly_seen")).unionByName(
+        seen.select(
+            F.concat(F.col("url"), F.lit("-new")).alias("url"),
+            F.lit(False).alias("truly_seen"),
+        )
+    )
+    bloom = bloom_build(
+        seen, m_bits=_BLOOM_BITS, k=_BLOOM_K, seed=_BLOOM_SEED
+    )
+    return bloom_probe(
+        bloom, probes, m_bits=_BLOOM_BITS, k=_BLOOM_K, seed=_BLOOM_SEED
+    ).select("url", "truly_seen", "maybe_seen")
+
+
+LOCAL_ORACLES["url_seen_bloom"] = f"""
+    WITH {_bloom_ctes().lstrip()}
+    SELECT p.url, p.truly_seen,
+           {" AND ".join(_bloom_sql_hit(i) for i in range(_BLOOM_K))}
+             AS maybe_seen
+    FROM probe_pos p
+    {" ".join(f"LEFT JOIN bloom b{i} ON b{i}.word = (p{i} - p{i} % 63) // 63" for i in range(_BLOOM_K))}
+    """

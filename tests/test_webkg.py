@@ -515,3 +515,36 @@ def test_hits_integer_zero_iters_and_mass_collapse(spark):
     # returns all-zero scores instead of a division-by-zero NULL cascade
     got = {r.node: (r.auth_int, r.hub_int) for r in hits_integer(df, iters=2, scale=1).collect()}
     assert all(a == 0 and h == 0 for a, h in got.values())
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    import pandas as pd
+
+    from mitie_spark.operators.bloom import bloom_build, bloom_probe
+
+    seen = spark.createDataFrame(
+        pd.DataFrame({"url": [f"https://h/{i}" for i in range(500)]})
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://h/{i}" for i in range(500)]
+                + [f"https://new/{i}" for i in range(500)],
+                "truly_seen": [True] * 500 + [False] * 500,
+            }
+        )
+    )
+    bloom = bloom_build(seen, m_bits=1 << 13, k=4)
+    got = bloom_probe(bloom, probes, m_bits=1 << 13, k=4).collect()
+    assert len(got) == 1000
+    fp = sum(1 for r in got if r.maybe_seen and not r.truly_seen)
+    fn = sum(1 for r in got if not r.maybe_seen and r.truly_seen)
+    assert fn == 0  # structural: a Bloom filter can NEVER false-negative
+    # 500 urls in 8192 bits at k=4: theoretical FPR ~0.3%; allow slack
+    assert fp <= 25, fp
+    # parameters must match between build and probe or hits are garbage:
+    # probing with a different seed still yields zero false negatives?
+    # no — it yields arbitrary results; assert the misuse is at least
+    # detectable by its absurd miss rate on seen urls
+    wrong = bloom_probe(bloom, probes, m_bits=1 << 13, k=4, seed="other").collect()
+    assert sum(1 for r in wrong if not r.maybe_seen and r.truly_seen) > 400
