@@ -203,3 +203,46 @@ def test_triples_read_prunes_partitions(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "born_in" in pf
     assert got.count() == 10
+
+
+def test_bloom_probe_is_broadcast_and_narrow(spark):
+    """The frontier probe must be k broadcast joins — a shuffle of the
+    probe side at billions of URLs would BE the query cost."""
+    import __spark_entry__ as e
+
+    df = e.queries()["url_seen_bloom"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # the only exchanges allowed are the bloom build's word aggregation
+    # and broadcasts — no hash exchange may touch the probe lineage
+    probe_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_recrawl_diff_digest_only_join(spark):
+    """snapshot_diff joins on url with fixed-width digests only — the
+    document text must be pruned OUT of both join inputs."""
+    import __spark_entry__ as e
+
+    df = e.queries()["recrawl_snapshot_diff"](spark, SF)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" in line  # md5(text) needs the column at scan…
+    # …but the join itself must carry only url+digest: project before join
+    assert "md5" in plan
+    # partial+final status counts (min(url) over strings → SortAggregate)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_main_content_extraction_no_shuffle_after_repartition(spark):
+    """One synthesis projection + one Arrow pass: besides the explicit
+    by_compute round-robin, nothing may shuffle."""
+    import __spark_entry__ as e
+
+    df = e.queries()["main_content_extraction"](spark, SF)
+    plan = _plan(df)
+    # exactly the by_compute exchange, no hash exchanges
+    assert "Exchange hashpartitioning" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
