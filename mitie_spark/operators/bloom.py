@@ -68,7 +68,12 @@ def bloom_build(
             )
         ).alias("wm")
     ).select(F.col("wm.word").alias("word"), F.col("wm.mask").alias("mask"))
-    return stacked.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    built = stacked.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    # EAGER: the filter is a small artifact probed many times — without
+    # the cut, each of bloom_probe's k broadcast joins replays the whole
+    # seen-set scan+aggregate (measured: 4 full builds per probe; Spark's
+    # ReuseExchange does not canonicalize across the per-join aliases)
+    return built.localCheckpoint(eager=True)
 
 
 def bloom_probe(

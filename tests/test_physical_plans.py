@@ -218,6 +218,10 @@ def test_bloom_probe_is_broadcast_and_narrow(spark):
     # and broadcasts — no hash exchange may touch the probe lineage
     probe_side = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in probe_side
+    # the build must run ONCE (bloom_build checkpoints): the k joins
+    # broadcast the materialized artifact, they don't replay the scan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 4
 
 
 def test_recrawl_diff_digest_only_join(spark):
