@@ -1147,3 +1147,94 @@ LOCAL_ORACLES["url_seen_bloom"] = f"""
     FROM probe_pos p
     {" ".join(f"LEFT JOIN bloom b{i} ON b{i}.word = (p{i} - p{i} % 63) // 63" for i in range(_BLOOM_K))}
     """
+
+
+@query("charset_decoded_ingest")
+def charset_decoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing under the md5 gate: each document is encoded the
+    way a real crawl delivers it — rotating per doc_id through UTF-8
+    with BOM, UTF-16-LE with BOM, windows-1252 declared as iso-8859-1
+    via <meta> (the WHATWG alias rule), Shift_JIS declared via
+    http-equiv, and undeclared strict-UTF-8 — with a non-ASCII marker
+    prepended wherever the codec has bytes ASCII can't prove.  The
+    detector (functions/charset.py) must pick the right channel AND
+    codec: the gate hashes the recovered text and pins the codec name
+    per row.  Rows-only slot; full value-hash gate via LOCAL_ORACLES.
+    One narrow Arrow pass, by_compute-sized, no shuffle.
+    """
+    import codecs as _codecs
+    import hashlib
+
+    import pandas as pd
+
+    from mitie_spark.functions.charset import decode_payload
+    from mitie_spark.session import by_compute
+
+    docs = by_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select(
+            "doc_id", "text"
+        )
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, md5s, lens, encs = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                text = text or ""
+                mode = did % 5
+                if mode == 0:
+                    payload = _codecs.BOM_UTF8 + text.encode("utf-8")
+                elif mode == 1:
+                    payload = _codecs.BOM_UTF16_LE + text.encode("utf-16-le")
+                elif mode == 2:
+                    payload = (
+                        '<meta charset="iso-8859-1">café ' + text
+                    ).encode("cp1252")
+                elif mode == 3:
+                    payload = (
+                        '<meta http-equiv="Content-Type" '
+                        'content="text/html; charset=shift_jis">テスト ' + text
+                    ).encode("shift_jis")
+                else:
+                    payload = ("ü " + text).encode("utf-8")
+                got, enc = decode_payload(payload)
+                if mode in (2, 3):  # strip the declaration element
+                    got = got.split(">", 1)[1]
+                ids.append(did)
+                md5s.append(hashlib.md5(got.encode("utf-8")).hexdigest())
+                lens.append(len(got))
+                encs.append(enc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text_md5": md5s,
+                    "text_len": lens,
+                    "encoding": encs,
+                }
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id bigint, text_md5 string, text_len bigint, encoding string",
+    )
+
+
+LOCAL_ORACLES["charset_decoded_ingest"] = """
+    SELECT doc_id,
+           md5(CASE doc_id % 5 WHEN 2 THEN 'café '
+                               WHEN 3 THEN 'テスト '
+                               WHEN 4 THEN 'ü '
+                               ELSE '' END || text) AS text_md5,
+           length(CASE doc_id % 5 WHEN 2 THEN 'café '
+                                  WHEN 3 THEN 'テスト '
+                                  WHEN 4 THEN 'ü '
+                                  ELSE '' END || text) AS text_len,
+           CASE doc_id % 5 WHEN 1 THEN 'utf-16-le'
+                           WHEN 2 THEN 'cp1252'
+                           WHEN 3 THEN 'shift_jis'
+                           ELSE 'utf-8' END AS encoding
+    FROM documents
+    """
