@@ -88,6 +88,15 @@ _META_CHARSET_RE = re.compile(
 _CT_CHARSET_RE = re.compile(r"charset\s*=\s*\"?\s*([a-zA-Z0-9._-]+)", re.I)
 
 
+def _no_bomless_utf16(enc: str) -> str:
+    """WHATWG: a UTF-16 label found by the ASCII prescan (or a header)
+    on a BOM-less payload is self-refuting — the label being readable as
+    ASCII proves the bytes aren't UTF-16.  The Encoding Standard
+    substitutes UTF-8 for exactly this case; without it, mislabelled
+    (actually-ASCII) pages decode to per-byte-pair CJK mojibake."""
+    return "utf-8" if enc in ("utf-16", "utf-16-le", "utf-16-be") else enc
+
+
 def _normalize(label: str | None) -> str | None:
     if not label:
         return None
@@ -109,18 +118,15 @@ def detect_encoding(
     for bom, enc in _BOMS:
         if payload.startswith(bom):
             return enc, len(bom)
-    enc = _normalize(
-        (_CT_CHARSET_RE.search(content_type).group(1))
-        if content_type and _CT_CHARSET_RE.search(content_type)
-        else None
-    )
+    m = _CT_CHARSET_RE.search(content_type) if content_type else None
+    enc = _normalize(m.group(1) if m else None)
     if enc:
-        return enc, 0
+        return _no_bomless_utf16(enc), 0
     m = _META_CHARSET_RE.search(payload[:1024])
     if m:
         enc = _normalize(m.group(1).decode("ascii", "replace"))
         if enc:
-            return enc, 0
+            return _no_bomless_utf16(enc), 0
     try:
         payload.decode("utf-8", "strict")
         return "utf-8", 0

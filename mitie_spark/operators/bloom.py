@@ -72,7 +72,11 @@ def bloom_build(
     # EAGER: the filter is a small artifact probed many times — without
     # the cut, each of bloom_probe's k broadcast joins replays the whole
     # seen-set scan+aggregate (measured: 4 full builds per probe; Spark's
-    # ReuseExchange does not canonicalize across the per-join aliases)
+    # ReuseExchange does not canonicalize across the per-join aliases).
+    # Lifetime note: the checkpointed blocks live in executor storage
+    # until the returned DataFrame is garbage-collected (ContextCleaner
+    # reclaims them) — callers building MANY filters in one long session
+    # should drop references promptly rather than accumulate them
     return built.localCheckpoint(eager=True)
 
 

@@ -1185,6 +1185,17 @@ def charset_decoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 text = text or ""
                 mode = did % 5
+                # downgrade rows the chosen channel can't round-trip to
+                # the always-lossless BOM-UTF-8 channel, with the SAME
+                # rule stated in the oracle: cp1252/shift_jis can't
+                # encode arbitrary unicode (strict encode would kill the
+                # task), and an undeclared payload whose own text embeds
+                # '<meta' would win the prescan over the oracle's fixed
+                # utf-8 answer
+                if mode in (2, 3) and not text.isascii():
+                    mode = 0
+                if mode == 4 and "<meta" in text.lower():
+                    mode = 0
                 if mode == 0:
                     payload = _codecs.BOM_UTF8 + text.encode("utf-8")
                 elif mode == 1:
@@ -1223,18 +1234,29 @@ def charset_decoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LOCAL_ORACLES["charset_decoded_ingest"] = """
+    WITH moded AS (
+      SELECT doc_id, COALESCE(text, '') AS t,
+             CASE WHEN doc_id % 5 IN (2, 3)
+                       AND strlen(COALESCE(text, ''))
+                           <> length(COALESCE(text, '')) THEN 0
+                  WHEN doc_id % 5 = 4
+                       AND contains(lower(COALESCE(text, '')), '<meta')
+                       THEN 0
+                  ELSE doc_id % 5 END AS m
+      FROM documents
+    )
     SELECT doc_id,
-           md5(CASE doc_id % 5 WHEN 2 THEN 'café '
-                               WHEN 3 THEN 'テスト '
-                               WHEN 4 THEN 'ü '
-                               ELSE '' END || text) AS text_md5,
-           length(CASE doc_id % 5 WHEN 2 THEN 'café '
-                                  WHEN 3 THEN 'テスト '
-                                  WHEN 4 THEN 'ü '
-                                  ELSE '' END || text) AS text_len,
-           CASE doc_id % 5 WHEN 1 THEN 'utf-16-le'
-                           WHEN 2 THEN 'cp1252'
-                           WHEN 3 THEN 'shift_jis'
-                           ELSE 'utf-8' END AS encoding
-    FROM documents
+           md5(CASE m WHEN 2 THEN 'café '
+                      WHEN 3 THEN 'テスト '
+                      WHEN 4 THEN 'ü '
+                      ELSE '' END || t) AS text_md5,
+           length(CASE m WHEN 2 THEN 'café '
+                         WHEN 3 THEN 'テスト '
+                         WHEN 4 THEN 'ü '
+                         ELSE '' END || t) AS text_len,
+           CASE m WHEN 1 THEN 'utf-16-le'
+                  WHEN 2 THEN 'cp1252'
+                  WHEN 3 THEN 'shift_jis'
+                  ELSE 'utf-8' END AS encoding
+    FROM moded
     """

@@ -76,3 +76,17 @@ def test_spark_surface(spark):
            decode_payloads(df, "content", "ctype").collect()}
     assert got[1] == ("café", "cp1252")
     assert got[2] == ("ok", "utf-8")
+
+
+def test_bomless_utf16_label_means_utf8():
+    # WHATWG: a utf-16 label readable by the ASCII prescan is
+    # self-refuting — substitute utf-8 instead of emitting CJK mojibake
+    text, enc = decode_payload(b'<meta charset="utf-16">hello world')
+    assert enc == "utf-8" and text.endswith("hello world")
+    text, enc = decode_payload(b"hello", "text/html; charset=UTF-16LE")
+    assert enc == "utf-8" and text == "hello"
+    # ...but a real BOM still wins and decodes as utf-16
+    import codecs as c
+
+    text, enc = decode_payload(c.BOM_UTF16_LE + "hi".encode("utf-16-le"))
+    assert enc == "utf-16-le" and text == "hi"
