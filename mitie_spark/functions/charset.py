@@ -97,6 +97,14 @@ def _no_bomless_utf16(enc: str) -> str:
     return "utf-8" if enc in ("utf-16", "utf-16-le", "utf-16-be") else enc
 
 
+#: codecs that ARE registered text codecs but must never be chosen from
+#: a charset label: escape/IDN transforms silently mangle page text
+#: (punycode decodes 'hello' to ''), and 'undefined' raises on use
+_DENYLIST = frozenset(
+    {"punycode", "idna", "undefined", "unicode_escape", "raw_unicode_escape"}
+)
+
+
 def _normalize(label: str | None) -> str | None:
     if not label:
         return None
@@ -104,17 +112,25 @@ def _normalize(label: str | None) -> str | None:
     if label in _ALIASES:
         return _ALIASES[label]
     try:
-        codecs.lookup(label)
-        return label
+        info = codecs.lookup(label)
     except LookupError:
         return None  # unknown label: fall through to the next rule
+    # canonicalize ('utf16'/'u16' → 'utf-16') so the bomless-UTF-16
+    # substitution can't be bypassed by an unaliased spelling, and
+    # refuse non-text codecs ('hex', 'base64', 'zlib' raise from
+    # bytes.decode even with errors='replace') plus the denylist
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    name = info.name
+    if name.replace("-", "_") in _DENYLIST or name in _DENYLIST:
+        return None
+    return _ALIASES.get(name, name)
 
 
-def detect_encoding(
-    payload: bytes, content_type: str | None = None
-) -> tuple[str, int]:
-    """→ (python codec name, BOM length to strip)."""
-    payload = bytes(payload or b"")
+def _declared_encoding(
+    payload: bytes, content_type: str | None
+) -> tuple[str, int] | None:
+    """BOM > Content-Type > meta prescan, or None if nothing declares."""
     for bom, enc in _BOMS:
         if payload.startswith(bom):
             return enc, len(bom)
@@ -127,6 +143,17 @@ def detect_encoding(
         enc = _normalize(m.group(1).decode("ascii", "replace"))
         if enc:
             return _no_bomless_utf16(enc), 0
+    return None
+
+
+def detect_encoding(
+    payload: bytes, content_type: str | None = None
+) -> tuple[str, int]:
+    """→ (python codec name, BOM length to strip)."""
+    payload = bytes(payload or b"")
+    declared = _declared_encoding(payload, content_type)
+    if declared:
+        return declared
     try:
         payload.decode("utf-8", "strict")
         return "utf-8", 0
@@ -138,9 +165,25 @@ def decode_payload(
     payload: bytes, content_type: str | None = None
 ) -> tuple[str, str]:
     """payload bytes → (text, codec used).  Never raises on content:
-    byte errors under the detected codec are replaced."""
-    enc, bom = detect_encoding(payload, content_type)
-    return bytes(payload or b"")[bom:].decode(enc, "replace"), enc
+    byte errors under the detected codec are replaced, and a codec that
+    rejects the bytes outright falls back to cp1252 (total function —
+    one hostile page must not kill an Arrow task)."""
+    payload = bytes(payload or b"")
+    declared = _declared_encoding(payload, content_type)
+    if declared:
+        enc, bom = declared
+        try:
+            return payload[bom:].decode(enc, "replace"), enc
+        except Exception:
+            # belt-and-braces: _normalize screens non-text codecs, but a
+            # codec raising despite errors='replace' must not escape
+            return payload[bom:].decode("cp1252", "replace"), "cp1252"
+    # undeclared: ONE strict UTF-8 pass doubles as trial and decode —
+    # the common case must not decode the payload twice
+    try:
+        return payload.decode("utf-8", "strict"), "utf-8"
+    except UnicodeDecodeError:
+        return payload.decode("cp1252", "replace"), "cp1252"
 
 
 def decode_payloads(
@@ -177,6 +220,7 @@ def decode_payloads(
     cols = [id_col, content_col] + (
         [content_type_col] if content_type_col else []
     )
+    id_type = dict(df.dtypes)[id_col]  # URLs key real crawls: keep type
     return df.select(*cols).mapInPandas(
-        run, f"{id_col} bigint, text string, encoding string"
+        run, f"{id_col} {id_type}, text string, encoding string"
     )

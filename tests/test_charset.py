@@ -90,3 +90,30 @@ def test_bomless_utf16_label_means_utf8():
 
     text, enc = decode_payload(c.BOM_UTF16_LE + "hi".encode("utf-16-le"))
     assert enc == "utf-16-le" and text == "hi"
+
+
+def test_hostile_codec_labels_are_total():
+    # registered-but-non-text codecs must not escape the never-raise
+    # contract (bytes.decode('hex') raises even with errors='replace')
+    for label in ("hex", "base64", "zlib", "uu", "undefined", "punycode", "idna"):
+        text, enc = decode_payload(
+            f'<meta charset="{label}">hello world'.encode()
+        )
+        assert isinstance(text, str) and text.endswith("hello world"), label
+        assert enc == "utf-8", (label, enc)  # label refused -> sniffed
+    # unaliased utf-16 spellings cannot bypass the bomless substitution
+    for label in ("utf16", "u16", "utf_16", "UTF16LE"):
+        text, enc = decode_payload(f'<meta charset="{label}">abc def'.encode())
+        assert enc == "utf-8" and text.endswith("abc def"), label
+
+
+def test_string_id_column(spark):
+    import pandas as pd
+
+    from mitie_spark.functions.charset import decode_payloads
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1"], "content": ["café".encode("cp1252")]})
+    )
+    got = decode_payloads(df, "content", id_col="url").collect()
+    assert got[0].url == "u1" and got[0].text == "café"
