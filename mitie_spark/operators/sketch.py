@@ -15,6 +15,8 @@ are linear, so the merge is exact.
 
 from __future__ import annotations
 
+import math as _math
+
 import numpy as np
 
 from pyspark.sql import DataFrame
@@ -133,3 +135,91 @@ def sketch_token_counts(
         out.counts += np.frombuffer(r["sketch"], dtype=np.int64).reshape(shape)
         out.total += int(r["total"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — pure-Catalyst, bit-exact registers.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # register-index bits
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W_BITS = 24  # remaining hash bits feeding rho (32-bit hash)
+HLL_RHO_MAX = HLL_W_BITS + 1
+#: alpha_256 = 0.7213 / (1 + 1.079/256), in parts-per-million. Any fixed
+#: rational works — the estimate just has to be STATED identically in
+#: both engines.
+HLL_ALPHA_PPM = 718272
+#: integer numerator of the raw estimator: alpha_ppm * m^2 * 2^25 (the
+#: 2^25 clears the fixed-point scale of s_int below). ~1.58e18 < 2^63.
+HLL_EST_NUM = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+#: linear-counting table: lc[v] = round(m * ln(m / v)), v = 1..m. libm
+#: runs ONCE here at import; the query plans on both engines only ever
+#: see these integer literals, so no runtime log() can diverge.
+HLL_LC_TABLE = [
+    int(HLL_M * _math.log(HLL_M / v) + 0.5) for v in range(1, HLL_M + 1)
+]
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """HyperLogLog cardinality estimate per group -> (*group_cols,
+    n_zero_buckets, hll_raw, hll_est). Flajolet et al. 2007, with the
+    standard linear-counting small-range branch (raw <= 2.5m and empty
+    registers exist); the 32-bit large-range branch is omitted (at n
+    approaching 2^32 use a 64-bit hash — the gate corpora are nowhere
+    near).
+
+    Everything is integer arithmetic over md5-derived bits (the repo's
+    md5->int mirror convention), so the estimate is bit-identical under
+    any partitioning/summation order — a SKETCH that passes the DuckDB
+    value-hash gate. s_int is the fixed-point harmonic-mean denominator:
+    sum over all m registers of 2^(25-rho), empty registers contributing
+    2^25 exactly.
+
+    Scale shape: one partial-agg shuffle to (group, bucket) registers —
+    the state per group is bounded at m rows regardless of corpus size
+    (THE point of HLL at 100 TB: count distinct urls/tokens per domain
+    without a distinct shuffle of the values themselves) — then an
+    m-row-per-group rollup. Register merge is MAX, so partial aggregation
+    pushes map-side."""
+    h32 = F.conv(F.substring(F.md5(F.col(value_col)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    w = h32 % (1 << HLL_W_BITS)
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    reg = (
+        df.select(
+            *group_cols,
+            F.shiftright(h32, HLL_W_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    s = reg.groupBy(*group_cols).agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RHO_MAX} - rho AS INT))"
+                )
+            )
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << HLL_RHO_MAX)
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.count("*")).alias("v_zero"),
+    )
+    raw = F.expr(f"CAST({HLL_EST_NUM} AS BIGINT) DIV (1000000 * s_int)")
+    lc = F.element_at(
+        F.array([F.lit(x) for x in HLL_LC_TABLE]), F.col("v_zero").cast("int")
+    )
+    est = F.when(
+        (raw <= 5 * HLL_M // 2) & (F.col("v_zero") > 0), lc.cast("bigint")
+    ).otherwise(raw)
+    return s.select(
+        *group_cols,
+        F.col("v_zero").alias("n_zero_buckets"),
+        raw.alias("hll_raw"),
+        est.alias("hll_est"),
+    )

@@ -529,3 +529,61 @@ def hits(
     for h in (nodes_p, edges):
         h.unpersist()
     return out
+
+
+def bfs_depths_integer(
+    edges: DataFrame,
+    seeds: list[str],
+    iters: int = 3,
+    inf: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration multi-source BFS -> (node, depth) for reached nodes.
+
+    Depths are exact integers (the min-plus relaxation d'(v) = min(d(v),
+    min over incoming edges d(u)+1), iterated ``iters`` times), so the
+    result is bit-identical under any partitioning — the same property
+    that lets pagerank_integer/hits_integer pass the DuckDB value-hash
+    gate. Unreached nodes carry ``inf`` internally and are dropped from
+    the output; capped adds (inf+1 vs inf) can never undercut a real
+    depth because iters << inf.
+
+    Fixed-iteration DENSE relaxation (every node re-relaxed per pass)
+    mirrors the oracle's CTE chain term for term; at real web scale with
+    unknown diameter you would iterate to a fixpoint over the changed-
+    node frontier instead — this variant is the gate-friendly analog for
+    diameter-bounded graphs (host graphs: diameters are single-digit).
+    Plan per iteration: edges ⋈ depths on src (co-partitioned), one
+    dst-keyed min shuffle, left-join back to the node list. Same EAGER
+    persist/localCheckpoint lifecycle as pagerank_integer (see the
+    comment there — lazy persists leak storage per call)."""
+    edges = edges.select("src", "dst").persist()
+    edges.count()
+    nodes = _nodes(edges).persist()
+    d = nodes.select(
+        "node",
+        F.when(F.col("node").isin(list(seeds)), F.lit(0))
+        .otherwise(F.lit(inf))
+        .cast("bigint")
+        .alias("d"),
+    )
+    for _ in range(iters):
+        upd = (
+            edges.join(d, edges.src == d.node)
+            .select(F.col("dst"), (F.col("d") + F.lit(1)).alias("du"))
+            .groupBy("dst")
+            .agg(F.min("du").alias("du"))
+        )
+        d = d.join(upd, d.node == upd.dst, "left").select(
+            d.node,
+            F.least(
+                F.col("d"), F.coalesce(F.col("du"), F.lit(inf).cast("bigint"))
+            ).alias("d"),
+        )
+    out = (
+        d.where(F.col("d") < inf)
+        .select("node", F.col("d").alias("depth"))
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
+    edges.unpersist()
+    return out

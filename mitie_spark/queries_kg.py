@@ -623,3 +623,116 @@ def lang_id_distribution(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# KG analytics — querying the graph the pipeline just built. The reference
+# stops at emitting (subj, pred, obj) pairs (examples/python/ner.py:93-107);
+# a KG *engine* also has to answer the canonical graph-pattern queries over
+# them. Both run on the extracted triples/mentions (exactly the planted
+# truth at gate scales), so their full DuckDB value-hash gates live in
+# queries_webkg.LOCAL_ORACLES (the driver's 50 gated slots are full).
+# ---------------------------------------------------------------------------
+
+
+_COMENT_CACHE: dict[str, tuple] = {}
+
+
+@query("kg_two_hop_inference")
+def kg_two_hop_inference(spark, sf_dir):
+    """Two-hop triple-pattern join — the canonical KG inference query:
+    (person)-[born_in]->(city)<-[contains]-(country) rewrites to the
+    derived fact (person, country) with document support counts.
+
+    Plan shape: the contains-facts are a geographic DIMENSION (countries ×
+    cities — thousands of rows at any corpus scale, it grows with the
+    world, not the crawl), so the hop join broadcasts it; the born_in fact
+    stream never shuffles for the join, only for the final (person,
+    country) aggregate. At 100 TB this is one map-side hash join plus one
+    partial-agg shuffle of narrow string pairs."""
+    from mitie_spark.operators.extraction import triples_table
+
+    t = triples_table(_kg(spark, sf_dir))
+    born = t.where(F.col("pred") == "born_in").select(
+        "url", F.col("subj").alias("person"), F.col("obj").alias("city")
+    )
+    cont = (
+        t.where(F.col("pred") == "contains")
+        .select(F.col("subj").alias("country"), F.col("obj").alias("city"))
+        .distinct()
+    )
+    return (
+        born.join(F.broadcast(cont), "city")
+        .groupBy("person", "country")
+        .agg(
+            F.countDistinct("url").alias("n_docs"),
+            F.countDistinct("city").alias("n_cities"),
+        )
+    )
+
+
+@query("kg_entity_comentions")
+def kg_entity_comentions(spark, sf_dir):
+    """Entity co-mention strength: pairs of surfaces appearing in the same
+    document, scored by integer lift — floor(1e6 * P(a,b) / (P(a)P(b))),
+    the PMI argument in parts-per-million. All-integer arithmetic (counts
+    and one integer division) so the value hash is bit-stable under any
+    partitioning, the same convention as the quantized cosine queries.
+
+    Plan shape: ONE url-keyed self-join of the distinct (url, surface)
+    projection (co-partitioned — a single shuffle feeds both sides), a
+    partial-agg shuffle on the pair key, then a broadcast join against
+    the entity-frequency dictionary (vocabulary-sized). The n>=3 support
+    floor bounds the pair set the way real co-occurrence miners do; at
+    100 TB the quadratic term is bounded per document (entities/doc is a
+    property of text, not corpus size)."""
+    from mitie_spark.operators.extraction import mentions_table
+
+    # session-keyed persisted projection (the doc_unigram_logprob pattern):
+    # the lazy result reads it three times at collect (cnt + both join
+    # sides), and repeat invocations must not stack one persisted copy per
+    # call — applicationId, not id(spark), see _KG_CACHE
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _COMENT_CACHE:
+        m = (
+            mentions_table(_kg(spark, sf_dir))
+            .select("url", "surface")
+            .distinct()
+            .persist()
+        )
+        _COMENT_CACHE[key] = (m, m.select("url").distinct().count())
+    m, n_total = _COMENT_CACHE[key]
+    cnt = m.groupBy("surface").agg(F.count("*").alias("c"))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(b, "url")
+        .where(F.col("a.surface") < F.col("b.surface"))
+        .groupBy(
+            F.col("a.surface").alias("surface_a"),
+            F.col("b.surface").alias("surface_b"),
+        )
+        .agg(F.count("*").alias("n_docs_both"))
+        .where(F.col("n_docs_both") >= 3)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(cnt.withColumnRenamed("surface", "surface_a")
+                        .withColumnRenamed("c", "c_a")),
+            "surface_a",
+        )
+        .join(
+            F.broadcast(cnt.withColumnRenamed("surface", "surface_b")
+                        .withColumnRenamed("c", "c_b")),
+            "surface_b",
+        )
+        .select(
+            "surface_a",
+            "surface_b",
+            "n_docs_both",
+            F.expr(
+                f"n_docs_both * CAST({n_total} AS BIGINT) * 1000000"
+                " DIV (c_a * c_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return out

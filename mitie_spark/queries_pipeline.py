@@ -473,3 +473,88 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — the retrieval scorer every corpus-curation stack carries
+# ---------------------------------------------------------------------------
+
+#: fixed query-term set (mid-frequency members of the driver generator's
+#: vocabulary — present at every scale). The LOCAL_ORACLES mirror in
+#: queries_webkg.py imports this tuple, so both engines always score the
+#: same query.
+BM25_TERMS = ("join", "hash", "scan", "batch")
+
+
+@query("bm25_doc_ranking")
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-50 over the documents table, INTEGER-exact.
+
+    With k1 = 6/5 and b = 3/4 the per-term weight
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) multiplies out (by
+    20*A, avgdl = A/N) to the integer ratio
+    44*tf*A / (20*A*tf + 6*A + 18*N*dl), floored at 1e-3 precision;
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) is floored to ppm. The only
+    float op is that ln over 4 values (the established ln-parity
+    exposure, see doc_unigram_logprob) — every sum downstream is integer,
+    so the score is bit-stable under any partitioning. Score units: 1e-9.
+
+    Plan shape: the tf/df/dl aggregates are three partial-agg shuffles
+    over the (doc_id, token) projection (shared persisted frame with
+    doc_unigram_logprob); idf is a 4-row broadcast; the final top-50 is
+    a TakeOrdered, not a full sort. N and A are two scalar actions. At
+    100 TB the per-term df table is vocabulary-sized and the score join
+    stays map-side."""
+    from mitie_spark.session import by_compute
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _TOKS_CACHE:
+        docs = by_compute(
+            load_tables(spark, sf_dir, ["documents"])["documents"]
+        )
+        _TOKS_CACHE[key] = docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token"),
+        ).persist()
+    toks = _TOKS_CACHE[key]
+    n_docs = load_tables(spark, sf_dir, ["documents"])["documents"].count()
+    a_tokens = toks.count()
+    terms = list(BM25_TERMS)
+    qtoks = toks.where(F.col("token").isin(terms))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        qtoks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = dfreq.select(
+        "token",
+        F.expr(
+            f"CAST(FLOOR(ln((CAST({n_docs} AS BIGINT) - df + 0.5)"
+            " / (df + 0.5) + 1) * 1000000) AS BIGINT)"
+        ).alias("idf_ppm"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    term = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "token")
+        .select(
+            "doc_id",
+            F.expr(
+                f"idf_ppm * ((44 * tf * CAST({a_tokens} AS BIGINT) * 1000)"
+                f" DIV (20 * CAST({a_tokens} AS BIGINT) * tf"
+                f" + 6 * CAST({a_tokens} AS BIGINT)"
+                f" + 18 * CAST({n_docs} AS BIGINT) * dl))"
+            ).alias("w"),
+        )
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(F.sum("w").alias("bm25_p9"))
+        .orderBy(F.desc("bm25_p9"), "doc_id")
+        .limit(50)
+    )

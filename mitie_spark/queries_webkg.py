@@ -1260,3 +1260,213 @@ LOCAL_ORACLES["charset_decoded_ingest"] = """
                   ELSE 'utf-8' END AS encoding
     FROM moded
     """
+
+
+# ---------------------------------------------------------------------------
+# KG analytics gates (queries live in queries_kg.py — the graph-pattern
+# queries over the extracted triples/mentions; rows-only for the driver,
+# full value-hash gates here). The truth tables double as the oracle: the
+# extracted graph equals the planted truth at gate scales, so the SQL
+# states the same join over triples_true/mentions_true.
+# ---------------------------------------------------------------------------
+
+from mitie_spark.queries_kg import ORACLE_KG as _ORACLE_KG  # noqa: E402
+
+LOCAL_ORACLES["kg_two_hop_inference"] = f"""
+WITH born AS (
+  SELECT url, subj AS person, obj AS city
+  FROM read_parquet('{_ORACLE_KG}/triples_true.parquet') WHERE pred = 'born_in'
+),
+cont AS (
+  SELECT DISTINCT subj AS country, obj AS city
+  FROM read_parquet('{_ORACLE_KG}/triples_true.parquet') WHERE pred = 'contains'
+)
+SELECT person, country,
+       COUNT(DISTINCT b.url) AS n_docs,
+       COUNT(DISTINCT b.city) AS n_cities
+FROM born b JOIN cont c ON b.city = c.city
+GROUP BY person, country
+"""
+
+LOCAL_ORACLES["kg_entity_comentions"] = f"""
+WITH ment AS (
+  SELECT DISTINCT url, surface
+  FROM read_parquet('{_ORACLE_KG}/mentions_true.parquet')
+),
+n_tot AS (SELECT COUNT(DISTINCT url) AS n FROM ment),
+cnt AS (SELECT surface, COUNT(*) AS c FROM ment GROUP BY surface),
+pairs AS (
+  SELECT a.surface AS surface_a, b.surface AS surface_b,
+         COUNT(*) AS n_docs_both
+  FROM ment a JOIN ment b ON a.url = b.url AND a.surface < b.surface
+  GROUP BY a.surface, b.surface
+  HAVING COUNT(*) >= 3
+)
+SELECT surface_a, surface_b, n_docs_both,
+       (n_docs_both * n.n * 1000000) // (ca.c * cb.c) AS lift_ppm
+FROM pairs CROSS JOIN n_tot n
+JOIN cnt ca ON ca.surface = pairs.surface_a
+JOIN cnt cb ON cb.surface = pairs.surface_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Host-graph BFS — reachability depth from a seed host (crawl-distance
+# analytics: "how many hops from the seed list is this host?").
+# ---------------------------------------------------------------------------
+
+_BFS_SEED = "src0.example.com"
+_BFS_ITERS = 3
+_BFS_INF = 10**9
+
+
+def _bfs_ctes(iters: int = _BFS_ITERS) -> str:
+    """d0..d{iters} CTEs of the exact-integer BFS relaxation (mirrors
+    operators/webgraph.bfs_depths_integer term for term)."""
+    parts = [
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"""d0 AS (SELECT node,
+  CAST(CASE WHEN node = '{_BFS_SEED}' THEN 0 ELSE {_BFS_INF} END AS BIGINT) AS d
+  FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""u{i} AS (
+  SELECT e.dst AS node, MIN(d{i - 1}.d + 1) AS du
+  FROM edges e JOIN d{i - 1} ON d{i - 1}.node = e.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""d{i} AS (
+  SELECT d{i - 1}.node,
+         LEAST(d{i - 1}.d, COALESCE(u{i}.du, {_BFS_INF})) AS d
+  FROM d{i - 1} LEFT JOIN u{i} USING (node))"""
+        )
+    return ",\n".join(parts)
+
+
+@query("web_host_bfs_depth")
+def web_host_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability over the host graph: BFS depth from the
+    seed host, exact integers, fixed 3 iterations (host-graph diameters
+    are single-digit; all 20 synth hosts are reached by hop 3, verified
+    in the gate — depths found at pass i are final, BFS only shrinks
+    them). Another ITERATIVE
+    graph operator under the full value-hash gate — see
+    operators/webgraph.bfs_depths_integer for the plan shape."""
+    from mitie_spark.operators.webgraph import bfs_depths_integer
+
+    return bfs_depths_integer(
+        _edges(spark, sf_dir), seeds=[_BFS_SEED], iters=_BFS_ITERS,
+        inf=_BFS_INF,
+    ).select(F.col("node").alias("host"), "depth")
+
+
+LOCAL_ORACLES["web_host_bfs_depth"] = f"""
+WITH {_EDGES_CTES},
+{_bfs_ctes()}
+SELECT node AS host, d AS depth FROM d{_BFS_ITERS} WHERE d < {_BFS_INF}
+"""
+
+
+# HLL sketch gate (query in queries_wordrep.py) — the SQL states the
+# identical register/estimate integer arithmetic; the LC table literals
+# come from the same Python list the Spark plan embeds.
+
+from mitie_spark.operators.sketch import (  # noqa: E402
+    HLL_EST_NUM as _HLL_NUM,
+    HLL_LC_TABLE as _HLL_LC,
+    HLL_M as _HLL_M,
+    HLL_RHO_MAX as _HLL_RHO_MAX,
+)
+
+_HLL_W = 1 << (_HLL_RHO_MAX - 1)
+_HLL_EMPTY = 1 << _HLL_RHO_MAX
+_HLL_ARR = "[" + ",".join(map(str, _HLL_LC)) + "]"
+
+LOCAL_ORACLES["hll_distinct_tokens"] = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+grp AS (
+  SELECT source, token FROM toks
+  UNION ALL
+  SELECT '__all__' AS source, token FROM toks
+),
+dist AS (SELECT DISTINCT source, token FROM grp),
+h AS (
+  SELECT source, ('0x' || substr(md5(token),1,8))::BIGINT AS h32 FROM dist
+),
+reg AS (
+  SELECT source, h32 // {_HLL_W} AS bucket,
+         MAX(CASE WHEN h32 % {_HLL_W} = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(h32 % {_HLL_W})) END) AS rho
+  FROM h GROUP BY source, h32 // {_HLL_W}
+),
+s AS (
+  SELECT source,
+         SUM(1::BIGINT << ({_HLL_RHO_MAX} - rho))
+           + ({_HLL_M} - COUNT(*)) * {_HLL_EMPTY} AS s_int,
+         {_HLL_M} - COUNT(*) AS v_zero
+  FROM reg GROUP BY source
+),
+est AS (
+  SELECT source, v_zero,
+         {_HLL_NUM} // (1000000 * s_int) AS hll_raw,
+         CASE WHEN {_HLL_NUM} // (1000000 * s_int) <= {5 * _HLL_M // 2}
+                   AND v_zero > 0
+              THEN ({_HLL_ARR})[v_zero]
+              ELSE {_HLL_NUM} // (1000000 * s_int) END AS hll_est
+  FROM s
+),
+ex AS (SELECT source, COUNT(DISTINCT token) AS n_exact FROM dist GROUP BY source)
+SELECT ex.source, ex.n_exact,
+       CAST(est.v_zero AS BIGINT) AS n_zero_buckets,
+       CAST(est.hll_raw AS BIGINT) AS hll_raw,
+       CAST(est.hll_est AS BIGINT) AS hll_est
+FROM ex JOIN est USING (source)
+"""
+
+
+# BM25 gate (query in queries_pipeline.py) — same integer rational form,
+# same term set, same ppm-floored idf.
+
+from mitie_spark.queries_pipeline import BM25_TERMS as _BM25_TERMS  # noqa: E402
+
+_BM25_IN = "(" + ",".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+LOCAL_ORACLES["bm25_doc_ranking"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+aa AS (SELECT COUNT(*) AS a FROM toks),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN {_BM25_IN} GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE token IN {_BM25_IN} GROUP BY token
+),
+idf AS (
+  SELECT token,
+         CAST(FLOOR(ln((nn.n - df + 0.5) / (df + 0.5) + 1) * 1000000)
+              AS BIGINT) AS idf_ppm
+  FROM dfreq CROSS JOIN nn
+),
+term AS (
+  SELECT tf.doc_id,
+         idf.idf_ppm * ((44 * tf.tf * aa.a * 1000)
+            // (20 * aa.a * tf.tf + 6 * aa.a + 18 * nn.n * dl.dl)) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN idf USING (token)
+  CROSS JOIN aa CROSS JOIN nn
+)
+SELECT doc_id, CAST(SUM(w) AS BIGINT) AS bm25_p9
+FROM term GROUP BY doc_id
+ORDER BY bm25_p9 DESC, doc_id LIMIT 50
+"""

@@ -297,3 +297,40 @@ def events_cube(spark, sf_dir):
             F.asc_nulls_first("event_type"), F.asc_nulls_first("dow")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count sketch — vocabulary cardinality per source + overall.
+# Rows-only for the driver (the 50 gated slots are full); full value-hash
+# gate in queries_webkg.LOCAL_ORACLES (integer-exact by construction —
+# see operators/sketch.hll_distinct).
+# ---------------------------------------------------------------------------
+
+
+@query("hll_distinct_tokens")
+def hll_distinct_tokens(spark, sf_dir):
+    """Distinct-token cardinality per source (plus an '__all__' rollup
+    row): exact COUNT(DISTINCT) beside the HyperLogLog register estimate.
+    The exact column is the gate/accuracy reference — at 100 TB you keep
+    only the sketch (bounded 256-row register state per group, map-side
+    MAX merge, no distinct shuffle of the values)."""
+    from mitie_spark.operators.sketch import hll_distinct
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    grp = toks.unionAll(
+        toks.select(F.lit("__all__").alias("source"), "token")
+    )
+    dist = grp.distinct()
+    ex = dist.groupBy("source").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    est = hll_distinct(dist, ["source"], "token")
+    return ex.join(est, "source").select(
+        "source", "n_exact", "n_zero_buckets", "hll_raw", "hll_est"
+    )
