@@ -587,3 +587,77 @@ def bfs_depths_integer(
     nodes.unpersist()
     edges.unpersist()
     return out
+
+
+def undirected_host_edges(edges: DataFrame) -> DataFrame:
+    """Directed weighted edges -> distinct undirected (u, v) pairs with
+    u < v (self-loops dropped). The canonical pre-step for triangle /
+    clustering analytics."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def triangle_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient ->
+    (node, degree, n_triangles, clustering_ppm).
+
+    Triangles enumerate once each via the ordered-wedge join (u < v < w:
+    e1=(u,v) ⋈ e2=(v,w) ⋈ e3=(u,w)) — the standard orientation trick
+    that bounds join fanout by the out-degree of the ordering, not the
+    raw degree (at web scale order by degree instead of name so hubs
+    land on the low-fanout side; the name order is what the SQL oracle
+    can state identically). clustering_ppm = floor(1e6 * 2*tri /
+    (deg*(deg-1))), pure integers, so the value hash is bit-stable.
+
+    Plan shape: the undirected pair set shuffles once per join key;
+    wedge and closure joins are plain hash joins (no cartesian); the
+    per-node rollup is one explode + partial-agg shuffle."""
+    und = undirected_host_edges(edges).persist()
+    und.count()  # materialize once; three joins + degree read it
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CASE WHEN degree < 2 THEN CAST(0 AS BIGINT)"
+                " ELSE 2 * COALESCE(n_triangles, 0) * CAST(1000000 AS BIGINT)"
+                " DIV (degree * (degree - 1)) END"
+            ).alias("clustering_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out

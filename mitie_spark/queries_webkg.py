@@ -1470,3 +1470,55 @@ SELECT doc_id, CAST(SUM(w) AS BIGINT) AS bm25_p9
 FROM term GROUP BY doc_id
 ORDER BY bm25_p9 DESC, doc_id LIMIT 50
 """
+
+
+# ---------------------------------------------------------------------------
+# Host-graph triangles + local clustering coefficient.
+# ---------------------------------------------------------------------------
+
+
+@query("web_host_triangles")
+def web_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts and local clustering coefficient per host, exact
+    integers (coefficient in ppm) — the standard cohesion analytics over
+    the link graph. See operators/webgraph.triangle_clustering for the
+    ordered-wedge enumeration and plan shape."""
+    from mitie_spark.operators.webgraph import triangle_clustering
+
+    return triangle_clustering(_edges(spark, sf_dir)).select(
+        F.col("node").alias("host"),
+        "degree",
+        "n_triangles",
+        "clustering_ppm",
+    )
+
+
+LOCAL_ORACLES["web_host_triangles"] = f"""
+WITH {_EDGES_CTES},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pn AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+)
+SELECT deg.node AS host, deg.degree,
+       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree < 2 THEN 0
+                 ELSE (2 * COALESCE(pn.n_triangles, 0) * 1000000)
+                      // (deg.degree * (deg.degree - 1)) END
+            AS BIGINT) AS clustering_ppm
+FROM deg LEFT JOIN pn USING (node)
+"""

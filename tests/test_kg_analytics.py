@@ -185,3 +185,35 @@ def test_comention_lift_is_integer_and_bounded(spark):
     for r in rows[:20]:
         assert r["n_docs_both"] >= 3
         assert r["lift_ppm"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Triangles / clustering
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_clustering_known_graph(spark):
+    """K3 (a,b,c) plus pendant d off a: a has deg 3, one triangle,
+    cc = 2*1/(3*2) = 1/3; b,c have deg 2, cc = 1; d has deg 1, cc = 0.
+    Directed duplicates and self-loops must not inflate anything."""
+    from mitie_spark.operators.webgraph import triangle_clustering
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": ["a", "b", "a", "c", "a", "d", "d"],
+                "dst": ["b", "a", "c", "b", "d", "a", "d"],
+                "weight": [1] * 7,
+            }
+        )
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in triangle_clustering(edges).collect()
+    }
+    assert got == {
+        "a": (3, 1, 333333),
+        "b": (2, 1, 1000000),
+        "c": (2, 1, 1000000),
+        "d": (1, 0, 0),
+    }
