@@ -566,7 +566,7 @@ def bfs_depths_integer(
         .cast("bigint")
         .alias("d"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         upd = (
             edges.join(d, edges.src == d.node)
             .select(F.col("dst"), (F.col("d") + F.lit(1)).alias("du"))
@@ -579,6 +579,11 @@ def bfs_depths_integer(
                 F.col("d"), F.coalesce(F.col("du"), F.lit(inf).cast("bigint"))
             ).alias("d"),
         )
+        if (i + 1) % 5 == 0 and i + 1 < iters:
+            # bound lineage depth on long runs (same guard as
+            # pagerank_integer — Catalyst analysis goes superlinear on
+            # nested join+agg chains; the exposed iters invites deep runs)
+            d = d.localCheckpoint(eager=True)
     out = (
         d.where(F.col("d") < inf)
         .select("node", F.col("d").alias("depth"))

@@ -691,8 +691,10 @@ def kg_entity_comentions(spark, sf_dir):
     # session-keyed persisted projection (the doc_unigram_logprob pattern):
     # the lazy result reads it three times at collect (cnt + both join
     # sides), and repeat invocations must not stack one persisted copy per
-    # call — applicationId, not id(spark), see _KG_CACHE
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    # call — applicationId, not id(spark), see _KG_CACHE; keyed on the
+    # RESOLVED kg dir like _KG_CACHE so path spellings ('sf0.01' vs
+    # 'sf0.01/') cannot persist duplicate copies
+    key = f"{spark.sparkContext.applicationId}:{kg_dir_for(sf_dir)}"
     if key not in _COMENT_CACHE:
         m = (
             mentions_table(_kg(spark, sf_dir))

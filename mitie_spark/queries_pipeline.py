@@ -278,6 +278,31 @@ def customer_status_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-keyed persisted (doc_id, source, token) projection, shared
+    by doc_unigram_logprob / bm25_doc_ranking / hll_distinct_tokens:
+    repeated invocations (and the multiple reads each lazy result makes
+    at collect time) reuse ONE cached copy instead of re-tokenizing the
+    corpus or accumulating persisted blocks per call. applicationId, not
+    id(spark): a stopped session's freed address can be reused by
+    CPython (see queries_kg._KG_CACHE)."""
+    from mitie_spark.session import by_compute
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _TOKS_CACHE:
+        docs = by_compute(
+            load_tables(spark, sf_dir, ["documents"])["documents"]
+        )
+        _TOKS_CACHE[key] = docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token"),
+        ).persist()
+    return _TOKS_CACHE[key]
+
+
 @query(
     "doc_unigram_logprob",
     """
@@ -304,27 +329,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token→count join broadcasts; everything else is two partial-agg
     shuffles. Rounded at 3 decimals on per-source averages so the value
     hash is stable across libm/summation-order differences."""
-    from mitie_spark.session import by_compute
-
-    # applicationId, not id(spark): a stopped session's freed address
-    # can be reused by CPython (see queries_kg._KG_CACHE)
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    if key not in _TOKS_CACHE:
-        docs = by_compute(
-            load_tables(spark, sf_dir, ["documents"])["documents"]
-        )
-        # session-keyed: repeated invocations reuse one persisted copy
-        # instead of accumulating cached blocks per call (the frame must
-        # stay persisted past return — the result DataFrame is lazy and
-        # reads it twice at collect time: once for cnt, once for doc)
-        _TOKS_CACHE[key] = docs.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.filter(F.split("text", " "), lambda t: t != "")
-            ).alias("token"),
-        ).persist()
-    toks = _TOKS_CACHE[key]
+    toks = doc_tokens(spark, sf_dir)
     cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
     total = toks.count()  # one scalar; avoids a cross join in the plan
     doc = (
@@ -485,6 +490,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: same query.
 BM25_TERMS = ("join", "hash", "scan", "batch")
 
+# session-keyed (n_docs, total_tokens) scalars for bm25_doc_ranking
+_BM25_STATS: dict[str, tuple] = {}
+
 
 @query("bm25_doc_ranking")
 def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,27 +509,19 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the tf/df/dl aggregates are three partial-agg shuffles
     over the (doc_id, token) projection (shared persisted frame with
-    doc_unigram_logprob); idf is a 4-row broadcast; the final top-50 is
-    a TakeOrdered, not a full sort. N and A are two scalar actions. At
-    100 TB the per-term df table is vocabulary-sized and the score join
-    stays map-side."""
-    from mitie_spark.session import by_compute
-
+    doc_unigram_logprob, see doc_tokens); idf is a 4-row broadcast; the
+    final top-50 is a TakeOrdered, not a full sort. N and A are two
+    scalar actions, cached per (session, sf) so repeat invocations don't
+    re-count. At 100 TB the per-term df table is vocabulary-sized and
+    the score join stays map-side."""
+    toks = doc_tokens(spark, sf_dir)
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    if key not in _TOKS_CACHE:
-        docs = by_compute(
-            load_tables(spark, sf_dir, ["documents"])["documents"]
+    if key not in _BM25_STATS:
+        _BM25_STATS[key] = (
+            load_tables(spark, sf_dir, ["documents"])["documents"].count(),
+            toks.count(),
         )
-        _TOKS_CACHE[key] = docs.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.filter(F.split("text", " "), lambda t: t != "")
-            ).alias("token"),
-        ).persist()
-    toks = _TOKS_CACHE[key]
-    n_docs = load_tables(spark, sf_dir, ["documents"])["documents"].count()
-    a_tokens = toks.count()
+    n_docs, a_tokens = _BM25_STATS[key]
     terms = list(BM25_TERMS)
     qtoks = toks.where(F.col("token").isin(terms))
     tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))

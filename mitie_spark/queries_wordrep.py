@@ -313,24 +313,24 @@ def hll_distinct_tokens(spark, sf_dir):
     row): exact COUNT(DISTINCT) beside the HyperLogLog register estimate.
     The exact column is the gate/accuracy reference — at 100 TB you keep
     only the sketch (bounded 256-row register state per group, map-side
-    MAX merge, no distinct shuffle of the values)."""
-    from mitie_spark.operators.sketch import hll_distinct
+    MAX merge, no distinct shuffle of the values).
 
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    toks = docs.select(
-        "source",
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
-            "token"
-        ),
-    )
+    Both branches (exact + sketch) read the SAME persisted token
+    projection (queries_pipeline.doc_tokens, shared with bm25/unigram-LM)
+    — no pre-distinct frame: the register MAX is duplicate-insensitive,
+    so the sketch consumes the raw token stream (exactly what it would
+    do at scale) and only the gate column pays a distinct aggregate."""
+    from mitie_spark.operators.sketch import hll_distinct
+    from mitie_spark.queries_pipeline import doc_tokens
+
+    toks = doc_tokens(spark, sf_dir).select("source", "token")
     grp = toks.unionAll(
         toks.select(F.lit("__all__").alias("source"), "token")
     )
-    dist = grp.distinct()
-    ex = dist.groupBy("source").agg(
+    ex = grp.groupBy("source").agg(
         F.countDistinct("token").alias("n_exact")
     )
-    est = hll_distinct(dist, ["source"], "token")
+    est = hll_distinct(grp, ["source"], "token")
     return ex.join(est, "source").select(
         "source", "n_exact", "n_zero_buckets", "hll_raw", "hll_est"
     )

@@ -12,10 +12,7 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.planutil import explain_formatted as _plan
 
 
 # ---------------------------------------------------------------------------
@@ -148,16 +145,49 @@ def test_bm25_plan_broadcasts_idf_and_fuses_topk(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bm25_ranks_by_term_density(spark):
-    """A document stuffed with query terms must outrank a same-length
-    document without them (integer scorer, deterministic)."""
-    from mitie_spark.queries import QUERIES
+def test_bm25_matches_float_reference(spark):
+    """Independent float Okapi BM25 (textbook formula over pandas, k1=1.2,
+    b=0.75) must agree with the integer-rational scorer to within the
+    documented flooring error — this catches a formula that is identically
+    wrong in BOTH engine mirrors, which the cross-engine value-hash gate
+    cannot see."""
+    import math
 
+    import pyarrow.parquet as pq
+
+    from mitie_spark.queries import QUERIES
+    from mitie_spark.queries_pipeline import BM25_TERMS
+
+    docs = pq.read_table(SF + "/documents.parquet").to_pandas()
+    tok_lists = [
+        [t for t in text.split(" ") if t] for text in docs["text"]
+    ]
+    n = len(docs)
+    dls = [len(ts) for ts in tok_lists]
+    avgdl = sum(dls) / n
+    expected = {}
+    for term in BM25_TERMS:
+        df_t = sum(1 for ts in tok_lists if term in ts)
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1)
+        for doc_id, ts, dl in zip(docs["doc_id"], tok_lists, dls):
+            tf = ts.count(term)
+            if tf:
+                w = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                expected[doc_id] = expected.get(doc_id, 0.0) + w
     out = QUERIES["bm25_doc_ranking"](spark, SF).collect()
     assert 0 < len(out) <= 50
     scores = [r["bm25_p9"] for r in out]
     assert scores == sorted(scores, reverse=True)
-    assert all(s > 0 for s in scores)
+    for r in out:
+        # integer scorer floors idf at ppm and the term weight at 1e-3:
+        # worst-case absolute error ~ len(terms) * (idf*1e-3 + 1e-6*2.2)
+        # of the 1.0-scale score; 1% relative covers it with margin
+        ref = expected[r["doc_id"]]
+        assert abs(r["bm25_p9"] / 1e9 - ref) <= 0.01 * ref + 1e-4, (
+            r["doc_id"],
+            r["bm25_p9"] / 1e9,
+            ref,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -217,3 +247,83 @@ def test_triangle_clustering_known_graph(spark):
         "c": (2, 1, 1000000),
         "d": (1, 0, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Random-graph differential: distributed graph ops vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def _random_digraph(seed, n_nodes=24, n_edges=60):
+    import random
+
+    rng = random.Random(seed)
+    nodes = [f"h{i}" for i in range(n_nodes)]
+    edges = {
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+    }
+    return nodes, sorted(edges)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_bfs_matches_python_reference(spark, seed):
+    from collections import deque
+
+    from mitie_spark.operators.webgraph import bfs_depths_integer
+
+    nodes, edges = _random_digraph(seed)
+    adj = {}
+    present = set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        present.update((s, d))
+    # reference BFS from h0 over the directed graph
+    ref = {}
+    if "h0" in present:
+        ref["h0"] = 0
+        q = deque(["h0"])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in ref:
+                    ref[v] = ref[u] + 1
+                    q.append(v)
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).assign(weight=1)
+    )
+    # iters = n_nodes is a safe diameter bound -> full convergence
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths_integer(df, seeds=["h0"], iters=8).collect()
+    }
+    assert got == {k: v for k, v in ref.items() if v <= 8}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangles_match_python_reference(spark, seed):
+    from itertools import combinations
+
+    from mitie_spark.operators.webgraph import triangle_clustering
+
+    nodes, edges = _random_digraph(seed)
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    neigh = {}
+    for u, v in und:
+        neigh.setdefault(u, set()).add(v)
+        neigh.setdefault(v, set()).add(u)
+    ref = {}
+    for n, ns in neigh.items():
+        tri = sum(
+            1 for a, b in combinations(sorted(ns), 2) if (a, b) in und
+        )
+        deg = len(ns)
+        cc = 0 if deg < 2 else (2 * tri * 1000000) // (deg * (deg - 1))
+        ref[n] = (deg, tri, cc)
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).assign(weight=1)
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in triangle_clustering(df).collect()
+    }
+    assert got == ref

@@ -8,10 +8,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.planutil import explain_formatted as _plan
 
 
 def test_alias_join_is_broadcast(spark):

@@ -8,10 +8,7 @@ import re
 SF = "/root/testdata/sf0.001"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.planutil import explain_formatted as _plan
 
 
 def _n_nodes(plan: str, op: str) -> int:

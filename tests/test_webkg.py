@@ -207,10 +207,7 @@ def test_synth_pages_covers_all_hosts(spark):
     assert int(edges["weight"].sum()) == 3 * pages.count()
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.planutil import explain_formatted as _plan
 
 
 def test_jsonld_query_is_narrow_codegen(spark):
