@@ -1,0 +1,123 @@
+"""Triple-pattern queries over the extracted KG — a SPARQL-style basic
+graph pattern (BGP) compiler to Catalyst join plans.
+
+The reference emits (subj, pred, obj) pairs and stops
+(examples/python/ner.py:93-107); an engine that HOLDS a knowledge graph
+must answer conjunctive pattern queries over it. ``match_patterns``
+compiles a list of patterns — each a (s, p, o) triple of literals and
+``?var`` variables — into a chain of DataFrame joins with natural
+variable binding, the classic worst-case-optimal-join-free BGP plan every
+triple store starts from.
+
+Plan shape: each pattern is a filtered projection of the triples frame
+(literals become pushed-down predicates — they reach the parquet scan);
+shared variables become equi-join keys (plain hash joins); patterns with
+no shared variable against the accumulated bindings raise instead of
+silently cross-joining. Selectivity ordering is the caller's hand-tuning
+knob (patterns join left to right); at 100 TB you order most-selective
+first and let AQE re-plan sizes — predicates are usually literal, so
+per-pattern frames are pred-partition prunable if the triples table is
+written partitioned by pred (plans/pipeline materializes stages
+partitioned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_frame(
+    triples: DataFrame, i: int, pat, distinct_facts: bool
+) -> tuple[DataFrame, set[str]]:
+    """One pattern -> (projection with variable-named columns, var set)."""
+    if len(pat) != 3:
+        raise ValueError(f"pattern {i} is not a (s, p, o) triple: {pat}")
+    frame = triples
+    cols = {}
+    for pos, term in zip(_POS, pat):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"pattern {i}: bare '?' variable")
+            if name in cols:
+                # repeated variable inside one pattern: equality
+                frame = frame.where(F.col(pos) == F.col(cols[name]))
+            else:
+                cols[name] = pos
+        else:
+            frame = frame.where(F.col(pos) == F.lit(term))
+    if not cols:
+        raise ValueError(
+            f"pattern {i} has no variables — bare existence checks "
+            "aren't bindings; filter the triples frame directly"
+        )
+    proj = frame.select(
+        *[F.col(pos).alias(name) for name, pos in cols.items()]
+    )
+    if distinct_facts:
+        proj = proj.distinct()
+    return proj, set(cols)
+
+
+def match_patterns(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] | None = None,
+    distinct_facts: bool = True,
+) -> DataFrame:
+    """Conjunctive triple-pattern match -> one row per variable binding.
+
+    Each pattern term is either a literal (matched exactly) or a
+    ``?name`` variable (bound, output as column ``name``). A variable
+    repeated WITHIN a pattern constrains positions to be equal; repeated
+    ACROSS patterns becomes the join key. ``optional`` patterns carry
+    SPARQL OPTIONAL semantics: a left join after the required block, so
+    non-matching bindings survive with null columns (and, as in SPARQL,
+    each optional pattern joins the required bindings independently).
+    ``distinct_facts=True`` (the default) dedupes each pattern's
+    projection first so a fact asserted by many documents binds once —
+    provenance queries should pass False and aggregate downstream.
+    Value constraints (SPARQL FILTER) are just ``.where()`` on the
+    result.
+
+    >>> match_patterns(t, [("?p", "born_in", "?c"),
+    ...                    ("?country", "contains", "?c")],
+    ...                optional=[("?p", "works_for", "?org")])
+    DataFrame[p, c, country, org]
+    """
+    if not patterns:
+        raise ValueError("empty pattern list")
+    bound: DataFrame | None = None
+    bound_vars: set[str] = set()
+    for i, pat in enumerate(patterns):
+        proj, pvars = _pattern_frame(triples, i, pat, distinct_facts)
+        if bound is None:
+            bound, bound_vars = proj, pvars
+            continue
+        shared = sorted(bound_vars & pvars)
+        if not shared:
+            raise ValueError(
+                f"pattern {i} shares no variable with the patterns before "
+                "it — reorder the patterns (a cross join is never what a "
+                "BGP means)"
+            )
+        bound = bound.join(proj, shared)
+        bound_vars |= pvars
+    for j, pat in enumerate(optional or []):
+        proj, pvars = _pattern_frame(triples, j, pat, distinct_facts)
+        shared = sorted(bound_vars & pvars)
+        if not shared:
+            raise ValueError(
+                f"optional pattern {j} shares no variable with the "
+                "required block — it would cross-join every binding"
+            )
+        bound = bound.join(proj, shared, "left")
+        bound_vars |= pvars
+    return bound

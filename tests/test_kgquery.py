@@ -1,0 +1,162 @@
+"""Triple-pattern (BGP) compiler: binding semantics on a toy KG, plan
+pins, and equivalence with the hand-written two-hop inference query."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.planutil import explain_formatted as _plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        ("u1", "ana", "born_in", "lima"),
+        ("u1", "peru", "contains", "lima"),
+        ("u2", "bob", "born_in", "oslo"),
+        ("u2", "norway", "contains", "oslo"),
+        ("u3", "ana", "works_for", "acme"),
+        ("u3", "bob", "knows", "ana"),
+        ("u3", "ana", "knows", "bob"),
+        ("u4", "cal", "knows", "cal"),
+        # duplicate assertion of a fact in a second document
+        ("u5", "ana", "born_in", "lima"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+    )
+
+
+def test_two_hop_binding(toy):
+    from mitie_spark.operators.kgquery import match_patterns
+
+    out = match_patterns(
+        toy,
+        [("?p", "born_in", "?c"), ("?country", "contains", "?c")],
+    )
+    assert sorted(out.columns) == ["c", "country", "p"]
+    got = {(r["p"], r["c"], r["country"]) for r in out.collect()}
+    assert got == {("ana", "lima", "peru"), ("bob", "oslo", "norway")}
+
+
+def test_distinct_facts_dedupes_multi_document_assertions(toy):
+    from mitie_spark.operators.kgquery import match_patterns
+
+    out = match_patterns(toy, [("?p", "born_in", "lima")])
+    # ana born_in lima is asserted in u1 AND u5 — one binding
+    assert [r["p"] for r in out.collect()] == ["ana"]
+    out2 = match_patterns(
+        toy, [("?p", "born_in", "lima")], distinct_facts=False
+    )
+    assert sorted(r["p"] for r in out2.collect()) == ["ana", "ana"]
+
+
+def test_cyclic_pattern_and_self_loop(toy):
+    from mitie_spark.operators.kgquery import match_patterns
+
+    # mutual-knows cycle: (?a knows ?b), (?b knows ?a)
+    out = match_patterns(
+        toy, [("?a", "knows", "?b"), ("?b", "knows", "?a")]
+    )
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    assert got == {("ana", "bob"), ("bob", "ana"), ("cal", "cal")}
+    # repeated variable INSIDE one pattern: only the self-loop matches
+    out2 = match_patterns(toy, [("?x", "knows", "?x")])
+    assert [r["x"] for r in out2.collect()] == ["cal"]
+
+
+def test_three_pattern_chain(toy):
+    from mitie_spark.operators.kgquery import match_patterns
+
+    out = match_patterns(
+        toy,
+        [
+            ("?p", "born_in", "?c"),
+            ("?country", "contains", "?c"),
+            ("?p", "works_for", "?org"),
+        ],
+    )
+    got = {(r["p"], r["country"], r["org"]) for r in out.collect()}
+    assert got == {("ana", "peru", "acme")}
+
+
+def test_errors(toy):
+    from mitie_spark.operators.kgquery import match_patterns
+
+    with pytest.raises(ValueError, match="empty pattern"):
+        match_patterns(toy, [])
+    with pytest.raises(ValueError, match="no variables"):
+        match_patterns(toy, [("ana", "born_in", "lima")])
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_patterns(
+            toy, [("?p", "born_in", "?c"), ("?x", "works_for", "?y")]
+        )
+
+
+def test_literal_predicates_push_down_and_no_cartesian(spark, toy, tmp_path):
+    """Over a parquet-backed triples table (the shape stage
+    materialization produces) the literal pred terms must reach the scan
+    as PushedFilters — a BGP whose filters stay above the join reads the
+    whole store per pattern. (An in-memory toy frame constant-folds away
+    entirely, so the pin needs the real source.)"""
+    from mitie_spark.operators.kgquery import match_patterns
+
+    path = str(tmp_path / "triples.parquet")
+    toy.write.parquet(path)
+    t = spark.read.parquet(path)
+    df = match_patterns(
+        t, [("?p", "born_in", "?c"), ("?country", "contains", "?c")]
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(pred,born_in)" in plan
+    assert "EqualTo(pred,contains)" in plan
+
+
+def test_matches_handwritten_two_hop_query(spark):
+    """The compiled BGP must produce exactly the binding set of the
+    hand-written kg_two_hop_inference join over the real extracted KG."""
+    from mitie_spark.operators.extraction import triples_table
+    from mitie_spark.operators.kgquery import match_patterns
+    from mitie_spark.queries import QUERIES
+    from mitie_spark.queries_kg import _kg
+
+    t = triples_table(_kg(spark, SF)).select("subj", "pred", "obj")
+    bgp = match_patterns(
+        t, [("?person", "born_in", "?city"), ("?country", "contains", "?city")]
+    )
+    got = {(r["person"], r["country"]) for r in bgp.collect()}
+    direct = {
+        (r["person"], r["country"])
+        for r in QUERIES["kg_two_hop_inference"](spark, SF).collect()
+    }
+    assert got == direct and got
+
+
+def test_optional_pattern_left_joins(toy):
+    from mitie_spark.operators.kgquery import match_patterns
+
+    out = match_patterns(
+        toy,
+        [("?p", "born_in", "?c"), ("?country", "contains", "?c")],
+        optional=[("?p", "works_for", "?org")],
+    )
+    got = {
+        (r["p"], r["country"], r["org"]) for r in out.collect()
+    }
+    # ana has an employer; bob's binding survives with a null org
+    assert got == {("ana", "peru", "acme"), ("bob", "norway", None)}
+
+
+def test_optional_pattern_must_share_a_variable(toy):
+    from mitie_spark.operators.kgquery import match_patterns
+
+    with pytest.raises(ValueError, match="optional pattern"):
+        match_patterns(
+            toy,
+            [("?p", "born_in", "?c")],
+            optional=[("?x", "knows", "?y")],
+        )
