@@ -121,3 +121,54 @@ def match_patterns(
         bound = bound.join(proj, shared, "left")
         bound_vars |= pvars
     return bound
+
+
+def transitive_closure(
+    triples: DataFrame,
+    pred: str,
+    max_depth: int = 8,
+) -> DataFrame:
+    """SPARQL property-path ``pred+``: all (src, dst, depth) pairs
+    reachable through 1..max_depth hops of one predicate, depth = the
+    MINIMUM hop count (first discovery wins, classic BFS closure).
+
+    Frontier-delta iteration, not dense re-relaxation: each pass joins
+    only the LAST round's new pairs against the edge set and anti-joins
+    out pairs already known — cycles terminate naturally because a
+    revisited pair produces no new rows, and the loop exits early on an
+    empty frontier (one driver-side isEmpty per pass; the operator is
+    deliberately eager like pagerank_integer, with per-pass
+    localCheckpoint doubling as the lineage cut). max_depth bounds the
+    worst case; real predicate hierarchies (geo containment, org
+    parentage) are single-digit deep.
+
+    Scale shape per pass: frontier ⋈ edges on one key (hash join), a
+    distinct on the new pairs, and a co-partitioned anti join against
+    the known set. The closure of a DAG-ish hierarchy grows linearly in
+    practice; a dense cyclic relation's closure is quadratic — that is a
+    property of the answer, not the plan."""
+    e = (
+        triples.where(F.col("pred") == F.lit(pred))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    e.count()
+    paths = e.withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    frontier = paths
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("n"), F.col("f.dst") == F.col("n.src"))
+            .select(F.col("f.src").alias("src"), F.col("n.dst").alias("dst"))
+            .distinct()
+            .join(paths.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        paths = paths.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return paths

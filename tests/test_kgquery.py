@@ -160,3 +160,67 @@ def test_optional_pattern_must_share_a_variable(toy):
             [("?p", "born_in", "?c")],
             optional=[("?x", "knows", "?y")],
         )
+
+
+# ---------------------------------------------------------------------------
+# Property path pred+ (transitive closure)
+# ---------------------------------------------------------------------------
+
+
+def test_transitive_closure_chain_with_min_depth(spark):
+    from mitie_spark.operators.kgquery import transitive_closure
+
+    rows = [
+        ("u", "a", "contains", "b"),
+        ("u", "b", "contains", "c"),
+        ("u", "c", "contains", "d"),
+        ("u", "a", "contains", "c"),  # shortcut: (a,c) is depth 1, not 2
+        ("u", "x", "other", "y"),  # different predicate — excluded
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+    )
+    got = {
+        (r["src"], r["dst"]): r["depth"]
+        for r in transitive_closure(t, "contains").collect()
+    }
+    assert got == {
+        ("a", "b"): 1,
+        ("b", "c"): 1,
+        ("c", "d"): 1,
+        ("a", "c"): 1,  # min depth wins over the 2-hop route
+        ("a", "d"): 2,
+        ("b", "d"): 2,
+    }
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    from mitie_spark.operators.kgquery import transitive_closure
+
+    rows = [("u", "a", "p", "b"), ("u", "b", "p", "a")]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+    )
+    got = {
+        (r["src"], r["dst"]): r["depth"]
+        for r in transitive_closure(t, "p", max_depth=10).collect()
+    }
+    # SPARQL p+ reaches self through the cycle; frontier empties at d=3
+    assert got == {
+        ("a", "b"): 1,
+        ("b", "a"): 1,
+        ("a", "a"): 2,
+        ("b", "b"): 2,
+    }
+
+
+def test_transitive_closure_depth_cap(spark):
+    from mitie_spark.operators.kgquery import transitive_closure
+
+    rows = [("u", f"n{i}", "p", f"n{i + 1}") for i in range(6)]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+    )
+    got = transitive_closure(t, "p", max_depth=2).collect()
+    assert max(r["depth"] for r in got) == 2
+    assert len(got) == 6 + 5  # 6 direct + 5 two-hop pairs
