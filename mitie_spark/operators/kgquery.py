@@ -78,9 +78,12 @@ def match_patterns(
     ``?name`` variable (bound, output as column ``name``). A variable
     repeated WITHIN a pattern constrains positions to be equal; repeated
     ACROSS patterns becomes the join key. ``optional`` patterns carry
-    SPARQL OPTIONAL semantics: a left join after the required block, so
-    non-matching bindings survive with null columns (and, as in SPARQL,
-    each optional pattern joins the required bindings independently).
+    left-join semantics against the REQUIRED block: non-matching
+    bindings survive with null columns, and each optional joins on
+    required-block variables only — an optional may not reference a
+    variable another optional introduced (that would left-join on a
+    possibly-null key, which is NOT SPARQL's sequential LeftJoin; the
+    compiler raises, promote the link to the required block instead).
     ``distinct_facts=True`` (the default) dedupes each pattern's
     projection first so a fact asserted by many documents binds once —
     provenance queries should pass False and aggregate downstream.
@@ -110,16 +113,26 @@ def match_patterns(
             )
         bound = bound.join(proj, shared)
         bound_vars |= pvars
+    required_vars = set(bound_vars)
+    optional_new: set[str] = set()
     for j, pat in enumerate(optional or []):
         proj, pvars = _pattern_frame(triples, j, pat, distinct_facts)
-        shared = sorted(bound_vars & pvars)
+        shared = sorted(required_vars & pvars)
         if not shared:
             raise ValueError(
                 f"optional pattern {j} shares no variable with the "
                 "required block — it would cross-join every binding"
             )
+        clash = sorted((pvars - required_vars) & optional_new)
+        if clash:
+            raise ValueError(
+                f"optional pattern {j} references {clash}, introduced by "
+                "an earlier optional — left-joining on a possibly-null "
+                "key is not SPARQL's sequential LeftJoin; promote the "
+                "link to the required block instead"
+            )
         bound = bound.join(proj, shared, "left")
-        bound_vars |= pvars
+        optional_new |= pvars - required_vars
     return bound
 
 
@@ -168,7 +181,10 @@ def transitive_closure(
         )
         if nxt.isEmpty():
             break
-        paths = paths.union(nxt).localCheckpoint(eager=True)
+        # nxt is already an eagerly-checkpointed flat scan, so the
+        # accumulated union stays flat-lineaged without re-materializing
+        # the whole (growing) closure every pass
+        paths = paths.union(nxt)
         frontier = nxt
     e.unpersist()
     return paths

@@ -738,3 +738,23 @@ def kg_entity_comentions(spark, sf_dir):
         )
     )
     return out
+
+
+@query("kg_bgp_person_org")
+def kg_bgp_person_org(spark, sf_dir):
+    """The BGP compiler under the full gate: required block
+    (?person born_in ?city)(?country contains ?city) with OPTIONAL
+    (?person works_for ?org) — every binding row, including the
+    null-org survivors the left join must keep. Exercises
+    operators/kgquery.match_patterns end-to-end (variable binding, the
+    broadcastable literal-pred projections, optional-block semantics)
+    against a DuckDB statement of the same joins."""
+    from mitie_spark.operators.extraction import triples_table
+    from mitie_spark.operators.kgquery import match_patterns
+
+    t = triples_table(_kg(spark, sf_dir)).select("subj", "pred", "obj")
+    return match_patterns(
+        t,
+        [("?person", "born_in", "?city"), ("?country", "contains", "?city")],
+        optional=[("?person", "works_for", "?org")],
+    ).select("person", "city", "country", "org")

@@ -286,9 +286,17 @@ def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus or accumulating persisted blocks per call. applicationId, not
     id(spark): a stopped session's freed address can be reused by
     CPython (see queries_kg._KG_CACHE)."""
+    import os
+
     from mitie_spark.session import by_compute
 
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    # normalized key: path spellings ('sf0.1' vs 'sf0.1/') must not
+    # persist duplicate corpus-sized frames (same fix as
+    # queries_kg._COMENT_CACHE)
+    key = (
+        f"{spark.sparkContext.applicationId}:"
+        f"{os.path.normpath(os.path.abspath(sf_dir))}"
+    )
     if key not in _TOKS_CACHE:
         docs = by_compute(
             load_tables(spark, sf_dir, ["documents"])["documents"]
@@ -514,8 +522,13 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar actions, cached per (session, sf) so repeat invocations don't
     re-count. At 100 TB the per-term df table is vocabulary-sized and
     the score join stays map-side."""
+    import os
+
     toks = doc_tokens(spark, sf_dir)
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    key = (
+        f"{spark.sparkContext.applicationId}:"
+        f"{os.path.normpath(os.path.abspath(sf_dir))}"
+    )
     if key not in _BM25_STATS:
         _BM25_STATS[key] = (
             load_tables(spark, sf_dir, ["documents"])["documents"].count(),

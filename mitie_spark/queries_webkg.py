@@ -1522,3 +1522,55 @@ SELECT deg.node AS host, deg.degree,
             AS BIGINT) AS clustering_ppm
 FROM deg LEFT JOIN pn USING (node)
 """
+
+
+# ---------------------------------------------------------------------------
+# Property-path closure over the host graph + the BGP/OPTIONAL gate.
+# ---------------------------------------------------------------------------
+
+_CLOSURE_DEPTH = 3
+
+
+@query("web_host_reach_closure")
+def web_host_reach_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reachability (links_to+) over the host graph within 3
+    hops, min hop count per pair — operators/kgquery.transitive_closure
+    (frontier-delta iteration) under the full value-hash gate, mirrored
+    by a depth-bounded DuckDB recursive CTE whose MIN(depth) rollup
+    states the same first-discovery semantics."""
+    from mitie_spark.operators.kgquery import transitive_closure
+
+    t = _edges(spark, sf_dir).select(
+        F.col("src").alias("subj"),
+        F.lit("links_to").alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    return transitive_closure(t, "links_to", max_depth=_CLOSURE_DEPTH)
+
+
+LOCAL_ORACLES["web_host_reach_closure"] = f"""
+WITH RECURSIVE {_EDGES_CTES},
+paths(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION
+  SELECT p.src, e.dst, p.depth + 1
+  FROM paths p JOIN edges e ON p.dst = e.src
+  WHERE p.depth < {_CLOSURE_DEPTH}
+)
+SELECT src, dst, CAST(MIN(depth) AS INT) AS depth
+FROM paths GROUP BY src, dst
+"""
+
+LOCAL_ORACLES["kg_bgp_person_org"] = f"""
+WITH t AS (
+  SELECT DISTINCT subj, pred, obj
+  FROM read_parquet('{_ORACLE_KG}/triples_true.parquet')
+),
+born AS (SELECT subj AS person, obj AS city FROM t WHERE pred = 'born_in'),
+cont AS (SELECT subj AS country, obj AS city FROM t WHERE pred = 'contains'),
+works AS (SELECT subj AS person, obj AS org FROM t WHERE pred = 'works_for')
+SELECT b.person, b.city, c.country, w.org
+FROM born b
+JOIN cont c ON b.city = c.city
+LEFT JOIN works w ON w.person = b.person
+"""

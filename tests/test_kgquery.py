@@ -224,3 +224,33 @@ def test_transitive_closure_depth_cap(spark):
     got = transitive_closure(t, "p", max_depth=2).collect()
     assert max(r["depth"] for r in got) == 2
     assert len(got) == 6 + 5  # 6 direct + 5 two-hop pairs
+
+
+def test_chained_optional_is_rejected(toy):
+    """An optional referencing a variable another optional introduced
+    would left-join on a possibly-null key — not SPARQL's sequential
+    LeftJoin — so the compiler refuses instead of silently diverging."""
+    from mitie_spark.operators.kgquery import match_patterns
+
+    # an optional hanging only off another optional's variable: no
+    # required-block anchor at all
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_patterns(
+            toy,
+            [("?p", "born_in", "?c")],
+            optional=[
+                ("?p", "works_for", "?org"),
+                ("?org", "knows", "?hq"),
+            ],
+        )
+    # anchored on a required var but ALSO re-referencing an
+    # optional-introduced one: the possibly-null-key case
+    with pytest.raises(ValueError, match="introduced by"):
+        match_patterns(
+            toy,
+            [("?p", "born_in", "?c")],
+            optional=[
+                ("?p", "works_for", "?org"),
+                ("?p", "knows", "?org"),
+            ],
+        )
