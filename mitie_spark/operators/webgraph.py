@@ -666,3 +666,69 @@ def triangle_clustering(edges: DataFrame) -> DataFrame:
     )
     und.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection -> (node, label).
+
+    Every node starts labeled with itself; each pass relabels every node
+    with the weighted-majority label of its (symmetrized) neighbors, ties
+    broken by count DESC then label ASC — a DETERMINISTIC pure function
+    of the previous labels, which is what lets an LPA land under the
+    DuckDB value-hash gate (classic async LPA is run-order dependent and
+    can't be mirrored). Isolated nodes keep their own label.
+
+    Plan per pass: symmetrized edges ⋈ labels on the neighbor key, one
+    (node, label) partial-agg shuffle, a per-node window top-1, left join
+    back to the node list. Same eager persist/localCheckpoint lifecycle
+    as pagerank_integer."""
+    from pyspark.sql.window import Window
+
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "weight")
+        .unionAll(
+            edges.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "weight",
+            )
+        )
+        .groupBy(F.col("src").alias("node"), F.col("dst").alias("neigh"))
+        .agg(F.sum("weight").alias("w"))
+        .persist()
+    )
+    sym.count()
+    nodes = _nodes(edges).persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    win = Window.partitionBy("node").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    for _ in range(iters):
+        cnt = (
+            sym.join(
+                labels.withColumnRenamed("node", "neigh"), "neigh"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("c"))
+        )
+        top = (
+            cnt.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(top, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    out = labels.localCheckpoint(eager=True)
+    nodes.unpersist()
+    sym.unpersist()
+    return out

@@ -1574,3 +1574,87 @@ FROM born b
 JOIN cont c ON b.city = c.city
 LEFT JOIN works w ON w.person = b.person
 """
+
+
+# PIVOT gate (query in queries_wordrep.py) — conditional-aggregation
+# mirror of the explicit-value-list pivot.
+
+from mitie_spark.queries_wordrep import _PIVOT_TYPES as _PVT  # noqa: E402
+
+_PVT_COLS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
+    for t in _PVT
+)
+
+LOCAL_ORACLES["events_pivot_daily"] = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       {_PVT_COLS}
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the host graph.
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 2
+
+
+def _lpa_ctes(iters: int = _LPA_ITERS) -> str:
+    """sym/l0..l{iters} CTEs of the synchronous deterministic LPA
+    (mirrors operators/webgraph.label_propagation term for term)."""
+    parts = [
+        """sym AS (
+  SELECT node, neigh, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src AS node, dst AS neigh, w FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS node, src AS neigh, w FROM edges WHERE src <> dst
+  ) GROUP BY node, neigh)""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT s.node, l.label, SUM(s.w) AS c
+  FROM sym s JOIN l{i - 1} l ON l.node = s.neigh
+  GROUP BY s.node, l.label)"""
+        )
+        parts.append(
+            f"""t{i} AS (
+  SELECT node, label AS new_label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{i})
+  WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+  SELECT n.node, COALESCE(t{i}.new_label, l{i - 1}.label) AS label
+  FROM nodes n JOIN l{i - 1} ON l{i - 1}.node = n.node
+  LEFT JOIN t{i} ON t{i}.node = n.node)"""
+        )
+    return ",\n".join(parts)
+
+
+@query("web_host_communities")
+def web_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the host graph: synchronous
+    label-propagation with a deterministic count-DESC/label-ASC
+    tie-break, 2 fixed passes — an LPA that passes the full value-hash
+    gate (classic async LPA is run-order dependent and cannot be
+    mirrored). See operators/webgraph.label_propagation."""
+    from mitie_spark.operators.webgraph import label_propagation
+
+    return label_propagation(_edges(spark, sf_dir), iters=_LPA_ITERS).select(
+        F.col("node").alias("host"), F.col("label").alias("community")
+    )
+
+
+LOCAL_ORACLES["web_host_communities"] = f"""
+WITH {_EDGES_CTES},
+{_lpa_ctes()}
+SELECT node AS host, label AS community FROM l{_LPA_ITERS}
+"""

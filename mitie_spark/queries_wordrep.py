@@ -334,3 +334,35 @@ def hll_distinct_tokens(spark, sf_dir):
     return ex.join(est, "source").select(
         "source", "n_exact", "n_zero_buckets", "hll_raw", "hll_est"
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — wide per-day event-type counts (the relational reshape the cube
+# family was missing). Rows-only slot; full value-hash gate in
+# queries_webkg.LOCAL_ORACLES via the conditional-aggregation mirror.
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query("events_pivot_daily")
+def events_pivot_daily(spark, sf_dir):
+    """PIVOT event counts to one column per type per day. The value list
+    is EXPLICIT (no extra distinct pass over the data to discover it —
+    at 100 TB pivot with an inferred value list is two jobs), so the
+    plan is a single partial-agg shuffle; missing cells are 0, stated
+    identically in the SQL mirror's SUM(CASE...) form."""
+    from mitie_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        *[F.col(t).cast("bigint").alias(f"n_{t}") for t in _PIVOT_TYPES],
+    )

@@ -327,3 +327,60 @@ def test_triangles_match_python_reference(spark, seed):
         for r in triangle_clustering(df).collect()
     }
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one weak edge: after 2 synchronous passes
+    each triangle converges to its own min label; the deterministic
+    tie-break (count DESC, label ASC) decides every vote identically on
+    every run."""
+    from mitie_spark.operators.webgraph import label_propagation
+
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    bridge = [("a1", "b1")]
+    edges = spark.createDataFrame(
+        pd.DataFrame(tri1 + tri2 + bridge, columns=["src", "dst"]).assign(
+            weight=1
+        )
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    # pass 1: every node takes its neighborhood's min label; pass 2
+    # consolidates — a-side all a1, b-side all b1 except the bridge
+    # endpoints keep voting deterministically
+    assert set(got) == {"a1", "a2", "a3", "b1", "b2", "b3"}
+    a_labels = {got[n] for n in ("a1", "a2", "a3")}
+    b_labels = {got[n] for n in ("b2", "b3")}
+    assert a_labels == {"a1"}
+    assert b_labels <= {"b1", "a1"}
+    # rerun must be bit-identical (determinism, not just plausibility)
+    again = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    assert again == got
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    from mitie_spark.operators.webgraph import label_propagation
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": ["x", "i"], "dst": ["y", "i"], "weight": [1, 1]}
+        )
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    # i only has a self-loop (dropped) -> keeps its own label
+    assert got["i"] == "i"
+    assert got["x"] in {"x", "y"} and got["y"] in {"x", "y"}
