@@ -732,3 +732,75 @@ def label_propagation(
     nodes.unpersist()
     sym.unpersist()
     return out
+
+
+def kcore_flags(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peeling -> (node, in_kcore, core_degree).
+
+    Round i removes every node whose degree within the surviving
+    subgraph is < k; after ``rounds`` synchronous passes the flags are
+    exact integers (peeling is a pure function of the previous survivor
+    set, so the result is bit-identical under any partitioning and
+    mirrors an iterated SQL CTE chain). Fixed rounds rather than
+    iterate-to-fixpoint for the same reason as bfs_depths_integer: the
+    oracle states the same chain; host-graph cores stabilize in a
+    handful of passes. core_degree is the survivor's degree among
+    survivors (0 for peeled nodes).
+
+    The k-core is the classic link-spam/community-strength signal on
+    host graphs. Plan per round: one semi-join of the symmetrized edge
+    set against survivors on each endpoint + one degree partial-agg;
+    eager persist/localCheckpoint lifecycle as the other iterative
+    operators here."""
+    sym = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionAll(
+            edges.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    nodes = _nodes(edges).persist()
+    alive = nodes
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = (
+            deg.where(F.col("d") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    deg_final = (
+        sym.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .withColumnRenamed("src", "node")
+    )
+    out = (
+        nodes.join(alive.withColumn("in_kcore", F.lit(1)), "node", "left")
+        .join(deg_final, "node", "left")
+        .select(
+            "node",
+            F.coalesce("in_kcore", F.lit(0)).cast("int").alias("in_kcore"),
+            F.coalesce("core_degree", F.lit(0))
+            .cast("bigint")
+            .alias("core_degree"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
+    sym.unpersist()
+    return out

@@ -1658,3 +1658,66 @@ WITH {_EDGES_CTES},
 {_lpa_ctes()}
 SELECT node AS host, label AS community FROM l{_LPA_ITERS}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core membership over the host graph.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_ctes(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """sym/a0..a{rounds} CTEs of the fixed-round k-core peel (mirrors
+    operators/webgraph.kcore_flags term for term)."""
+    parts = [
+        """sym AS (
+  SELECT DISTINCT node, neigh FROM (
+    SELECT src AS node, dst AS neigh FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT dst AS node, src AS neigh FROM edges WHERE src <> dst
+  ))""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "a0 AS (SELECT node FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT s.node FROM sym s
+  JOIN a{i - 1} x ON x.node = s.node
+  JOIN a{i - 1} y ON y.node = s.neigh
+  GROUP BY s.node HAVING COUNT(*) >= {k})"""
+        )
+    return ",\n".join(parts)
+
+
+@query("web_host_kcore")
+def web_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership + in-core degree per host (the classic
+    link-spam / community-strength structural signal), fixed-round
+    synchronous peeling under the full value-hash gate — see
+    operators/webgraph.kcore_flags."""
+    from mitie_spark.operators.webgraph import kcore_flags
+
+    return kcore_flags(
+        _edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).select(F.col("node").alias("host"), "in_kcore", "core_degree")
+
+
+LOCAL_ORACLES["web_host_kcore"] = f"""
+WITH {_EDGES_CTES},
+{_kcore_ctes()},
+degf AS (
+  SELECT s.node, CAST(COUNT(*) AS BIGINT) AS core_degree
+  FROM sym s
+  JOIN a{_KCORE_ROUNDS} x ON x.node = s.node
+  JOIN a{_KCORE_ROUNDS} y ON y.node = s.neigh
+  GROUP BY s.node)
+SELECT n.node AS host,
+       CAST(CASE WHEN a.node IS NULL THEN 0 ELSE 1 END AS INT) AS in_kcore,
+       COALESCE(degf.core_degree, 0) AS core_degree
+FROM nodes n
+LEFT JOIN a{_KCORE_ROUNDS} a ON a.node = n.node
+LEFT JOIN degf ON degf.node = n.node
+"""

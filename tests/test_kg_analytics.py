@@ -384,3 +384,34 @@ def test_label_propagation_isolated_node_keeps_label(spark):
     # i only has a self-loop (dropped) -> keeps its own label
     assert got["i"] == "i"
     assert got["x"] in {"x", "y"} and got["y"] in {"x", "y"}
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_tail_cascade(spark):
+    """K4 {a,b,c,d} with a chain d-e-f: e and f fall below k=3 and peel
+    in CASCADE (f needs e's removal to already have happened), while the
+    K4 survives with in-core degree 3 each (d's degree drops from 4 to 3
+    once e is gone)."""
+    from mitie_spark.operators.webgraph import kcore_flags
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(
+        pd.DataFrame(k4 + tail, columns=["src", "dst"]).assign(weight=1)
+    )
+    got = {
+        r["node"]: (r["in_kcore"], r["core_degree"])
+        for r in kcore_flags(edges, k=3, rounds=4).collect()
+    }
+    assert got == {
+        "a": (1, 3),
+        "b": (1, 3),
+        "c": (1, 3),
+        "d": (1, 3),
+        "e": (0, 0),
+        "f": (0, 0),
+    }
