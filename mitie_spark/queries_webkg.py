@@ -1721,3 +1721,40 @@ FROM nodes n
 LEFT JOIN a{_KCORE_ROUNDS} a ON a.node = n.node
 LEFT JOIN degf ON degf.node = n.node
 """
+
+
+# KMV bottom-k Jaccard gate (query in queries_wordrep.py).
+
+from mitie_spark.queries_wordrep import _KMV_K as _KMV  # noqa: E402
+
+LOCAL_ORACLES["source_vocab_jaccard_kmv"] = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(token),1,8))::BIGINT AS hv
+  FROM toks
+),
+sig AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+    FROM h)
+  WHERE rn <= {_KMV}
+),
+sizes AS (SELECT source, COUNT(*) AS n_sig FROM sig GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sig a JOIN sig b ON a.hv = b.hv AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       (p.n_shared * 1000000) // (sa.n_sig + sb.n_sig - p.n_shared)
+         AS jaccard_ppm
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
