@@ -223,3 +223,70 @@ def hll_distinct(
         raw.alias("hll_raw"),
         est.alias("hll_est"),
     )
+
+
+def kmv_jaccard(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV bottom-k set-similarity between groups ->
+    (group_a, group_b, n_shared, jaccard_ppm).
+
+    Each group keeps its k smallest md5-derived hash values (fixed-size
+    mergeable signature; exact when the group's distinct values fit in
+    k); pairs score floor(1e6 * |shared| / (|sig_a| + |sig_b| -
+    |shared|)) — the deterministic signature-overlap estimator, stated
+    identically in the SQL mirror. Plan: one (group, hash) distinct,
+    a per-group window top-k, then a hash-keyed pair join over
+    signature-sized frames (never corpus-sized). The signature frame is
+    eagerly checkpointed: three lazy readers share one materialization
+    and the blocks release with the frame (a bare persist would stack
+    one copy per call)."""
+    from pyspark.sql.window import Window
+
+    hv = F.conv(F.substring(F.md5(F.col(value_col)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    h = df.select(F.col(group_col).alias("g"), hv.alias("hv")).distinct()
+    win = Window.partitionBy("g").orderBy("hv")
+    sig = (
+        h.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= k)
+        .select("g", "hv")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sig.groupBy("g").agg(F.count("*").alias("n_sig"))
+    a = sig.withColumnRenamed("g", "group_a")
+    b = sig.withColumnRenamed("g", "group_b")
+    pairs = (
+        a.join(b, "hv")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sizes.withColumnRenamed("g", "group_a").withColumnRenamed(
+                    "n_sig", "n_a"
+                )
+            ),
+            "group_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("g", "group_b").withColumnRenamed(
+                    "n_sig", "n_b"
+                )
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            F.expr(
+                "n_shared * CAST(1000000 AS BIGINT)"
+                " DIV (n_a + n_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -707,7 +707,7 @@ def label_propagation(
     win = Window.partitionBy("node").orderBy(
         F.desc("c"), F.asc("label")
     )
-    for _ in range(iters):
+    for i in range(iters):
         cnt = (
             sym.join(
                 labels.withColumnRenamed("node", "neigh"), "neigh"
@@ -728,6 +728,11 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
             )
         )
+        if (i + 1) % 3 == 0 and i + 1 < iters:
+            # each pass nests join+agg+window+two joins — cut lineage
+            # more often than pagerank's lighter passes (CLAUDE.md: the
+            # 6-iter HITS hung without per-iteration cuts)
+            labels = labels.localCheckpoint(eager=True)
     out = labels.localCheckpoint(eager=True)
     nodes.unpersist()
     sym.unpersist()
@@ -756,15 +761,13 @@ def kcore_flags(
     set against survivors on each endpoint + one degree partial-agg;
     eager persist/localCheckpoint lifecycle as the other iterative
     operators here."""
+    # symmetrize from the distinct u<v pair set (undirected_host_edges
+    # owns the self-loop/dedup rules) — both directions of a distinct
+    # pair set are distinct by construction, so no second dedup shuffle
+    und = undirected_host_edges(edges)
     sym = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionAll(
-            edges.where(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct()
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .persist()
     )
     sym.count()

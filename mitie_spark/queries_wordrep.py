@@ -380,66 +380,22 @@ _KMV_K = 64
 @query("source_vocab_jaccard_kmv")
 def source_vocab_jaccard_kmv(spark, sf_dir):
     """Pairwise vocabulary Jaccard between sources from bottom-k
-    signatures: each source keeps only its k=64 smallest md5 hash values
-    (a fixed-size, mergeable set sketch — THE point at 100 TB: group
-    similarity from k rows per group, never the sets themselves), then
-    pairs share hash values: jaccard_ppm = floor(1e6 * |shared| /
-    (|sig_a| + |sig_b| - |shared|)). Deterministic integers end to end;
-    when a group has fewer than k distinct values the signature IS the
-    set and the estimate is exact. Signature build: one distinct on
-    (source, hash) + a per-source window top-k; pair join keyed on the
-    hash value (signature-sized, not corpus-sized)."""
-    from pyspark.sql.window import Window
-
+    signatures (operators/sketch.kmv_jaccard, k=64): each source keeps
+    only its k smallest md5 hash values — a fixed-size, mergeable set
+    sketch; THE point at 100 TB is group similarity from k rows per
+    group, never the sets themselves. jaccard_ppm = floor(1e6 *
+    |shared| / (|sig_a| + |sig_b| - |shared|)), deterministic integers
+    end to end; exact whenever a group's vocabulary fits inside k. The
+    truncation path (vocab > k) is unit-tested against a scalar
+    reference in tests/test_kg_analytics.py — the gate corpora's tiny
+    vocabularies never exercise it."""
+    from mitie_spark.operators.sketch import kmv_jaccard
     from mitie_spark.queries_pipeline import doc_tokens
 
     toks = doc_tokens(spark, sf_dir).select("source", "token")
-    hv = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
-    h = toks.select("source", hv.alias("hv")).distinct()
-    win = Window.partitionBy("source").orderBy("hv")
-    # eager checkpoint, not persist: three lazy readers (sizes + both
-    # join sides) reuse one materialization, and the blocks are released
-    # by the context cleaner when the frame is dropped — a bare persist
-    # here would stack one cached copy per invocation (the bloom_build
-    # convention)
-    sig = (
-        h.withColumn("rn", F.row_number().over(win))
-        .where(F.col("rn") <= _KMV_K)
-        .select("source", "hv")
-        .localCheckpoint(eager=True)
+    return kmv_jaccard(toks, "source", "token", k=_KMV_K).select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "n_shared",
+        "jaccard_ppm",
     )
-    sizes = sig.groupBy("source").agg(F.count("*").alias("n_sig"))
-    a = sig.withColumnRenamed("source", "source_a")
-    b = sig.withColumnRenamed("source", "source_b")
-    pairs = (
-        a.join(b, "hv")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    out = (
-        pairs.join(
-            F.broadcast(
-                sizes.withColumnRenamed("source", "source_a")
-                .withColumnRenamed("n_sig", "n_a")
-            ),
-            "source_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.withColumnRenamed("source", "source_b")
-                .withColumnRenamed("n_sig", "n_b")
-            ),
-            "source_b",
-        )
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared",
-            F.expr(
-                "n_shared * CAST(1000000 AS BIGINT)"
-                " DIV (n_a + n_b - n_shared)"
-            ).alias("jaccard_ppm"),
-        )
-    )
-    return out

@@ -415,3 +415,65 @@ def test_kcore_peels_tail_cascade(spark):
         "e": (0, 0),
         "f": (0, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k truncation path (the gate corpora's ~31-token vocabularies
+# never exceed k, so the sketch's actual job is pinned here)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_truncation_matches_scalar_reference(spark):
+    """Two groups of 300 distinct values with a planted 150-value overlap
+    — vocab >> k=64, so the bottom-k truncation and the signature-overlap
+    estimator are both live; the distributed result must equal a scalar
+    re-derivation bit for bit, and must approximate the true Jaccard
+    (1/3) within sketch error."""
+    from mitie_spark.operators.sketch import kmv_jaccard
+
+    shared = [f"s{i}" for i in range(150)]
+    va = shared + [f"a{i}" for i in range(150)]
+    vb = shared + [f"b{i}" for i in range(150)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["A"] * len(va) + ["B"] * len(vb), "v": va + vb}
+        )
+    )
+    row = kmv_jaccard(df, "g", "v", k=64).collect()
+    assert len(row) == 1
+    got = (row[0]["n_shared"], row[0]["jaccard_ppm"])
+
+    def h32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    sig_a = set(sorted(h32(t) for t in set(va))[:64])
+    sig_b = set(sorted(h32(t) for t in set(vb))[:64])
+    n_shared = len(sig_a & sig_b)
+    ref = (
+        n_shared,
+        n_shared * 1000000 // (len(sig_a) + len(sig_b) - n_shared),
+    )
+    assert got == ref
+    assert len(sig_a) == 64  # truncation actually happened
+    true_j = 150 / 450
+    assert abs(got[1] / 1e6 - true_j) < 0.15  # sketch-accuracy sanity
+
+
+def test_kcore_rounds_reach_fixpoint_on_synth_graph(spark):
+    """The gated query runs 4 fixed rounds; both engines mirror the same
+    truncation, so the gate cannot see a non-converged peel. Pin
+    convergence directly: round 4 and round 5 survivor flags must be
+    identical on the synth host graph."""
+    from mitie_spark.operators.webgraph import kcore_flags
+    from mitie_spark.queries_webkg import _edges
+
+    edges = _edges(spark, SF)
+    r4 = {
+        (r["node"], r["in_kcore"], r["core_degree"])
+        for r in kcore_flags(edges, k=3, rounds=4).collect()
+    }
+    r5 = {
+        (r["node"], r["in_kcore"], r["core_degree"])
+        for r in kcore_flags(edges, k=3, rounds=5).collect()
+    }
+    assert r4 == r5
