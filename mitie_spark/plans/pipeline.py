@@ -222,7 +222,7 @@ def run_pipeline(
             F.countDistinct("url").alias("n_docs"),
         )
 
-    stage(
+    triples = stage(
         "triples",
         {"from": [report["triples_raw"]["config_hash"],
                   report["linked"]["config_hash"],
@@ -232,11 +232,38 @@ def run_pipeline(
         input_rows=report["triples_raw"]["output_rows"],
     )
 
+    # 7. entity salience — PageRank over the canonical triple graph.
+    # The KG consumer's first ranking signal ("which entities matter"):
+    # float production variant (entity graphs at crawl scale overflow the
+    # integer gate variant's bound), 5 iterations, evidence-weighted
+    # edges. Same iterative shape as the gated host PageRank — one
+    # dst-keyed shuffle per iteration, invariants persisted, lineage cut
+    # before write (pagerank localCheckpoints its result).
+    def build_entity_rank():
+        from mitie_spark.operators.webgraph import pagerank
+
+        edges = triples.select(
+            F.col("subj_id").alias("src"),
+            F.col("obj_id").alias("dst"),
+            F.col("n_evidence").cast("double").alias("weight"),
+        )
+        return pagerank(edges, iters=5).select(
+            F.col("node").alias("entity_id"), F.col("rank").alias("rank")
+        )
+
+    stage(
+        "entity_rank",
+        {"from": report["triples"]["config_hash"], "iters": 5},
+        build_entity_rank,
+        input_rows=report["triples"]["output_rows"],
+    )
+
     report["_summary"] = {
         "pages": n_pages,
         "mentions": report["mentions"]["output_rows"],
         "triples_raw": report["triples_raw"]["output_rows"],
         "triples": report["triples"]["output_rows"],
+        "entities_ranked": report["entity_rank"]["output_rows"],
     }
     with open(os.path.join(out_dir, "pipeline_report.json"), "w") as f:
         json.dump(report, f, indent=1)

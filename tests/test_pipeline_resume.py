@@ -33,6 +33,8 @@ def test_pipeline_runs_and_resumes(spark, corpus_dir, tmp_path):
     rep1 = _run(spark, corpus_dir, out)
     assert rep1["_summary"]["triples"] > 0
     assert not rep1["kg"]["skipped"]
+    # stage 7: every canonical entity in the triple graph gets a rank
+    assert rep1["_summary"]["entities_ranked"] > 0
 
     # full re-run: everything skipped, summary identical
     rep2 = _run(spark, corpus_dir, out)
