@@ -36,10 +36,33 @@ def _is_var(term: str) -> bool:
 def _pattern_frame(
     triples: DataFrame, i: int, pat, distinct_facts: bool
 ) -> tuple[DataFrame, set[str]]:
-    """One pattern -> (projection with variable-named columns, var set)."""
+    """One pattern -> (projection with variable-named columns, var set).
+
+    A literal predicate ending in ``+`` is a property path: the pattern
+    matches the transitive closure of that predicate (1..8 hops, see
+    transitive_closure) instead of its direct facts — the variables bind
+    to closure endpoints, so ``("?a", "contains+", "?c")`` reaches
+    grandchildren. Variable predicates cannot take ``+``."""
     if len(pat) != 3:
         raise ValueError(f"pattern {i} is not a (s, p, o) triple: {pat}")
-    frame = triples
+    p_term = pat[1]
+    if (
+        isinstance(p_term, str)
+        and p_term.endswith("+")
+        and not _is_var(p_term)
+        and len(p_term) > 1
+    ):
+        # substitute the closure as this pattern's fact set (EAGER — the
+        # closure operator materializes, per the iterative-op convention)
+        # and fall through: the pred column carries the path literal, so
+        # the normal literal-equality filter below is a no-op match
+        frame = transitive_closure(triples, p_term[:-1]).select(
+            F.col("src").alias("subj"),
+            F.lit(p_term).alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+    else:
+        frame = triples
     cols = {}
     for pos, term in zip(_POS, pat):
         if _is_var(term):

@@ -254,3 +254,33 @@ def test_chained_optional_is_rejected(toy):
                 ("?p", "knows", "?org"),
             ],
         )
+
+
+def test_property_path_inside_pattern(spark):
+    """A literal predicate ending in '+' matches the transitive closure:
+    (?region contains+ ?place) joined with (?p born_in ?place) finds
+    people born anywhere UNDER a region, including grandchildren."""
+    from mitie_spark.operators.kgquery import match_patterns
+
+    rows = [
+        ("u", "europe", "contains", "norway"),
+        ("u", "norway", "contains", "oslo"),
+        ("u", "bob", "born_in", "oslo"),
+        ("u", "ana", "born_in", "norway"),
+    ]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+    )
+    out = match_patterns(
+        t,
+        [("?region", "contains+", "?place"), ("?p", "born_in", "?place")],
+    )
+    got = {(r["region"], r["place"], r["p"]) for r in out.collect()}
+    assert got == {
+        ("europe", "norway", "ana"),
+        ("norway", "oslo", "bob"),
+        ("europe", "oslo", "bob"),  # the 2-hop closure edge
+    }
+    # a variable predicate never path-expands; a bare '+' is a literal
+    out2 = match_patterns(t, [("?a", "?rel", "?b")])
+    assert out2.count() == 4
