@@ -34,20 +34,39 @@ def _is_var(term: str) -> bool:
 
 
 def _pattern_frame(
-    triples: DataFrame, i: int, pat, distinct_facts: bool
+    triples: DataFrame,
+    i: int,
+    pat,
+    distinct_facts: bool,
+    paths: bool = True,
+    closure_cache: dict | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """One pattern -> (projection with variable-named columns, var set).
 
-    A literal predicate ending in ``+`` is a property path: the pattern
-    matches the transitive closure of that predicate (1..8 hops, see
-    transitive_closure) instead of its direct facts — the variables bind
-    to closure endpoints, so ``("?a", "contains+", "?c")`` reaches
-    grandchildren. Variable predicates cannot take ``+``."""
+    With ``paths=True`` a literal predicate ending in ``+`` is a
+    property path: the pattern matches the transitive closure of that
+    predicate (1..8 hops, see transitive_closure) instead of its direct
+    facts — the variables bind to closure endpoints, so
+    ``("?a", "contains+", "?c")`` reaches grandchildren. Variable
+    predicates cannot take ``+`` (raises). A KG whose predicate NAMES
+    end in '+' must pass ``paths=False`` to match them literally.
+
+    Cost note: the closure materializes EAGERLY over the whole predicate
+    (iterative-op convention) even when an endpoint is literal — for a
+    single-seed reach over a crawl-scale graph use
+    webgraph.bfs_depths_integer instead. Repeated path predicates within
+    one match_patterns call share one closure via ``closure_cache``."""
     if len(pat) != 3:
         raise ValueError(f"pattern {i} is not a (s, p, o) triple: {pat}")
     p_term = pat[1]
+    if isinstance(p_term, str) and _is_var(p_term) and p_term.endswith("+"):
+        raise ValueError(
+            f"pattern {i}: variable predicates cannot take '+' "
+            f"({p_term!r}) — property paths need a literal predicate"
+        )
     if (
-        isinstance(p_term, str)
+        paths
+        and isinstance(p_term, str)
         and p_term.endswith("+")
         and not _is_var(p_term)
         and len(p_term) > 1
@@ -56,7 +75,10 @@ def _pattern_frame(
         # closure operator materializes, per the iterative-op convention)
         # and fall through: the pred column carries the path literal, so
         # the normal literal-equality filter below is a no-op match
-        frame = transitive_closure(triples, p_term[:-1]).select(
+        cache = closure_cache if closure_cache is not None else {}
+        if p_term not in cache:
+            cache[p_term] = transitive_closure(triples, p_term[:-1])
+        frame = cache[p_term].select(
             F.col("src").alias("subj"),
             F.lit(p_term).alias("pred"),
             F.col("dst").alias("obj"),
@@ -94,6 +116,7 @@ def match_patterns(
     patterns: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] | None = None,
     distinct_facts: bool = True,
+    paths: bool = True,
 ) -> DataFrame:
     """Conjunctive triple-pattern match -> one row per variable binding.
 
@@ -120,10 +143,13 @@ def match_patterns(
     """
     if not patterns:
         raise ValueError("empty pattern list")
+    closure_cache: dict = {}
     bound: DataFrame | None = None
     bound_vars: set[str] = set()
     for i, pat in enumerate(patterns):
-        proj, pvars = _pattern_frame(triples, i, pat, distinct_facts)
+        proj, pvars = _pattern_frame(
+            triples, i, pat, distinct_facts, paths, closure_cache
+        )
         if bound is None:
             bound, bound_vars = proj, pvars
             continue
@@ -139,7 +165,9 @@ def match_patterns(
     required_vars = set(bound_vars)
     optional_new: set[str] = set()
     for j, pat in enumerate(optional or []):
-        proj, pvars = _pattern_frame(triples, j, pat, distinct_facts)
+        proj, pvars = _pattern_frame(
+            triples, j, pat, distinct_facts, paths, closure_cache
+        )
         shared = sorted(required_vars & pvars)
         if not shared:
             raise ValueError(

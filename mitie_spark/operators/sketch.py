@@ -246,7 +246,14 @@ def kmv_jaccard(
     hv = F.conv(F.substring(F.md5(F.col(value_col)), 1, 8), 16, 10).cast(
         "bigint"
     )
-    h = df.select(F.col(group_col).alias("g"), hv.alias("hv")).distinct()
+    # NULL values would poison signatures: md5(NULL) is NULL, NULLs sort
+    # first under the ascending window (taking rank 1 and inflating
+    # n_sig) yet never match in the hv equi-join — drop them up front
+    h = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("g"), hv.alias("hv"))
+        .distinct()
+    )
     win = Window.partitionBy("g").orderBy("hv")
     sig = (
         h.withColumn("rn", F.row_number().over(win))

@@ -477,3 +477,21 @@ def test_kcore_rounds_reach_fixpoint_on_synth_graph(spark):
         for r in kcore_flags(edges, k=3, rounds=5).collect()
     }
     assert r4 == r5
+
+
+def test_kmv_ignores_null_values(spark):
+    """A NULL value must not enter a signature (md5(NULL) is NULL: it
+    would take window rank 1 and inflate n_sig while never matching in
+    the hash join) — two identical groups that each also carry a NULL
+    must still read jaccard_ppm = 1000000."""
+    from mitie_spark.operators.sketch import kmv_jaccard
+
+    vals = [f"t{i}" for i in range(20)] + [None]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["A"] * 21 + ["B"] * 21, "v": vals + vals}
+        )
+    )
+    row = kmv_jaccard(df, "g", "v", k=64).collect()
+    assert len(row) == 1
+    assert (row[0]["n_shared"], row[0]["jaccard_ppm"]) == (20, 1000000)

@@ -284,3 +284,19 @@ def test_property_path_inside_pattern(spark):
     # a variable predicate never path-expands; a bare '+' is a literal
     out2 = match_patterns(t, [("?a", "?rel", "?b")])
     assert out2.count() == 4
+
+
+def test_path_syntax_guards(toy):
+    """'?rel+' raises (a variable cannot path-expand); paths=False turns
+    the '+' magic off so a predicate literally NAMED with a '+' suffix
+    stays matchable."""
+    from mitie_spark.operators.kgquery import match_patterns
+
+    with pytest.raises(ValueError, match="cannot take"):
+        match_patterns(toy, [("?a", "?rel+", "?b")])
+    rows = [("u", "x", "c++", "y")]
+    t = toy.sparkSession.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+    )
+    out = match_patterns(t, [("?a", "c++", "?b")], paths=False)
+    assert [(r["a"], r["b"]) for r in out.collect()] == [("x", "y")]
