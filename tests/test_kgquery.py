@@ -300,3 +300,74 @@ def test_path_syntax_guards(toy):
     )
     out = match_patterns(t, [("?a", "c++", "?b")], paths=False)
     assert [(r["a"], r["b"]) for r in out.collect()] == [("x", "y")]
+
+
+# ---------------------------------------------------------------------------
+# Randomized differential: compiled BGP joins vs a brute-force matcher
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_bindings(facts, patterns):
+    """Reference matcher: per-pattern distinct projections folded by
+    consistent variable assignment (exactly the semantics the compiler
+    states: distinct facts per pattern, natural join on shared vars)."""
+    def pattern_rows(pat):
+        rows = set()
+        for s, p, o in facts:
+            binding = {}
+            ok = True
+            for term, val in zip(pat, (s, p, o)):
+                if term.startswith("?"):
+                    name = term[1:]
+                    if name in binding and binding[name] != val:
+                        ok = False
+                        break
+                    binding[name] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                rows.add(tuple(sorted(binding.items())))
+        return [dict(r) for r in rows]
+
+    bound = [dict(r) for r in pattern_rows(patterns[0])]
+    for pat in patterns[1:]:
+        nxt = []
+        for b in bound:
+            for r in pattern_rows(pat):
+                if all(b.get(k, v) == v for k, v in r.items()):
+                    nxt.append({**b, **r})
+        bound = nxt
+    return {tuple(sorted(b.items())) for b in bound}
+
+
+@pytest.mark.parametrize("seed", [5, 17, 99])
+def test_bgp_matches_brute_force_on_random_kg(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    ents = [f"e{i}" for i in range(6)]
+    preds = ["p", "q", "r"]
+    facts = {
+        (rng.choice(ents), rng.choice(preds), rng.choice(ents))
+        for _ in range(40)
+    }
+    rows = [("u", s, p, o) for s, p, o in facts]
+    t = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"])
+    )
+    from mitie_spark.operators.kgquery import match_patterns
+
+    cases = [
+        [("?a", "p", "?b"), ("?b", "q", "?c")],
+        [("?a", "p", "?b"), ("?b", "?rel", "?c"), ("?c", "r", "?d")],
+        [("?a", "?x", "e1"), ("?a", "q", "?b")],
+        [("?a", "p", "?a")],
+    ]
+    for patterns in cases:
+        ref = _brute_force_bindings(facts, patterns)
+        got_rows = match_patterns(t, patterns).collect()
+        got = {
+            tuple(sorted((k, r[k]) for k in r.asDict())) for r in got_rows
+        }
+        assert got == ref, (patterns, len(got), len(ref))
